@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs graft.Verify at the given sf dir (unless --skip-verify), then replays
+each oracle_sql.json query in DuckDB against the same parquet tables and
+compares values with columns sorted by name, rows sorted by all columns.
+
+Usage: python3 scripts/check_oracle.py [sfdir] [outdir] [--skip-verify]
+"""
+import json, math, os, subprocess, sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify():
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(cmd, cwd="/root/repo", env=env, capture_output=True, text=True)
+    sys.stdout.write("\n".join(l for l in r.stdout.splitlines()
+                               if "error" in l.lower() or "failed" in l.lower()) + "\n")
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-2000:])
+        sys.exit(1)
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
+    if sorted(spark_cols) != sorted(duck_cols):
+        return f"SCHEMA: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s = [tuple(norm(r[i]) for i in order) for r in spark_rows]
+    d = [tuple(norm(r[i]) for i in dorder) for r in duck_rows]
+    if len(s) != len(d):
+        return f"ROWS: spark={len(s)} duck={len(d)}"
+    for i, (a, b) in enumerate(zip(s, d)):
+        if a != b:
+            return f"VALUE mismatch at row {i}:\n  spark={a}\n  duck ={b}"
+    return None
+
+
+def main():
+    if "--skip-verify" not in sys.argv:
+        run_verify()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    declared = [d for d in sorted(os.listdir(OUT))
+                if os.path.isdir(f"{OUT}/{d}")]
+    for name in declared:
+        if name not in oracle:
+            print(f"[rows-only] {name}")
+            continue
+        try:
+            tbl = pq.read_table(f"{OUT}/{name}")
+            spark_cols = tbl.column_names
+            spark_rows = [tuple(row[c] for c in spark_cols)
+                          for row in tbl.to_pylist()]
+            res = con.sql(oracle[name])
+            duck_cols = res.columns
+            duck_rows = res.fetchall()
+            err = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        except Exception as e:
+            err = f"EXC: {e}"
+        if err:
+            n_bad += 1
+            print(f"[FAIL] {name}: {err}")
+        else:
+            n_ok += 1
+            print(f"[ok]   {name} ({len(spark_rows)} rows)")
+    missing = [k for k in oracle if k not in declared]
+    for m in missing:
+        n_bad += 1
+        print(f"[FAIL] {m}: spark output missing (query crashed?)")
+    print(f"\n== {n_ok} ok, {n_bad} fail ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
