@@ -78,6 +78,15 @@ def main():
             res = con.sql(oracle[name])
             duck_cols = res.columns
             duck_rows = res.fetchall()
+            datb = res.arrow()
+            for c in spark_cols:
+                st = str(tbl.schema.field(c).type)
+                dt = str(datb.schema.field(c).type) if c in datb.column_names else "?"
+                # normalize timestamp unit/tz (parquet INT96 vs duckdb us)
+                n1 = "ts" if st.startswith("timestamp") else st
+                n2 = "ts" if dt.startswith("timestamp") else dt
+                if n1 != n2:
+                    print(f"  [type-warn] {name}.{c}: spark={st} duck={dt}")
             err = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
         except Exception as e:
             err = f"EXC: {e}"

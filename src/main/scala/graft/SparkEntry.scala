@@ -12,7 +12,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def modules: Seq[QueryModule] = Seq(Relational)
+  private def modules: Seq[QueryModule] = Seq(Relational, Text)
 
   private lazy val qs: Seq[Q] = modules.flatMap(_.all)
 

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (SURVEY §2.8 U6): tokenization, shingling, portable 64-bit hashing,
+  * MinHash signatures, SimHash, rolling-hash fingerprints, quality
+  * scoring and language-ID heuristics.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * no UDFs — so Catalyst sees through every expression and the whole text
+  * pipeline stays inside whole-stage codegen-friendly plans and never
+  * shuffles on its own. All hashes are md5-derived, which makes every
+  * function reproducible in any engine (the DuckDB oracle mirrors them
+  * exactly).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Distinct n-token shingles joined with a space; empty array when the
+    * document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Portable 60-bit hash: first 15 hex chars of md5("<v>:<seed>").
+    * DuckDB mirror: CAST(('0x'||substr(md5(v||':<seed>'),1,15)) AS BIGINT).
+    */
+  def hash64(v: Column, seed: Int): Column =
+    conv(substring(md5(concat(v, lit(s":$seed"))), 1, 15), 16, 10).cast("long")
+
+  /** MinHash value for one seed over a set (array) column. */
+  def minhash(set: Column, seed: Int): Column =
+    array_min(transform(set, t => hash64(t, seed)))
+
+  /** k-wide MinHash signature as k separate columns (mh0..mh{k-1}). */
+  def minhashSig(set: Column, k: Int): Seq[Column] =
+    (0 until k).map(s => minhash(set, s).as(s"mh$s"))
+
+  /** SimHash over the distinct tokens: for each bit, sum +1/-1 votes from
+    * token hashes; bit set iff the vote is positive. `bits` is a compile
+    * time constant so the per-bit aggregates unroll into the plan. */
+  def simhash(text: Column, bits: Int): Column = {
+    val hs = transform(distinctTokens(text), t => hash64(t, 0))
+    (0 until bits).map { b =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Order-sensitive rolling (polynomial) fingerprint of the token stream:
+    * fold h -> (h*31 + tokenHash) mod (2^31-1), seeded with 7. */
+  def rollingFingerprint(text: Column): Column = {
+    val M = 2147483647L
+    val hs = transform(tokens(text), t => pmod(hash64(t, 0), lit(M)))
+    aggregate(hs, lit(7L), (acc, h) => pmod(acc * 31 + h, lit(M)))
+  }
+
+  /** Mean token length assuming single-space joining. */
+  def avgTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text) - (n - 1)).cast("double") / n
+  }
+
+  val defaultStopwords: Seq[String] = Seq("the", "a")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double") /
+      size(toks)
+  }
+
+  /** Heuristic quality score in [0,1]: length, non-stopword density and
+    * token-length components (deterministic double arithmetic). */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text).cast("double") / 100.0) * 0.5 +
+      (lit(1.0) - stopwordRatio(text)) * 0.3 +
+      least(lit(1.0), avgTokenLen(text) / 8.0) * 0.2
+
+  /** n-gram/stopword language-ID heuristic: 'en' when English marker
+    * tokens appear, else 'und' (undetermined). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(filter(toks, t => t.isin("the", "a", "of", "and", "is"))) > 0, lit("en"))
+      .otherwise(lit("und"))
+  }
+}

@@ -211,7 +211,7 @@ object Relational extends QueryModule {
 
     // ---- window: per-group top-N with rank ----
     Q("q14_top3_orders_per_cust", Some("""
-      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
           ROW_NUMBER() OVER (PARTITION BY o_custkey
                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -318,7 +318,7 @@ object Relational extends QueryModule {
         upper(c_name) AS name_upper,
         concat_ws('|', c_name, c_mktsegment) AS tagged,
         substring(c_name, 1, 8) AS name_prefix,
-        length(c_name) AS name_len,
+        CAST(length(c_name) AS INT) AS name_len,
         ltrim(concat('  ', c_name)) AS name_ltrim,
         replace(c_name, '_', '..') AS name_dotesc
       FROM customer ORDER BY c_custkey""")) { (s, d) =>

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication inventory over the `documents` table
+  * (north-star LLM-pipeline ops; SURVEY §2.8 U6).
+  *
+  * All hashes are md5-derived so every op — including the full
+  * MinHash+LSH near-duplicate pipeline — has an exact DuckDB oracle.
+  */
+object Text extends QueryModule {
+
+  /** DuckDB mirror of TextFunctions.hash64. */
+  private def dkHash(v: String, seed: Int): String =
+    s"CAST(('0x'||substr(md5($v||':$seed'),1,15)) AS BIGINT)"
+
+  /** DuckDB: distinct 3-token shingles of `text` (requires tk = tokens). */
+  private val dkShingles =
+    "list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2],' ')))"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- token counting (U6 text stats) ----
+    Q("q24_token_stats", Some("""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents)
+      SELECT doc_id,
+        CAST(len(tk) AS INT) AS n_tokens,
+        CAST(len(list_distinct(tk)) AS INT) AS n_distinct_tokens,
+        CAST(len(list_distinct(list_transform(generate_series(1, len(tk)-2),
+          i -> array_to_string(tk[i:i+2],' ')))) AS INT) AS n_shingles
+      FROM sp ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(distinctTokens(col("text"))).as("n_distinct_tokens"),
+        size(shingles(col("text"), 3)).as("n_shingles")
+      ).orderBy("doc_id")
+    },
+
+    // ---- quality scoring ----
+    Q("q25_text_quality", Some("""
+      WITH f AS (
+        SELECT doc_id,
+          len(string_split(text,' ')) AS n,
+          CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+            / len(string_split(text,' ')) AS atl,
+          CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE)
+            / len(string_split(text,' ')) AS swr
+        FROM documents)
+      SELECT doc_id, atl AS avg_token_len, swr AS stopword_ratio,
+        least(1.0, CAST(n AS DOUBLE)/100.0)*0.5 + (1.0 - swr)*0.3
+          + least(1.0, atl/8.0)*0.2 AS quality_score
+      FROM f ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        avgTokenLen(col("text")).as("avg_token_len"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality_score")
+      ).orderBy("doc_id")
+    },
+
+    // ---- language-ID heuristic vs labels ----
+    Q("q26_lang_id", Some("""
+      WITH p AS (
+        SELECT lang,
+          CASE WHEN len(list_filter(string_split(text,' '),
+            t -> t IN ('the','a','of','and','is'))) > 0
+          THEN 'en' ELSE 'und' END AS pred
+        FROM documents)
+      SELECT lang, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+      FROM p GROUP BY lang ORDER BY lang""")) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("pred", langId(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === "en", 1L).otherwise(0L)).as("n_pred_en"))
+        .orderBy("lang")
+    },
+
+    // ---- explode + global term frequencies, top-k ----
+    Q("q27_token_freq", Some("""
+      SELECT t AS token, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents)
+      GROUP BY t ORDER BY cnt DESC, token LIMIT 20""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token")).limit(20)
+    },
+
+    // ---- prefix-fingerprint dedup clusters ----
+    Q("q28_prefix_dedup", Some("""
+      SELECT md5(array_to_string((string_split(text,' '))[1:5],' ')) AS fingerprint,
+        COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1 ORDER BY fingerprint""")) { (s, d) =>
+      Dedup.exactClusters(Tables.documents(s, d), "doc_id",
+          md5(array_join(slice(tokens(col("text")), 1, 5), " ")))
+        .orderBy("fingerprint")
+    },
+
+    // ---- exact dedup by full-content fingerprint ----
+    Q("q29_exact_dedup", Some("""
+      SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1 ORDER BY fingerprint""")) { (s, d) =>
+      Dedup.exactClusters(Tables.documents(s, d), "doc_id", md5(col("text")))
+        .orderBy("fingerprint")
+    },
+
+    // ---- MinHash signatures (8 seeds over 3-shingles) ----
+    Q("q30_minhash_sig", Some(s"""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      sh AS (SELECT doc_id, $dkShingles AS sh FROM sp)
+      SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(sh, t -> ${dkHash("t", i)})) AS mh$i").mkString(",\n        ")}
+      FROM sh ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d).select(
+        (col("doc_id") +: minhashSig(shingles(col("text"), 3), 8)): _*
+      ).orderBy("doc_id")
+    },
+
+    // ---- full MinHash+LSH near-duplicate pipeline (bucket join, no n²) ----
+    Q("q31_lsh_near_dup", Some(s"""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      sh AS (SELECT doc_id, $dkShingles AS sh FROM sp),
+      mh AS (SELECT doc_id, sh,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(sh, t -> ${dkHash("t", i)})) AS mh$i").mkString(",\n        ")}
+      FROM sh),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM mh")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      j AS (SELECT c.a, c.b,
+        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        FROM cand c JOIN mh sa ON sa.doc_id = c.a JOIN mh sb ON sb.doc_id = c.b)
+      SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""")) { (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+        .orderBy("a", "b")
+    },
+
+    // ---- SimHash (16-bit) ----
+    Q("q32_simhash", Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
+                   FROM documents),
+      h AS (SELECT doc_id, ${dkHash("t", 0)} AS h FROM tok),
+      votes AS (SELECT doc_id, g.b, SUM(((h >> g.b) & 1)*2 - 1) AS v
+                FROM h, generate_series(0, 15) g(b) GROUP BY doc_id, g.b)
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+          AS simhash
+      FROM votes GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhash(col("text"), 16).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- order-sensitive rolling-hash document fingerprint ----
+    Q("q33_rolling_fingerprint", Some(s"""
+      SELECT doc_id,
+        list_reduce(
+          [CAST(7 AS BIGINT)] ||
+            list_transform(string_split(text,' '), t -> ${dkHash("t", 0)} % 2147483647),
+          (a, b) -> (a*31 + b) % 2147483647) AS fp
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}
