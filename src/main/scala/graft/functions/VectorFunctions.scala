@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector ops over `ARRAY<FLOAT>` embedding columns (SURVEY §2.8 U6).
+  *
+  * Implemented with built-in higher-order functions (`zip_with` +
+  * `aggregate`) per SURVEY §7.3 — no UDFs, no collect. Dot products and
+  * norms accumulate in exact DECIMAL(38,18) so results are
+  * order-independent and bit-identical to the DuckDB oracle; the final
+  * value is a double.
+  */
+object VectorFunctions {
+
+  /** Fixed-point scale 2^58. Products of float32 pairs are exact doubles
+    * (48-bit mantissa); multiplying by a power of two is exact; floor is
+    * deterministic — so floor(x*y*2^58) is the same integer in every IEEE
+    * engine, and the int64 sum is exact (|sum| ≤ 64·0.25·2^58 < 2^63).
+    * Decimal casts are NOT portable (DuckDB converts via double
+    * arithmetic, Spark via BigDecimal — last-ulp drift), hence fixed
+    * point. DuckDB mirror:
+    * SUM(CAST(floor(x*y*2^58) AS BIGINT))/2^58. */
+  private val Scale = 2.88230376151711744e17 // 2^58
+
+  private def scaledSum(products: Column): Column =
+    aggregate(
+      transform(products, v => floor(v * Scale).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+      .cast("double") / Scale
+
+  /** Exact (fixed-point) dot product of two float-array columns. */
+  def dotExact(a: Column, b: Column): Column =
+    scaledSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Exact squared L2 norm. */
+  def norm2Exact(a: Column): Column = dotExact(a, a)
+
+  /** Cosine from a precomputed dot and squared norms. */
+  def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
+    dot / (sqrt(n2a) * sqrt(n2b))
+
+  /** Deterministic pseudo-random hyperplane weights in [-1, 1), derived
+    * from md5 so the DuckDB oracle can reproduce them exactly:
+    * w(p, j) = hex15(md5("plane:p:j")) / 2^60 * 2 - 1.
+    */
+  def planeWeights(p: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to dim).map { j =>
+      val hex = md.digest(s"plane:$p:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1.152921504606846976e18 * 2.0 - 1.0
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id (signature of `planes` sign bits). */
+  def lshBucket(emb: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val d = dotExact(emb, typedlit(planeWeights(p, dim)))
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

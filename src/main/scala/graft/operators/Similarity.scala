@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design (100 TB):
+  *  - [[bruteForceTopK]] broadcasts the (small) query set against the full
+  *    corpus — one pass over the big side, no shuffle of the corpus; the
+  *    only exchange is the tiny per-query top-k window. This is the exact
+  *    baseline.
+  *  - [[lshTopK]] first maps every vector to a random-hyperplane bucket
+  *    (a narrow projection), then joins queries to corpus *within buckets*
+  *    — candidate count drops by ~2^planes, which is the path that holds
+  *    when the corpus no longer fits a broadcast-side scan per query.
+  */
+object Similarity {
+
+  /** Corpus with exact squared norms attached (computed once). */
+  def withNorm2(emb: DataFrame, embCol: String = "embedding"): DataFrame =
+    emb.withColumn("n2", norm2Exact(col(embCol)))
+
+  /** Exact top-k cosine neighbors for each query row (queryPred selects
+    * queries). Returns (qid, vid, cosine, rank). */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = withNorm2(emb)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("vid"), col("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates restricted to the query's
+    * random-hyperplane bucket. Returns (qid, vid, bucket, cosine, rank). */
+  def lshTopK(emb: DataFrame, queryPred: Column, planes: Int, dim: Int, k: Int): DataFrame = {
+    val e = withNorm2(emb).withColumn("bucket", lshBucket(col("embedding"), planes, dim))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("bucket").as("q_bucket"))
+    val cand = e.join(broadcast(q),
+      col("bucket") === col("q_bucket") && col("vec_id") =!= col("qid"))
+    val scored = cand.withColumn("cosine",
+      cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("vid"), col("bucket"), col("cosine"), col("rank"))
+  }
+}

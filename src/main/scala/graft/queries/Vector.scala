@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Similarity-search inventory over the `embeddings` table
+  * (`ARRAY<FLOAT>` × 64). Exact decimal accumulation makes every cosine
+  * bit-identical to the DuckDB oracle (which indexes `embedding[j]` via
+  * generate_series since it lacks UNNEST WITH ORDINALITY).
+  */
+object Vector extends QueryModule {
+
+  /** DuckDB mirror of VectorFunctions.scaledSum: fixed-point (2^58)
+    * floor-scaled integer sum — bit-identical in any IEEE engine. */
+  private def dkDecSum(x: String): String =
+    s"CAST(SUM(CAST(floor(($x) * 2.88230376151711744e17) AS BIGINT)) AS DOUBLE) / 2.88230376151711744e17"
+
+  private val dkNorm2 = s"""
+      n2 AS (SELECT vec_id,
+        ${dkDecSum("CAST(embedding[g.j] AS DOUBLE) * CAST(embedding[g.j] AS DOUBLE)")} AS n2
+      FROM embeddings, generate_series(1, 64) g(j) GROUP BY vec_id)"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact norms via higher-order functions ----
+    Q("q34_vector_norms", Some(s"""
+      WITH $dkNorm2
+      SELECT vec_id, n2 AS norm2, sqrt(n2) AS norm FROM n2 ORDER BY vec_id""")) { (s, d) =>
+      Similarity.withNorm2(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("n2").as("norm2"), sqrt(col("n2")).as("norm"))
+        .orderBy("vec_id")
+    },
+
+    // ---- brute-force exact cosine top-5 (broadcast query set) ----
+    Q("q35_cosine_topk", Some(s"""
+      WITH $dkNorm2,
+      dots AS (SELECT q.vec_id AS qid, e.vec_id AS vid,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM embeddings q JOIN embeddings e ON q.vec_id < 8 AND e.vec_id <> q.vec_id,
+          generate_series(1, 64) g(j)
+        GROUP BY q.vec_id, e.vec_id),
+      cos AS (SELECT d.qid, d.vid, d.dot/(sqrt(a.n2)*sqrt(b.n2)) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
+      SELECT qid, vid, cosine, CAST(rn AS INT) AS rank
+      FROM cos WHERE rn <= 5 ORDER BY qid, rank""")) { (s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 8, k = 5)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- LSH-bucketed ANN top-3 (the scale path) ----
+    Q("q36_ann_lsh_topk", Some(s"""
+      WITH w AS (SELECT p.p, j.j,
+        (CAST(CAST(('0x'||substr(md5('plane:'||p.p||':'||j.j),1,15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0) * 2.0 - 1.0 AS w
+        FROM generate_series(0, 3) p(p), generate_series(1, 64) j(j)),
+      pd AS (SELECT e.vec_id, w.p,
+        ${dkDecSum("CAST(e.embedding[w.j] AS DOUBLE) * w.w")} AS d
+        FROM embeddings e, w GROUP BY e.vec_id, w.p),
+      sig AS (SELECT vec_id,
+        CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM pd GROUP BY vec_id),
+      $dkNorm2,
+      cand AS (SELECT q.vec_id AS qid, e.vec_id AS vid, e.bucket
+        FROM sig q JOIN sig e
+          ON q.vec_id < 8 AND e.bucket = q.bucket AND e.vec_id <> q.vec_id),
+      dots AS (SELECT c.qid, c.vid, c.bucket,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+          JOIN embeddings e ON e.vec_id = c.vid, generate_series(1, 64) g(j)
+        GROUP BY c.qid, c.vid, c.bucket),
+      cos AS (SELECT d.qid, d.vid, d.bucket, d.dot/(sqrt(a.n2)*sqrt(b.n2)) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
+      SELECT qid, vid, bucket, cosine, CAST(rn AS INT) AS rank
+      FROM cos WHERE rn <= 3 ORDER BY qid, rank""")) { (s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 8,
+          planes = 4, dim = 64, k = 3)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- per-label centroids (embedding aggregation) ----
+    Q("q37_label_centroids", Some(s"""
+      WITH ex AS (SELECT label, g.j - 1 AS j, CAST(embedding[g.j] AS DOUBLE) AS x
+                  FROM embeddings, generate_series(1, 64) g(j)),
+      comp AS (SELECT label, j,
+        (CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+          / 1099511627776.0) / COUNT(x) AS comp
+        FROM ex GROUP BY label, j)
+      SELECT label, list(comp ORDER BY j) AS centroid
+      FROM comp GROUP BY label ORDER BY label""")) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("j", "x")))
+        .groupBy("label", "j")
+        .agg(((sum(floor(col("x").cast("double") * 1099511627776.0).cast("long")).cast("double")
+          / 1099511627776.0) / count(col("x"))).as("comp"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("comp")))),
+          s => s.getField("comp")).as("centroid"))
+        .orderBy("label")
+    }
+  )
+}
