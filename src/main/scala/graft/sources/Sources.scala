@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch sources (SURVEY §2.1 S6–S8) and the streaming event source (S1).
+  *
+  * The reference's whole-file reader (utils/utils.c:67-136) and recursive
+  * directory walker (utils/utils.c:138-232) map to Spark's `binaryFile`
+  * source and `recursiveFileLookup` — the listing itself is distributed
+  * (InMemoryFileIndex), no driver-side walk.
+  */
+object Sources {
+
+  /** S6: whole-document JSON (one JSON object per file). */
+  def jsonDocument(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+
+  /** JSON-lines event feed. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** S7: whole-file byte scan with metadata (path, modificationTime,
+    * length, content). */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
+  /** S8: recursive listing, hidden files excluded (reference skips
+    * dot-files: utils/utils.c:183-189). Returns (path, length, mtime). */
+  def listFilesRecursive(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", true)
+      .load(path)
+      .filter(!col("path").rlike("/\\.[^/]*$") && !col("path").rlike("/\\.[^/]*/"))
+      .select(col("path"), col("length"), col("modificationTime"))
+
+  /** S1 (dev form): file-stream source over an events directory; the
+    * production form is format("kafka") with identical downstream plan. */
+  def eventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Stream sinks (SURVEY §2.1 S2/S9/S10, §2.7 T6).
+  *
+  * - [[partitionedParquet]] is the reference's "main DB + timestamp
+  *   secondary index" (src/main.c:57-58) re-expressed as an event-date
+  *   partitioned table: time-range scans become partition pruning.
+  * - [[alerts]] is the email/notification sink (utils/email-sender*) as a
+  *   `ForeachWriter`: the engine owns the operator; delivery transport is
+  *   a pluggable [[Notifier]].
+  */
+object Sinks {
+
+  /** Append stream to parquet partitioned by event date. */
+  def partitionedParquet(events: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery =
+    events.withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .partitionBy("event_date")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Alert delivery contract (SMTP in the reference; any transport here). */
+  trait Notifier extends Serializable {
+    def send(subject: String, body: String): Unit
+  }
+
+  /** Test/dev notifier that accumulates messages in a static buffer
+    * (executor-side in local mode). */
+  class BufferingNotifier extends Notifier {
+    override def send(subject: String, body: String): Unit =
+      BufferingNotifier.buffer.add(subject + "\n" + body)
+  }
+  object BufferingNotifier {
+    val buffer = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  }
+
+  /** Per-row alert sink: one notification per matching row. */
+  def alerts(matches: DataFrame, notifier: Notifier,
+      checkpointDir: String): StreamingQuery =
+    matches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreach(new ForeachWriter[Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(row: Row): Unit =
+          notifier.send(s"graft-alert", row.mkString(", "))
+        override def close(errorOrNull: Throwable): Unit = ()
+      })
+      .start()
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("keepLatest keeps greatest by order, firstWins the least (A2/A3)") {
+    val df = Seq(
+      (1L, "a", 10L), (1L, "a", 30L), (1L, "a", 20L),
+      (2L, "b", 5L)
+    ).toDF("user", "typ", "seq")
+    val latest = Dedup.keepLatest(df, Seq("user"), Seq(col("seq")))
+      .select("user", "seq").as[(Long, Long)].collect().toMap
+    assert(latest === Map(1L -> 30L, 2L -> 5L))
+    val first = Dedup.firstWins(df, Seq("user"), Seq(col("seq")))
+      .select("user", "seq").as[(Long, Long)].collect().toMap
+    assert(first === Map(1L -> 10L, 2L -> 5L))
+  }
+
+  test("keepLatest is idempotent") {
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 9L)).toDF("k", "s")
+    val once = Dedup.keepLatest(df, Seq("k"), Seq(col("s")))
+    val twice = Dedup.keepLatest(once, Seq("k"), Seq(col("s")))
+    assert(once.collect().toSet === twice.collect().toSet)
+  }
+
+  test("shingles produce n-grams and empty below n tokens") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(shingles(col("text"), 3).as("sh"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) === Seq("a b c", "b c d"))
+    assert(rows(1) === Seq.empty)
+  }
+
+  test("simhash of near-identical texts is closer than unrelated texts") {
+    val df = Seq(
+      ("a", "spark query join table scan filter"),
+      ("b", "spark query join table scan merge"),
+      ("c", "zz yy xx ww vv uu")
+    ).toDF("id", "text").select(col("id"), simhash(col("text"), 16).as("sh"))
+    val m = df.as[(String, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
+  }
+
+  test("minhashLshPairs finds exact duplicates with jaccard 1.0") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with other tokens here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("rollingFingerprint is order-sensitive") {
+    val df = Seq("a b c", "c b a").toDF("text")
+      .select(rollingFingerprint(col("text")).as("fp"))
+    val fps = df.as[Long].collect()
+    assert(fps(0) !== fps(1))
+  }
+
+  test("bruteForceTopK ranks an identical vector first") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.9f, 0.1f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(df, col("vec_id") === 0, k = 2)
+      .select("vid", "rank").as[(Long, Int)].collect().toMap
+    assert(top(1L) === 1) // identical vector ranks first
+    assert(top(3L) === 2)
+  }
+}

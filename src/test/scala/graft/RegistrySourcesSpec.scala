@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{Event, TopicRegistry}
+import graft.sources.Sources
+import graft.multimodal.{MediaRow, Multimodal}
+
+class RegistrySourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("TopicRegistry subscribe/consume/unsubscribe lifecycle (S3/S4/T2)") {
+    implicit val ctx = spark.sqlContext
+    val reg = new TopicRegistry
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg").toString
+    val ms = MemoryStream[Event]
+    val q = reg.subscribe("brokerA", "topic1", ms.toDF(), dir) { (batch, _) =>
+      batch.collect().foreach(r => seen.add(r.getAs[Long]("event_id")))
+    }
+    assert(reg.active === Seq(("brokerA", "topic1")))
+    ms.addData(Event(42, ts(1), 7, "purchase", 1.0))
+    q.processAllAvailable()
+    assert(seen.toArray.toSeq === Seq(42L))
+
+    // upsert: re-subscribing the same key replaces the query (A4)
+    val q2 = reg.subscribe("brokerA", "topic1", ms.toDF(), dir + "2") { (_, _) => () }
+    assert(!q.isActive && q2.isActive)
+    assert(reg.active === Seq(("brokerA", "topic1")))
+
+    assert(reg.unsubscribe("brokerA", "topic1"))
+    assert(!q2.isActive && reg.active.isEmpty)
+    assert(!reg.unsubscribe("brokerA", "topic1")) // idempotent remove
+  }
+
+  test("binaryFiles + recursive listing skip hidden files (S7/S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(sub.resolve("b.bin"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve(".hidden"), Array[Byte](9))
+
+    val flat = Sources.binaryFiles(spark, dir.toString, "*.bin")
+    assert(flat.count() === 1)
+    val bytes = flat.select("content").as[Array[Byte]].head()
+    assert(bytes.toSeq === Seq[Byte](1, 2, 3))
+
+    val rec = Sources.listFilesRecursive(spark, dir.toString)
+      .select("path").as[String].collect()
+    assert(rec.length === 2 && rec.forall(!_.contains(".hidden")))
+  }
+
+  test("whole-document JSON scan (S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json")
+    java.nio.file.Files.writeString(dir.resolve("conf.json"),
+      """{ "broker": "localhost:9092",
+           "topics": ["a", "b"] }""")
+    val df = Sources.jsonDocument(spark, dir.toString)
+    assert(df.select("broker").as[String].head() === "localhost:9092")
+    assert(df.select("topics").as[Seq[String]].head() === Seq("a", "b"))
+  }
+
+  test("multimodal feature extraction is deterministic and partition-parallel") {
+    val media = Seq(
+      MediaRow(1, "image", Array.tabulate(64)(_.toByte), 8, 8),
+      MediaRow(2, "audio", Array.tabulate(128)(i => (i * 3).toByte), 0, 0)
+    ).toDS().repartition(2)
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    assert(f1.map(_.checksum).toSeq === f2.map(_.checksum).toSeq)
+    assert(f1.map(_.features.toSeq) === f2.map(_.features.toSeq))
+    assert(f1.forall(_.features.length === 8))
+    assert(f1.map(_.n_bytes).toSeq === Seq(64, 128))
+  }
+
+  test("multimodal frame sampling fans out frames with offsets") {
+    val media = Seq(MediaRow(1, "video", Array.tabulate(100)(_.toByte), 0, 0)).toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 25, frameSize = 10).collect()
+    assert(frames.map(_.offset).toSeq === Seq(0, 25, 50, 75))
+    assert(frames.forall(_.frame_bytes.length === 10))
+  }
+}

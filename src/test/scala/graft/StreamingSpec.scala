@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming._
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
+
+  private def newEvents(): MemoryStream[Event] = {
+    implicit val ctx = spark.sqlContext
+    MemoryStream[Event]
+  }
+
+  test("tumbling window agg over a stream with watermark (T3)") {
+    val ms = newEvents()
+    val q = EventWindows.tumbling(ms.toDF(), "5 minutes", watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      ms.addData(
+        Event(1, ts(1), 7, "purchase", 10.0),
+        Event(2, ts(2), 7, "purchase", 5.0),
+        Event(3, ts(7), 8, "signup", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumb")
+        .select("w_start", "event_type", "n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(rows === Set(
+        (ts(0), "purchase", 2L),
+        (ts(5), "signup", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches (T5/A2)") {
+    val ms = newEvents()
+    val q = StatefulOps.dedupWithinWatermark(ms.toDF(), "30 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      ms.addData(Event(1, ts(1), 7, "purchase", 10.0))
+      q.processAllAvailable()
+      ms.addData(Event(1, ts(1), 7, "purchase", 10.0), // duplicate id
+        Event(2, ts(2), 7, "view", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 2)
+    } finally q.stop()
+  }
+
+  test("keepLatestPerUser emits the newest row per user (T4/A3)") {
+    val ms = newEvents()
+    val q = StatefulOps.keepLatestPerUser(ms.toDS())
+      .writeStream.format("memory").queryName("latest").outputMode("update").start()
+    try {
+      ms.addData(Event(1, ts(5), 7, "a", 1.0), Event(2, ts(3), 7, "b", 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(3, ts(4), 7, "c", 3.0)) // older than current latest
+      q.processAllAvailable()
+      val emitted = spark.table("latest").as[Event].collect()
+      // last emission for user 7 must be event 1 (ts 00:05), never event 3
+      assert(emitted.map(_.event_id).toSet === Set(1L))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap (T3)") {
+    val ms = newEvents()
+    val q = EventWindows.sessions(ms.toDF(), "5 minutes", watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      ms.addData(
+        Event(1, ts(0), 7, "a", 1.0), Event(2, ts(3), 7, "a", 1.0), // session 1
+        Event(3, ts(20), 7, "a", 1.0)) // gap > 5m → session 2
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .select("user_id", "s_start", "n").as[(Long, Timestamp, Long)].collect().toSet
+      assert(sessions === Set((7L, ts(0), 2L), (7L, ts(20), 1L)))
+    } finally q.stop()
+  }
+
+  test("partitioned parquet sink writes event-date partitions (S9)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ms = newEvents()
+    ms.addData(Event(1, ts(1), 7, "purchase", 10.0))
+    val q = Sinks.partitionedParquet(ms.toDF(), s"$dir/data", s"$dir/ckpt")
+    q.awaitTermination(60000)
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.columns.contains("event_date"))
+    assert(back.count() === 1)
+  }
+
+  test("alert sink delivers matching rows through the Notifier (T6/S10)") {
+    Sinks.BufferingNotifier.buffer.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-alert").toString
+    val ms = newEvents()
+    val alerts = ms.toDF().filter(col("event_type") === "error")
+    val q = Sinks.alerts(alerts, new Sinks.BufferingNotifier, s"$dir/ckpt")
+    try {
+      ms.addData(Event(1, ts(1), 7, "error", 1.0), Event(2, ts(2), 7, "view", 0.0))
+      q.processAllAvailable()
+      val msgs = Sinks.BufferingNotifier.buffer.toArray.map(_.toString)
+      assert(msgs.length === 1 && msgs(0).contains("error"))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals maintains keyed state across batches (T4)") {
+    val ms = newEvents()
+    val q = StatefulOps.runningUserTotals(ms.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    try {
+      ms.addData(Event(1, ts(1), 7, "a", 10.0))
+      q.processAllAvailable()
+      ms.addData(Event(2, ts(2), 7, "a", 5.0))
+      q.processAllAvailable()
+      val last = spark.table("totals").as[(Long, Long, Double)].collect()
+        .filter(_._1 == 7L).maxBy(_._2)
+      assert(last === ((7L, 2L, 15.0)))
+    } finally q.stop()
+  }
+}
