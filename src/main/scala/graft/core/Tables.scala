@@ -38,8 +38,17 @@ object Tables {
       case _        => df
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings are narrow tables that feed expensive per-row
+    * compute (shingling, hashing, vector math). The corpus ships them as
+    * single-row-group parquet, which Spark cannot split — so the scan
+    * stage would run one task no matter the cluster size. Spreading the
+    * cheap rows across the cluster first costs one tiny shuffle and buys
+    * full parallelism for the compute that follows. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  def documents(s: SparkSession, d: String): DataFrame  = spread(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = spread(load(s, d, "embeddings"))
 
   /** Register every table as a temp view (for the SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -35,6 +35,41 @@ object Dedup {
     df.groupBy(fingerprint.as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** k-wide MinHash signatures: (id, mh0..mh{k-1}) — explode + codegen'd
+    * md5 + partially-aggregable min, one shuffle. Rows with empty shingle
+    * sets (fewer than `shingleSize` tokens) are dropped. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, shingleSize: Int = 3): DataFrame =
+    signaturesFromSets(
+      df.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), shingleSize).as("sh")),
+      numHashes)
+
+  private def signaturesFromSets(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("doc_id"), explode(col("sh")).as("t"))
+      .groupBy("doc_id")
+      .agg(
+        min(hash64(col("t"), 0)).as("mh0"),
+        (1 until numHashes).map(s => min(hash64(col("t"), s)).as(s"mh$s")): _*)
+
+  /** SimHash (bit-vote) signatures: (id, simhash) over distinct tokens.
+    * Same explode + grouped-sum shape — per-bit votes are partial
+    * aggregates, md5 runs once per token inside codegen. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    val h = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .select(col("doc_id"), hash64(col("t"), 0).as("h"))
+    val votes = (0 until bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
+    h.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** MinHash+LSH near-duplicate pairs over a text column.
     *
     * shingle(n) → k-wide MinHash signature → `bands` bands of k/bands rows
@@ -52,10 +87,16 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    val sigs = df.select(
-      (col(idCol).as("doc_id") +:
-        shingles(col(textCol), shingleSize).as("sh") +:
-        minhashSig(shingles(col(textCol), shingleSize), numHashes)): _*)
+    // Shingle sets are reused three times (signatures + both sides of the
+    // jaccard verification) — materialize once.
+    val sh = df.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), shingleSize).as("sh")).persist()
+
+    // Signatures via explode + hash + min-agg rather than per-row HOF
+    // lambdas: md5 stays inside whole-stage codegen and min() is
+    // partially aggregable (map-side combine before the one shuffle) —
+    // the shape that holds at 100 TB.
+    val sigs = signaturesFromSets(sh, numHashes)
 
     // band key = concatenated minhash rows of that band
     val bandKeys = array((0 until bands).map { b =>
@@ -69,8 +110,8 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
-    val sa = sigs.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-    val sb = sigs.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    val sa = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     cand.join(sa, "a").join(sb, "b")
       .withColumn("jaccard",

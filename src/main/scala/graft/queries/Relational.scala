@@ -228,14 +228,15 @@ object Relational extends QueryModule {
     // ---- window: running sum over event stream (frame-based) ----
     Q("q15_running_sum", Some("""
       SELECT event_id, user_id,
-        CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+        CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER (
           PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0
+          AS running_value
       FROM events ORDER BY event_id""")) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
-        .withColumn("running_value", sum(col("value").cast(Dec)).over(w).cast("double"))
+        .withColumn("running_value", dsumOver(col("value"), w))
         .select("event_id", "user_id", "running_value")
         .orderBy("event_id")
     },

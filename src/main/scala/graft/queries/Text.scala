@@ -118,9 +118,9 @@ object Text extends QueryModule {
         ${(0 until 8).map(i =>
           s"list_min(list_transform(sh, t -> ${dkHash("t", i)})) AS mh$i").mkString(",\n        ")}
       FROM sh ORDER BY doc_id""")) { (s, d) =>
-      Tables.documents(s, d).select(
-        (col("doc_id") +: minhashSig(shingles(col("text"), 3), 8)): _*
-      ).orderBy("doc_id")
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 8, shingleSize = 3)
+        .orderBy("doc_id")
     },
 
     // ---- full MinHash+LSH near-duplicate pipeline (bucket join, no n²) ----
@@ -159,8 +159,7 @@ object Text extends QueryModule {
         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
           AS simhash
       FROM votes GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), simhash(col("text"), 16).as("simhash"))
+      Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text", bits = 16)
         .orderBy("doc_id")
     },
 
