@@ -12,7 +12,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def modules: Seq[QueryModule] = Seq(Relational, Text, Vector, Windows)
+  private def modules: Seq[QueryModule] = Seq(Relational, Text, Vector, Windows, Coverage)
 
   private lazy val qs: Seq[Q] = modules.flatMap(_.all)
 

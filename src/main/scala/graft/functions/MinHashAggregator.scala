@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed MinHash-signature aggregator (SURVEY §2.8 U3/U6): folds raw
+  * 60-bit token hashes into a k-wide signature in one pass.
+  *
+  * Each slot i tracks min over tokens of (h XOR c_i) where c_i is an
+  * md5-derived constant — an xor-permutation family, adequate for LSH
+  * banding. Elementwise-min buffers are associative and tiny (k longs),
+  * so partial aggregation combines map-side; compared to the
+  * explode×k+groupBy shape this trades k shuffle columns for a single
+  * binary buffer — the win when k is large or the group count is huge.
+  *
+  * Register for SQL/DataFrame use with
+  * `udaf(new MinHashAggregator(k))`.
+  */
+class MinHashAggregator(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+
+  private val mixers: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k) { i =>
+      val hex = md.digest(s"mix:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+  }
+
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    var i = 0
+    while (i < k) { val v = h ^ mixers(i); if (v < buf(i)) buf(i) = v; i += 1 }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
