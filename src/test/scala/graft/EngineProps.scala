@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.functions.Num
+import graft.operators.Dedup
+
+/** Property tests (SURVEY §5.3): dedup policy laws, sort permutation
+  * invariance, fixed-point sum order-independence, regex parity with
+  * java.util.regex. Small case counts — each check runs Spark jobs. */
+object EngineProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark: SparkSession = graft.core.GraftSession.local(4)
+  import scala.jdk.CollectionConverters._
+
+  private val rowsGen: Gen[List[(Long, Long, Double)]] =
+    Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 5L)
+      s <- Gen.choose(0L, 100L)
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (k, s, v))
+
+  property("keepLatest = groupwise max, exactly one row per key") =
+    forAll(rowsGen) { rows =>
+      val spk = spark; import spk.implicits._
+      val df = rows.toDF("k", "s", "v")
+      val got = Dedup.keepLatest(df, Seq("k"), Seq(col("s"), col("v")))
+        .select("k", "s").as[(Long, Long)].collect().toMap
+      val want = rows.groupBy(_._1).map { case (k, g) =>
+        k -> g.map(r => (r._2, r._3)).max._1 }
+      got == want
+    }
+
+  property("firstWins is idempotent") = forAll(rowsGen) { rows =>
+    val spk = spark; import spk.implicits._
+    val df = rows.toDF("k", "s", "v")
+    val once = Dedup.firstWins(df, Seq("k"), Seq(col("s"), col("v"))).collect().toSet
+    val twice = Dedup.firstWins(
+      Dedup.firstWins(df, Seq("k"), Seq(col("s"), col("v"))),
+      Seq("k"), Seq(col("s"), col("v"))).collect().toSet
+    once == twice
+  }
+
+  property("dsum is order- and partitioning-independent") =
+    forAll(rowsGen) { rows =>
+      val spk = spark; import spk.implicits._
+      def total(rs: List[(Long, Long, Double)], parts: Int): Double =
+        rs.toDF("k", "s", "v").repartition(parts)
+          .agg(Num.dsum(col("v"))).as[Double].head()
+      total(rows, 1) == total(scala.util.Random.shuffle(rows), 7)
+    }
+
+  property("orderBy is permutation-invariant") = forAll(rowsGen) { rows =>
+    val spk = spark; import spk.implicits._
+    val a = rows.toDF("k", "s", "v")
+      .orderBy("k", "s", "v").collect().toSeq
+    val b = scala.util.Random.shuffle(rows).toDF("k", "s", "v")
+      .orderBy("k", "s", "v").collect().toSeq
+    a == b
+  }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("purchase", "signup", "error", "a.b", "x@y.z", ""))
+      .map(_.mkString(" "))
+
+  property("rlike agrees with java.util.regex") = forAll(textGen) { s =>
+    val spk = spark; import spk.implicits._
+    val pattern = "^(purchase|signup)"
+    val got = Seq(s).toDF("t")
+      .select(col("t").rlike(pattern)).as[Boolean].head()
+    got == java.util.regex.Pattern.compile(pattern).matcher(s).find()
+  }
+}
