@@ -365,12 +365,12 @@ object Relational extends QueryModule {
           ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
       WHERE rn = 1 ORDER BY event_id""")) { (s, d) =>
       val e = Tables.events(s, d).select("event_id", "user_id", "ts")
-      val o = ord(s, d).select("o_custkey", "o_orderkey", "o_orderdate")
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
-      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val o = ord(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"), col("o_orderdate"))
+      graft.operators.AsOf.joinLatest(e, o,
+          key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+          rightTiebreak = "o_orderkey", carried = Seq("o_orderkey", "o_orderdate"))
+        .filter(col("o_orderkey").isNotNull) // inner semantics, like the oracle
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
         .orderBy("event_id")
     }
