@@ -12,7 +12,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def modules: Seq[QueryModule] = Seq(Relational, Text, Vector, Windows, Coverage)
+  private def modules: Seq[QueryModule] =
+    Seq(Relational, Text, Vector, Windows, Coverage, Pipeline)
 
   private lazy val qs: Seq[Q] = modules.flatMap(_.all)
 

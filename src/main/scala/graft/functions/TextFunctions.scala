@@ -35,6 +35,14 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct character n-grams; empty array for texts shorter than n. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Portable 60-bit hash: first 15 hex chars of md5("<v>:<seed>").
     * DuckDB mirror: CAST(('0x'||substr(md5(v||':<seed>'),1,15)) AS BIGINT).
     */

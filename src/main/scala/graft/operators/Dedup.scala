@@ -83,14 +83,17 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      shingler: Column => Column = null): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    val mkSet: Column => Column =
+      if (shingler != null) shingler else (shingles(_: Column, shingleSize))
 
     // Shingle sets are reused three times (signatures + both sides of the
     // jaccard verification) — materialize once.
     val sh = df.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleSize).as("sh")).persist()
+      mkSet(col(textCol)).as("sh")).persist()
 
     // Signatures via explode + hash + min-agg rather than per-row HOF
     // lambdas: md5 stays inside whole-stage codegen and min() is

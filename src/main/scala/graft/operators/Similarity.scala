@@ -38,6 +38,25 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("vid"), col("cosine"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates from shared
+    * random-hyperplane buckets (the scale path — no n² comparison), exact
+    * fixed-point cosine verification. Returns (a, b, cosine), a < b. */
+  def nearDupPairs(emb: DataFrame, planes: Int, dim: Int,
+      threshold: Double): DataFrame = {
+    val e = withNorm2(emb)
+      .withColumn("bucket", lshBucket(col("embedding"), planes, dim))
+      .select("vec_id", "embedding", "n2", "bucket").persist()
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
+      col("n2").as("n2_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
+      col("n2").as("n2_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cosine",
+        cosineFrom(dotExact(col("emb_a"), col("emb_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
   /** LSH-bucketed ANN top-k: candidates restricted to the query's
     * random-hyperplane bucket. Returns (qid, vid, bucket, cosine, rank). */
   def lshTopK(emb: DataFrame, queryPred: Column, planes: Int, dim: Int, k: Int): DataFrame = {

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Num._
+import graft.functions.TextFunctions.charNgrams
+import graft.operators.{Dedup, Similarity}
+
+/** Additional training-data-pipeline ops: embedding-cosine near-dup,
+  * character-n-gram Jaccard dedup, BPE-ish regex token counting, and the
+  * SQL surface (GROUPING SETS via registered views). */
+object Pipeline extends QueryModule {
+
+  private def dkHash(v: String, seed: Int): String =
+    s"CAST(('0x'||substr(md5($v||':$seed'),1,15)) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- embedding-cosine near-duplicate pairs (LSH buckets + exact) ----
+    Q("q48_embedding_near_dup", Some(s"""
+      WITH w AS (SELECT p.p, j.j,
+        (CAST(CAST(('0x'||substr(md5('plane:'||p.p||':'||j.j),1,15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0) * 2.0 - 1.0 AS w
+        FROM generate_series(0, 3) p(p), generate_series(1, 64) j(j)),
+      pd AS (SELECT e.vec_id, w.p,
+        CAST(SUM(CAST(floor((CAST(e.embedding[w.j] AS DOUBLE) * w.w) * 2.88230376151711744e17) AS BIGINT)) AS DOUBLE) / 2.88230376151711744e17 AS d
+        FROM embeddings e, w GROUP BY e.vec_id, w.p),
+      sig AS (SELECT vec_id,
+        CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM pd GROUP BY vec_id),
+      n2 AS (SELECT vec_id,
+        CAST(SUM(CAST(floor((CAST(embedding[g.j] AS DOUBLE) * CAST(embedding[g.j] AS DOUBLE)) * 2.88230376151711744e17) AS BIGINT)) AS DOUBLE) / 2.88230376151711744e17 AS n2
+        FROM embeddings, generate_series(1, 64) g(j) GROUP BY vec_id),
+      cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+        FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      dots AS (SELECT c.a, c.b,
+        CAST(SUM(CAST(floor((CAST(ea.embedding[g.j] AS DOUBLE) * CAST(eb.embedding[g.j] AS DOUBLE)) * 2.88230376151711744e17) AS BIGINT)) AS DOUBLE) / 2.88230376151711744e17 AS dot
+        FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+          JOIN embeddings eb ON eb.vec_id = c.b, generate_series(1, 64) g(j)
+        GROUP BY c.a, c.b)
+      SELECT d.a, d.b, d.dot/(sqrt(na.n2)*sqrt(nb.n2)) AS cosine
+      FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
+      WHERE d.dot/(sqrt(na.n2)*sqrt(nb.n2)) >= 0.2 ORDER BY a, b""")) { (s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d),
+          planes = 4, dim = 64, threshold = 0.2)
+        .orderBy("a", "b")
+    },
+
+    // ---- character-n-gram Jaccard near-dup (MinHash+LSH, 4-grams) ----
+    Q("q49_char_ngram_dedup", Some(s"""
+      WITH sh AS (SELECT doc_id,
+        CASE WHEN length(text) >= 4 THEN
+          list_distinct(list_transform(generate_series(1, length(text)-3),
+            i -> substr(text, i, 4)))
+        ELSE [] END AS sh FROM documents),
+      mh AS (SELECT doc_id, sh,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(sh, t -> ${dkHash("t", i)})) AS mh$i").mkString(",\n        ")}
+      FROM sh),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM mh")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      j AS (SELECT c.a, c.b,
+        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        FROM cand c JOIN mh sa ON sa.doc_id = c.a JOIN mh sb ON sb.doc_id = c.b)
+      SELECT a, b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a, b""")) { (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 8, bands = 4, threshold = 0.8,
+          shingler = charNgrams(_, 4))
+        .orderBy("a", "b")
+    },
+
+    // ---- BPE-ish regex token counting ----
+    Q("q50_bpe_tokens", Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+          AS n_bpe,
+        CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT)
+          AS n_distinct_bpe
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val toks = expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_bpe"),
+        size(array_distinct(toks)).as("n_distinct_bpe")
+      ).orderBy("doc_id")
+    },
+
+    // ---- SQL surface: GROUPING SETS over registered views ----
+    Q("q51_grouping_sets", Some(s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        ${sqlSum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(floor(l_quantity * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }
+  )
+}
