@@ -23,6 +23,17 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** A3 keep-latest as a hash aggregation: `max_by(struct(payload),
+    * struct(order))` — unlike the window form this partially aggregates
+    * (map-side combine) and needs no per-partition sort, so it is the
+    * preferred shape when only the winning row is needed. Returns one row
+    * per key with the payload columns of the greatest `order` tuple. */
+  def keepLatestAgg(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      payload: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), struct(order: _*)).as("__w"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__w.$c")): _*)
+
   /** A2 DISCARD: one row per key, the least by `order` (first wins). */
   def firstWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.asc): _*)

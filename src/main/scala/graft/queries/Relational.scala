@@ -249,9 +249,10 @@ object Relational extends QueryModule {
                              ORDER BY ts DESC, event_id DESC) AS rn
         FROM events) t
       WHERE rn = 1 ORDER BY user_id""")) { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
-      Tables.events(s, d).withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      graft.operators.Dedup.keepLatestAgg(Tables.events(s, d),
+          keys = Seq("user_id"),
+          order = Seq(col("ts"), col("event_id")),
+          payload = Seq("event_id", "ts", "event_type", "value"))
         .select("user_id", "event_id", "ts", "event_type", "value")
         .orderBy("user_id")
     },

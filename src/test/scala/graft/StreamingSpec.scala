@@ -104,6 +104,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful dedup runs on the RocksDB state store (100 TB state path)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = newEvents()
+      val q = StatefulOps.dedupWithinWatermark(ms.toDF(), "30 minutes", Seq("event_id"))
+        .writeStream.format("memory").queryName("rocks").outputMode("append").start()
+      try {
+        ms.addData(Event(1, ts(1), 7, "a", 1.0), Event(1, ts(1), 7, "a", 1.0))
+        q.processAllAvailable()
+        ms.addData(Event(1, ts(2), 7, "a", 1.0), Event(2, ts(2), 7, "b", 2.0))
+        q.processAllAvailable()
+        assert(spark.table("rocks").count() === 2)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("runningUserTotals maintains keyed state across batches (T4)") {
     val ms = newEvents()
     val q = StatefulOps.runningUserTotals(ms.toDS())
