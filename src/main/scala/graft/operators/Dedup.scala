@@ -56,12 +56,24 @@ object Dedup {
         shingles(col(textCol), shingleSize).as("sh")),
       numHashes)
 
-  private def signaturesFromSets(sh: DataFrame, numHashes: Int): DataFrame =
+  /** xor-mix constants for the minhash family (md5-derived, shared with
+    * [[graft.functions.MinHashAggregator]] and the DuckDB oracle). */
+  private[operators] def mixConstant(i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"mix:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def signaturesFromSets(sh: DataFrame, numHashes: Int): DataFrame = {
+    // One md5 per element; the k slots are xor-permutations of it —
+    // 8× less hashing than k independent md5s, same LSH property.
+    def slot(s: Int) = min(col("g").bitwiseXOR(lit(mixConstant(s)))).as(s"mh$s")
     sh.select(col("doc_id"), explode(col("sh")).as("t"))
+      .select(col("doc_id"), hash64(col("t"), 0).as("g"))
       .groupBy("doc_id")
-      .agg(
-        min(hash64(col("t"), 0)).as("mh0"),
-        (1 until numHashes).map(s => min(hash64(col("t"), s)).as(s"mh$s")): _*)
+      .agg(slot(0), (1 until numHashes).map(slot): _*)
+  }
 
   /** SimHash (bit-vote) signatures: (id, simhash) over distinct tokens.
     * Same explode + grouped-sum shape — per-bit votes are partial

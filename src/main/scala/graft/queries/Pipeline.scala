@@ -14,6 +14,9 @@ object Pipeline extends QueryModule {
   private def dkHash(v: String, seed: Int): String =
     s"CAST(('0x'||substr(md5($v||':$seed'),1,15)) AS BIGINT)"
 
+  private def dkMix(i: Int): String =
+    s"CAST(('0x'||substr(md5('mix:$i'),1,15)) AS BIGINT)"
+
   val all: Seq[Q] = Seq(
 
     // ---- embedding-cosine near-duplicate pairs (LSH buckets + exact) ----
@@ -46,20 +49,22 @@ object Pipeline extends QueryModule {
         .orderBy("a", "b")
     },
 
-    // ---- character-n-gram Jaccard near-dup (MinHash+LSH, 4-grams) ----
+    // ---- character-n-gram Jaccard near-dup (MinHash+LSH, 8-grams) ----
     Q("q49_char_ngram_dedup", Some(s"""
       WITH sh AS (SELECT doc_id,
-        CASE WHEN length(text) >= 4 THEN
-          list_distinct(list_transform(generate_series(1, length(text)-3),
-            i -> substr(text, i, 4)))
+        CASE WHEN length(text) >= 8 THEN
+          list_distinct(list_transform(generate_series(1, length(text)-7),
+            i -> substr(text, i, 8)))
         ELSE [] END AS sh FROM documents),
       mh AS (SELECT doc_id, sh,
         ${(0 until 8).map(i =>
-          s"list_min(list_transform(sh, t -> ${dkHash("t", i)})) AS mh$i").mkString(",\n        ")}
+          s"list_min(list_transform(sh, t -> xor(${dkHash("t", 0)}, ${dkMix(i)}))) AS mh$i").mkString(",\n        ")}
       FROM sh),
       bands AS (
-        ${(0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM mh")
+        ${(0 until 2).map(b =>
+          s"SELECT doc_id, $b AS band, " +
+            (0 until 4).map(r => s"CAST(mh${4 * b + r} AS VARCHAR)")
+              .mkString("||'_'||") + " AS bkey FROM mh")
           .mkString("\n        UNION ALL ")}),
       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bands x JOIN bands y
@@ -69,9 +74,11 @@ object Pipeline extends QueryModule {
           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
         FROM cand c JOIN mh sa ON sa.doc_id = c.a JOIN mh sb ON sb.doc_id = c.b)
       SELECT a, b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY a, b""")) { (s, d) =>
+      // bands=2 × rows=4: collision P ≈ j⁴ — at the 0.8 threshold this
+      // prunes weak-overlap candidates that 2-row bands let through
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-          numHashes = 8, bands = 4, threshold = 0.8,
-          shingler = charNgrams(_, 4))
+          numHashes = 8, bands = 2, threshold = 0.8,
+          shingler = charNgrams(_, 8))
         .orderBy("a", "b")
     },
 

@@ -13,6 +13,10 @@ import graft.operators.Dedup
   */
 object Text extends QueryModule {
 
+  /** DuckDB mirror of Dedup.mixConstant (xor-permutation family). */
+  private def dkMix(i: Int): String =
+    s"CAST(('0x'||substr(md5('mix:$i'),1,15)) AS BIGINT)"
+
   /** DuckDB mirror of TextFunctions.hash64. */
   private def dkHash(v: String, seed: Int): String =
     s"CAST(('0x'||substr(md5($v||':$seed'),1,15)) AS BIGINT)"
@@ -116,7 +120,7 @@ object Text extends QueryModule {
       sh AS (SELECT doc_id, $dkShingles AS sh FROM sp)
       SELECT doc_id,
         ${(0 until 8).map(i =>
-          s"list_min(list_transform(sh, t -> ${dkHash("t", i)})) AS mh$i").mkString(",\n        ")}
+          s"list_min(list_transform(sh, t -> xor(${dkHash("t", 0)}, ${dkMix(i)}))) AS mh$i").mkString(",\n        ")}
       FROM sh ORDER BY doc_id""")) { (s, d) =>
       Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
           numHashes = 8, shingleSize = 3)
@@ -129,7 +133,7 @@ object Text extends QueryModule {
       sh AS (SELECT doc_id, $dkShingles AS sh FROM sp),
       mh AS (SELECT doc_id, sh,
         ${(0 until 8).map(i =>
-          s"list_min(list_transform(sh, t -> ${dkHash("t", i)})) AS mh$i").mkString(",\n        ")}
+          s"list_min(list_transform(sh, t -> xor(${dkHash("t", 0)}, ${dkMix(i)}))) AS mh$i").mkString(",\n        ")}
       FROM sh),
       bands AS (
         ${(0 until 4).map(b =>
