@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling joins (SURVEY §6 capacity design point).
+  *
+  * AQE's skew-join splitting (on by default in GraftSession) handles most
+  * runtime skew; explicit salting is the fallback when a single key is so
+  * hot that even split shuffle blocks overwhelm a task — the classic
+  * 100 TB failure mode. The hot fact side gets a deterministic salt in
+  * [0, salts); the dimension side is replicated `salts` ways; the join
+  * key becomes (key, salt), spreading one hot key across `salts` tasks.
+  */
+object Skew {
+
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    // Deterministic per-row salt (hash of the whole row): same key's rows
+    // scatter uniformly, identical rows land together (harmless).
+    val salted = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+    val replicated = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Top-n heavy-hitter keys with frequencies — the diagnostic used to
+    * decide whether salting is needed. */
+  def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col(key)).limit(topN)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.streaming.{Event, StatefulOps}
+
+/** Scale-path behaviors: salted joins, stream-stream joins, checkpoint
+  * recovery, partition pruning on the event-date layout. */
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("saltedJoin equals plain join on a skewed key distribution") {
+    val fact = (Seq.fill(500)((7L, "hot")) ++ Seq((1L, "a"), (2L, "b")))
+      .toDF("k", "v")
+    val dim = Seq((7L, "HOT"), (1L, "A"), (3L, "C")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).groupBy("k", "name").count()
+      .collect().toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy("k", "name").count().collect().toSet
+    assert(salted === plain)
+    val hist = Skew.keyHistogram(fact, "k").as[(Long, Long)].collect()
+    assert(hist.head === ((7L, 500L)))
+  }
+
+  test("stream-stream interval join with watermarks on both sides") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val p = purchases.toDF().select(col("user_id"), col("ts").as("p_ts"),
+      col("event_id").as("p_id")).withWatermark("p_ts", "30 minutes")
+    val v = views.toDF().select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("v_id")).withWatermark("v_ts", "30 minutes")
+    val joined = p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 10 minutes") &&
+        col("v_ts") <= col("p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      views.addData(Event(10, ts(1), 7, "view", 0), Event(11, ts(25), 7, "view", 0))
+      purchases.addData(Event(20, ts(8), 7, "purchase", 9.99))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("p_id", "v_id")
+        .as[(Long, Long)].collect().toSet
+      assert(rows === Set((20L, 10L))) // view at 00:25 outside [–10m, 0] of 00:08
+    } finally q.stop()
+  }
+
+  test("stateful dedup state survives a query restart from checkpoint (T1)") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ms = MemoryStream[Event]
+    def start() = StatefulOps
+      .dedupWithinWatermark(ms.toDF(), "2 hours", Seq("event_id"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    val q1 = start()
+    ms.addData(Event(1, ts(1), 7, "a", 1.0))
+    q1.processAllAvailable(); q1.stop()
+
+    val q2 = start() // same checkpoint → dedup state recovered
+    ms.addData(Event(1, ts(2), 7, "a", 1.0), Event(2, ts(3), 7, "b", 2.0))
+    q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === 2) // event 1 emitted once despite the restart
+  }
+
+  test("event-date partitioned layout prunes partitions on time-range scans (S9)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00"), 2.0),
+      (3L, Timestamp.valueOf("2024-01-03 10:00:00"), 3.0)
+    ).toDF("event_id", "ts", "value")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").parquet(s"$dir/t")
+
+    val scan = spark.read.parquet(s"$dir/t")
+      .filter(col("event_date") === "2024-01-02")
+    assert(scan.count() === 1)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(event_date"))
+  }
+}
