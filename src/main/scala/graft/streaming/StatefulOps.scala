@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A typed event row for stateful streaming ops (mirrors the events table;
   * `ts` in epoch micros to keep the state encoder simple). */
@@ -61,6 +62,32 @@ object StatefulOps {
           Iterator.single((uid, n, s))
       }
   }
+
+  /** Keep-latest as a transformWithState processor — the current
+    * (Spark 4) stateful API; state lives in the RocksDB store, which
+    * transformWithState requires, giving the disk-backed 100 TB state
+    * path by construction. */
+  class KeepLatestProcessor extends StatefulProcessor[Long, Event, Event] {
+    @transient private var latest: ValueState[Event] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[Event]("latest",
+        Encoders.product[Event], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[Event] = {
+      val cur = if (latest.exists()) Some(latest.get()) else None
+      val newest = (cur.iterator ++ rows).maxBy(e => (e.ts.getTime, e.event_id))
+      if (cur.contains(newest)) Iterator.empty
+      else { latest.update(newest); Iterator.single(newest) }
+    }
+  }
+
+  /** [[keepLatestPerUser]] on the transformWithState API. */
+  def keepLatestPerUserTws(events: Dataset[Event]): Dataset[Event] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new KeepLatestProcessor,
+        TimeMode.None(), OutputMode.Update())
 
   /** Typed view of an events DataFrame (batch or stream). */
   def asEvents(df: DataFrame)(implicit spark: SparkSession): Dataset[Event] =

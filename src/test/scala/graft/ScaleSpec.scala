@@ -73,6 +73,37 @@ class ScaleSpec extends SparkTestBase {
     assert(out.count() === 2) // event 1 emitted once despite the restart
   }
 
+  test("keep-latest on the transformWithState API (RocksDB state)") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StatefulOps.keepLatestPerUserTws(ms.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode("update").start()
+      try {
+        ms.addData(Event(1, ts(5), 7, "a", 1.0), Event(2, ts(3), 7, "b", 2.0))
+        q.processAllAvailable()
+        ms.addData(Event(3, ts(4), 7, "c", 3.0)) // older → no emission
+        q.processAllAvailable()
+        assert(spark.table("tws").as[Event].collect().map(_.event_id).toSet === Set(1L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("observe() exposes per-action metrics (F10 observability)") {
+    val obs = new org.apache.spark.sql.Observation("stats")
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+      .observe(obs, count(lit(1)).as("rows"), sum(col("v")).as("total"))
+    df.collect()
+    assert(obs.get("rows") === 3L && obs.get("total") === 6.0)
+  }
+
   test("event-date partitioned layout prunes partitions on time-range scans (S9)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Seq(
