@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Analytic-surface extras: exact interpolated percentiles, correlated
+  * scalar subqueries (Catalyst decorrelation), pivot, array aggregation. */
+object Analytic extends QueryModule {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact interpolated percentiles per group ----
+    Q("q52_percentiles", Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.5) AS p50,
+        quantile_cont(l_extendedprice, 0.9) AS p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- correlated scalar subquery (decorrelated by Catalyst) ----
+    Q("q53_above_cust_avg", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE o_totalprice > 1.5 * (
+        SELECT CAST(SUM(CAST(floor(i.o_totalprice * 1000000.0) AS BIGINT)) AS DOUBLE)
+          / 1000000.0 / COUNT(*)
+        FROM orders i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(floor(i.o_totalprice * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / COUNT(*)
+          FROM orders i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+
+    // ---- pivot (statuses to columns) ----
+    Q("q54_pivot_status", Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+      FROM orders GROUP BY 1 ORDER BY o_year""")) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .groupBy("o_year").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+      base.select(col("o_year"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_year")
+    },
+
+    // ---- array aggregation: distinct sorted event types per user ----
+    Q("q55_array_agg", Some("""
+      SELECT user_id,
+        list_sort(list_distinct(list(event_type))) AS types,
+        COUNT(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(
+          array_sort(collect_set(col("event_type"))).as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")
+    }
+  )
+}
