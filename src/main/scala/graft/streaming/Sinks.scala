@@ -27,6 +27,39 @@ object Sinks {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming keep-latest upsert into a keyed parquet store (the
+    * reference's "main DB" S9 write path). The store is partitioned by a
+    * hash bucket of the key, so every key lives in exactly one partition;
+    * each micro-batch keeps its newest row per key, merges with only the
+    * buckets it touches, and dynamically overwrites those buckets. Work
+    * per batch is bounded by the batch's key spread × bucket size — not
+    * the store size. */
+  def upsertParquet(events: DataFrame, path: String, checkpointDir: String,
+      keys: Seq[String], seqCol: String, buckets: Int = 16): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val bucket = pmod(hash(keys.map(col): _*), lit(buckets))
+        val latest = graft.operators.Dedup.keepLatest(
+          batch, keys, Seq(col(seqCol)))
+          .withColumn("part_bucket", bucket)
+        val existing = scala.util.Try(
+          spark.read.parquet(path)
+            .join(latest.select("part_bucket").distinct(), Seq("part_bucket"),
+              "left_semi")).toOption
+        val merged = existing match {
+          case Some(cur) => graft.operators.Dedup.keepLatest(
+            cur.unionByName(latest), keys, Seq(col(seqCol)))
+          case None => latest
+        }
+        merged.write.mode("overwrite")
+          .partitionBy("part_bucket").parquet(path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Alert delivery contract (SMTP in the reference; any transport here). */
   trait Notifier extends Serializable {
     def send(subject: String, body: String): Unit

@@ -90,6 +90,24 @@ class StreamingSpec extends SparkTestBase {
     assert(back.count() === 1)
   }
 
+  test("upsertParquet keeps exactly the latest row per key across batches (S9 upsert)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val ms = newEvents()
+    def run(): Unit = {
+      val q = Sinks.upsertParquet(ms.toDF(), s"$dir/store", s"$dir/ckpt",
+        keys = Seq("user_id"), seqCol = "ts")
+      q.awaitTermination(60000)
+    }
+    ms.addData(Event(1, ts(1), 7, "a", 1.0), Event(2, ts(2), 7, "b", 2.0),
+      Event(3, ts(1), 8, "c", 3.0))
+    run()
+    ms.addData(Event(4, ts(9), 7, "d", 4.0), Event(5, ts(0), 8, "e", 5.0)) // 5 older
+    run()
+    val store = spark.read.parquet(s"$dir/store")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(store === Map(7L -> 4L, 8L -> 3L)) // newest per user; stale never resurfaces
+  }
+
   test("alert sink delivers matching rows through the Notifier (T6/S10)") {
     Sinks.BufferingNotifier.buffer.clear()
     val dir = java.nio.file.Files.createTempDirectory("graft-alert").toString
