@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[QueryModule] =
-    Seq(Relational, Text, Vector, Windows, Coverage, Pipeline, Analytic)
+    Seq(Relational, Text, Vector, Windows, Coverage, Pipeline, Analytic, Extras)
 
   private lazy val qs: Seq[Q] = modules.flatMap(_.all)
 

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.Num._
+
+/** Further breadth: TF-IDF relevance, MinHash similarity estimation vs
+  * exact, the window-function family, date arithmetic, JSON validity. */
+object Extras extends QueryModule {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- TF-IDF (linear idf N/df — ln() is not ulp-portable across
+    //      libm implementations; integer-ratio idf is exact) ----
+    Q("q56_tfidf_top_terms", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+      tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+      df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (SELECT tf.doc_id, tf.t,
+          CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / df.df) AS score
+        FROM tf JOIN df ON tf.t = df.t CROSS JOIN n),
+      ranked AS (SELECT doc_id, t, score,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rn
+        FROM scored)
+      SELECT doc_id, t AS term, score, CAST(rn AS INT) AS rank
+      FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""")) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, d).count()
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("t"))
+      tf.join(df, "t")
+        .withColumn("score",
+          col("tf").cast("double") * (lit(n.toDouble) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("t").as("term"), col("score"),
+          col("rn").as("rank"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // ---- MinHash similarity estimate vs exact jaccard on candidates ----
+    Q("q57_minhash_estimate", Some(s"""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      sh AS (SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, len(tk)-2),
+          i -> array_to_string(tk[i:i+2],' '))) AS sh FROM sp),
+      mh AS (SELECT doc_id, sh,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(sh, t -> xor(CAST(('0x'||substr(md5(t||':0'),1,15)) AS BIGINT), CAST(('0x'||substr(md5('mix:$i'),1,15)) AS BIGINT)))) AS mh$i")
+          .mkString(",\n        ")}
+      FROM sh),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM mh")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT c.a, c.b,
+        (${(0 until 8).map(i =>
+          s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0
+          AS est_jaccard,
+        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          AS exact_jaccard
+      FROM cand c JOIN mh sa ON sa.doc_id = c.a JOIN mh sb ON sb.doc_id = c.b
+      ORDER BY a, b""")) { (s, d) =>
+      // estimator = matching signature slots / k, on LSH candidates
+      import graft.operators.Dedup
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, bands = 4, shingleSize = 3, threshold = -1.0)
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+      val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "a" else s"a_$c"): _*)
+      val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "b" else s"b_$c"): _*)
+      pairs.select("a", "b", "jaccard").join(sa, "a").join(sb, "b")
+        .withColumn("est_jaccard",
+          (0 until 8).map(i =>
+            when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+            .reduce(_ + _) / 8.0)
+        .select(col("a"), col("b"), col("est_jaccard"),
+          col("jaccard").as("exact_jaccard"))
+        .orderBy("a", "b")
+    },
+
+    // ---- window-function family ----
+    Q("q58_window_family", Some("""
+      SELECT event_id, user_id, value,
+        lag(value) OVER w AS prev_value,
+        lead(value) OVER w AS next_value,
+        first_value(event_id) OVER w AS first_id,
+        CAST(rank() OVER wv AS INT) AS value_rank,
+        percent_rank() OVER wv AS pct_rank,
+        cume_dist() OVER wv AS cume,
+        CAST(ntile(4) OVER wv AS INT) AS quartile
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wv AS (PARTITION BY user_id ORDER BY value, event_id)
+      ORDER BY event_id""")) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("event_id")).over(w).as("first_id"),
+        rank().over(wv).as("value_rank"),
+        percent_rank().over(wv).as("pct_rank"),
+        cume_dist().over(wv).as("cume"),
+        ntile(4).over(wv).as("quartile")
+      ).orderBy("event_id")
+    },
+
+    // ---- date arithmetic ----
+    Q("q59_date_arith", Some("""
+      SELECT o_orderkey,
+        CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+        CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-09-02 00:00:00') AS INT)
+          AS days_to_ref,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 30 days")).as("due_date"),
+        datediff(lit("2001-09-02").cast("date"), col("o_orderdate"))
+          .as("days_to_ref"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"), // Spark: 1=Sunday; DuckDB dayofweek: 0=Sunday
+        date_trunc("month", col("o_orderdate")).as("month_start")
+      ).orderBy("o_orderkey")
+    },
+
+    // ---- JSON validity / error-tolerant extraction ----
+    Q("q60_json_validity", Some("""
+      SELECT event_type,
+        COUNT(CASE WHEN json_valid(props) THEN 1 END) AS n_valid,
+        COUNT(CASE WHEN json_valid('x' || props) THEN 1 END) AS n_valid_corrupt,
+        CAST(SUM(CASE WHEN json_valid(props)
+          THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT)
+          AS sum_k
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
+      // Corrupt input uses LEADING garbage: Spark's JSON parsers tolerate
+      // trailing bytes after a complete object, DuckDB's json_valid does
+      // not — leading garbage is invalid in both engines.
+      def parsed(c: org.apache.spark.sql.Column) =
+        from_json(c, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(
+          count(parsed(col("props")).getField("k")).as("n_valid"),
+          count(parsed(concat(lit("x"), col("props"))).getField("k"))
+            .as("n_valid_corrupt"),
+          sum(parsed(col("props")).getField("k")).as("sum_k"))
+        .orderBy("event_type")
+    }
+  )
+}
