@@ -135,6 +135,15 @@ object Extras extends QueryModule {
       ).orderBy("o_orderkey")
     },
 
+    // ---- F8: id generation (uuid is nondeterministic → rows-only) ----
+    Q("q61_id_generation", None) { (s, d) =>
+      Tables.events(s, d).limit(100).select(
+        col("event_id"),
+        uuid().as("row_uuid"),
+        monotonically_increasing_id().as("mono_id"),
+        md5(concat_ws(":", col("event_id"), col("user_id"))).as("stable_id"))
+    },
+
     // ---- JSON validity / error-tolerant extraction ----
     Q("q60_json_validity", Some("""
       SELECT event_type,

@@ -37,6 +37,23 @@ class RegistrySourcesSpec extends SparkTestBase {
     assert(!reg.unsubscribe("brokerA", "topic1")) // idempotent remove
   }
 
+  test("rate source feeds a windowed aggregation (S1 dev source)") {
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .selectExpr("value AS event_id", "timestamp AS ts",
+        "value % 10 AS user_id", "'tick' AS event_type",
+        "CAST(value AS DOUBLE) AS value")
+    val q = graft.streaming.EventWindows
+      .tumbling(stream, "1 minute", watermark = Some("2 minutes"))
+      .writeStream.format("memory").queryName("ratewin")
+      .outputMode("complete").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      assert(spark.table("ratewin").count() >= 1)
+    } finally q.stop()
+  }
+
   test("binaryFiles + recursive listing skip hidden files (S7/S8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-src")
     val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
