@@ -15,7 +15,13 @@ object Analytic extends QueryModule {
         quantile_cont(l_extendedprice, 0.5) AS p50,
         quantile_cont(l_extendedprice, 0.9) AS p90
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      // project the two needed columns, then spread: the corpus ships
+      // single-row-group files (unsplittable), and percentile's partial
+      // aggregation is heavy — a narrow 2-column shuffle buys full
+      // parallelism for it
+      val slim = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      slim.repartition(slim.sparkSession.sparkContext.defaultParallelism)
+        .groupBy(col("l_returnflag"))
         .agg(
           percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
           percentile(col("l_extendedprice"), lit(0.9)).as("p90"))

@@ -72,10 +72,14 @@ object Relational extends QueryModule {
       WHERE r_name = 'ASIA'
         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       GROUP BY n_name ORDER BY n_name""")) { (s, d) =>
+      // nation/region are fixed-cardinality → always broadcast; customer
+      // SCALES with the data volume, so no hint — Catalyst/AQE broadcasts
+      // it while it fits and falls back to a shuffled join at 100 TB
+      // (a hard broadcast() would OOM the driver there).
       li(s, d)
         .join(ord(s, d).filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
@@ -92,7 +96,8 @@ object Relational extends QueryModule {
         ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand ORDER BY p_brand""")) { (s, d) =>
-      li(s, d).join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      // part scales with SF — no broadcast hint, AQE decides (see q03)
+      li(s, d).join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
           count(lit(1)).as("n_items"),
