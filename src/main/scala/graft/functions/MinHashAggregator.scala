@@ -19,14 +19,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class MinHashAggregator(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
 
-  private val mixers: Array[Long] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(k) { i =>
-      val hex = md.digest(s"mix:$i".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.substring(0, 15)
-      java.lang.Long.parseLong(hex, 16)
-    }
-  }
+  private val mixers: Array[Long] = Array.tabulate(k)(TextFunctions.mixConstant)
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 

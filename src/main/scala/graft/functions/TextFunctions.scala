@@ -49,9 +49,24 @@ object TextFunctions {
   def hash64(v: Column, seed: Int): Column =
     conv(substring(md5(concat(v, lit(s":$seed"))), 1, 15), 16, 10).cast("long")
 
-  /** MinHash value for one seed over a set (array) column. */
-  def minhash(set: Column, seed: Int): Column =
-    array_min(transform(set, t => hash64(t, seed)))
+  /** xor-mix constant for minhash slot i (md5-derived; one shared family
+    * across the HOF variant here, the explode variant in Dedup, and
+    * MinHashAggregator — DuckDB mirror:
+    * CAST(('0x'||substr(md5('mix:i'),1,15)) AS BIGINT)). */
+  def mixConstant(i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"mix:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** MinHash slot `i` over a set (array) column: min over elements of
+    * hash64(t, 0) XOR mixConstant(i). HOF form — convenient in a single
+    * projection; for bulk signature computation prefer the explode-based
+    * [[graft.operators.Dedup.minhashSignatures]] (codegen'd + partial
+    * aggregation). */
+  def minhash(set: Column, i: Int): Column =
+    array_min(transform(set, t => hash64(t, 0).bitwiseXOR(lit(mixConstant(i)))))
 
   /** k-wide MinHash signature as k separate columns (mh0..mh{k-1}). */
   def minhashSig(set: Column, k: Int): Seq[Column] =

@@ -56,15 +56,6 @@ object Dedup {
         shingles(col(textCol), shingleSize).as("sh")),
       numHashes)
 
-  /** xor-mix constants for the minhash family (md5-derived, shared with
-    * [[graft.functions.MinHashAggregator]] and the DuckDB oracle). */
-  private[operators] def mixConstant(i: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"mix:$i".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
-  }
-
   private def signaturesFromSets(sh: DataFrame, numHashes: Int): DataFrame = {
     // One md5 per element; the k slots are xor-permutations of it —
     // 8× less hashing than k independent md5s, same LSH property.

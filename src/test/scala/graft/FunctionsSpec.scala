@@ -36,6 +36,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(df.select("ok").as[Boolean].head())
   }
 
+  test("HOF minhashSig agrees with the explode-based signatures (one family)") {
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    val df = Seq((1L, "a b c d e f"), (2L, "x y z w v u q r")).toDF("doc_id", "text")
+    val hof = df.select((col("doc_id") +:
+        TextFunctions.minhashSig(TextFunctions.shingles(col("text"), 3), 4)): _*)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val exploded = Dedup.minhashSignatures(df, "doc_id", "text",
+        numHashes = 4, shingleSize = 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(hof === exploded)
+  }
+
   test("MinHashAggregator matches a two-pass elementwise-min computation") {
     val hashes = Seq(11L, 22L, 33L, 44L, 55L)
     val agg = new MinHashAggregator(8)
