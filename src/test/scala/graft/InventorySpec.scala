@@ -1,0 +1,35 @@
+package graft
+
+/** Guards on the driver contract: naming, oracle coverage, and schema
+  * stability of the query inventory. */
+class InventorySpec extends SparkTestBase {
+
+  test("every query is named qNN_* and every oracle key has a query") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    assert(qs.keys.forall(_.matches("q\\d+_[a-z0-9_]+")), qs.keys.toSeq.sorted)
+    val orphans = SparkEntry.oracleSql.keySet -- qs.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("oracle coverage: at most the documented rows-only exceptions") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q45_approx_distinct", "q61_id_generation"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("every query builds and keeps a stable schema across two builds (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, d).schema
+      val b = fn(spark, d).schema
+      assert(a === b, s"$name schema unstable")
+      assert(a.fieldNames.distinct.length === a.fieldNames.length,
+        s"$name has duplicate column names")
+    }
+  }
+
+  test("entry returns rows (driver t1 smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
