@@ -39,6 +39,38 @@ object Num {
     * CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE). */
   def dsumDecimal(c: Column): Column = sum(c.cast("decimal(25,6)")).cast("double")
 
+  /** Deterministic sample variance from exact fixed-point sums:
+    * (Σx² − (Σx)²/n) / (n−1). Raw `var_samp`/`stddev` stream the update
+    * formula over doubles and are order-dependent; this is not. */
+  def dvarSamp(c: Column): Column = {
+    val n = count(c).cast("double")
+    val sx = sum(floor(c * S)).cast("double") / S
+    val sxx = sum(floor(c * c * S)).cast("double") / S
+    (sxx - sx * sx / n) / (n - lit(1.0))
+  }
+
+  def dstddevSamp(c: Column): Column = sqrt(dvarSamp(c))
+
+  /** Deterministic Pearson correlation from exact fixed-point sums. */
+  def dcorr(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    def s(e: Column) = sum(floor(e * S)).cast("double") / S
+    val (sx, sy, sxy, sxx, syy) = (s(x), s(y), s(x * y), s(x * x), s(y * y))
+    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
+  /** DuckDB mirrors for the dispersion helpers. */
+  def sqlVarSamp(x: String): String = {
+    val n = s"CAST(COUNT($x) AS DOUBLE)"
+    s"((${sqlSum(s"($x) * ($x)")}) - (${sqlSum(x)}) * (${sqlSum(x)}) / $n) / ($n - 1.0)"
+  }
+  def sqlCorr(x: String, y: String): String = {
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    s"($n * (${sqlSum(s"($x) * ($y)")}) - (${sqlSum(x)}) * (${sqlSum(y)}))" +
+      s" / (sqrt($n * (${sqlSum(s"($x) * ($x)")}) - (${sqlSum(x)}) * (${sqlSum(x)}))" +
+      s" * sqrt($n * (${sqlSum(s"($y) * ($y)")}) - (${sqlSum(y)}) * (${sqlSum(y)})))"
+  }
+
   /** SQL-text mirrors for oracle queries (DuckDB side). */
   def sqlSum(x: String): String =
     s"CAST(SUM(CAST(floor(($x) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0"

@@ -64,6 +64,52 @@ object Analytic extends QueryModule {
         .orderBy("o_year")
     },
 
+    // ---- bag-semantics set ops ----
+    Q("q62_bag_setops", Some("""
+      SELECT custkey, COUNT(*) AS n FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      GROUP BY custkey ORDER BY custkey""")) { (s, d) =>
+      val ord = Tables.orders(s, d)
+      ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        .exceptAll(ord.filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("custkey")))
+        .groupBy("custkey").agg(count(lit(1)).as("n"))
+        .orderBy("custkey")
+    },
+
+    // ---- deterministic dispersion (exact-sum formulation; raw stddev
+    //      streams doubles and is order-dependent). Inputs must keep
+    //      Σ(x²·1e6) < 2^63 — quantity/value qualify, prices do not. ----
+    Q("q63_dispersion", Some(s"""
+      SELECT l_returnflag,
+        ${graft.functions.Num.sqlVarSamp("l_quantity")} AS var_qty,
+        sqrt(${graft.functions.Num.sqlVarSamp("l_quantity")}) AS std_qty,
+        ${graft.functions.Num.sqlAvg("l_quantity")} AS mean_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.Num.dvarSamp(col("l_quantity")).as("var_qty"),
+          graft.functions.Num.dstddevSamp(col("l_quantity")).as("std_qty"),
+          graft.functions.Num.davg(col("l_quantity")).as("mean_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- deterministic Pearson correlation ----
+    Q("q64_correlation", Some(s"""
+      SELECT l_returnflag,
+        ${graft.functions.Num.sqlCorr("l_quantity", "l_discount")} AS corr_qty_disc,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.Num.dcorr(col("l_quantity"), col("l_discount"))
+            .as("corr_qty_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- array aggregation: distinct sorted event types per user ----
     Q("q55_array_agg", Some("""
       SELECT user_id,

@@ -64,6 +64,21 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static dimension join enriches events in-flight") {
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val ms = newEvents()
+    val enriched = ms.toDF().join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      ms.addData(Event(1, ts(1), 7, "a", 1.0), Event(2, ts(2), 9, "b", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich").select("event_id", "tier")
+        .as[(Long, Option[String])].collect().toMap
+      assert(rows === Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap (T3)") {
     val ms = newEvents()
     val q = EventWindows.sessions(ms.toDF(), "5 minutes", watermark = Some("1 hour"))
