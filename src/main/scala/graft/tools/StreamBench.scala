@@ -7,12 +7,13 @@ import graft.streaming.EventWindows
 /** Streaming throughput smoke: drives the full micro-batch pipeline
   * (file-stream source → watermarked tumbling window agg → memory sink)
   * over the events table split into N files, and reports events/sec.
-  * Usage: runMain graft.tools.StreamBench [sfDir] [nFiles]
+  * Usage: runMain graft.tools.StreamBench [sfDir] [nFiles] [filesPerTrigger]
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val nFiles = if (args.length > 1) args(1).toInt else 16
+    val perTrigger = if (args.length > 2) args(2).toInt else math.max(nFiles / 8, 1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -29,7 +30,7 @@ object StreamBench {
 
     val schema = spark.read.parquet(s"$stage/in").schema
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", math.max(nFiles / 8, 1).toString)
+      .option("maxFilesPerTrigger", perTrigger.toString)
       .parquet(s"$stage/in")
 
     val t0 = System.nanoTime()
