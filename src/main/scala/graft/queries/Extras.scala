@@ -135,6 +135,56 @@ object Extras extends QueryModule {
       ).orderBy("o_orderkey")
     },
 
+    // ---- §1.3 data model: array column functions ----
+    Q("q65_array_funcs", Some("""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents)
+      SELECT doc_id,
+        list_contains(tk, 'the') AS has_the,
+        CAST(coalesce(list_position(tk, 'the'), 0) AS BIGINT) AS the_pos,
+        tk[2] AS second_tok,
+        list_reverse(tk[1:3]) AS first3_rev
+      FROM sp ORDER BY doc_id""")) { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        array_contains(toks, "the").as("has_the"),
+        array_position(toks, "the").as("the_pos"),
+        element_at(toks, 2).as("second_tok"),
+        reverse(slice(toks, 1, 3)).as("first3_rev")
+      ).orderBy("doc_id")
+    },
+
+    // ---- §1.3 data model: MapType projection from JSON events ----
+    Q("q66_map_ops", Some("""
+      SELECT event_id,
+        json_keys(props) AS ks,
+        [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events ORDER BY event_id""")) { (s, d) =>
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+      Tables.events(s, d).select(
+        col("event_id"),
+        map_keys(m).as("ks"),
+        map_values(m).as("vs"),
+        element_at(m, "k").as("k_val")
+      ).orderBy("event_id")
+    },
+
+    // ---- §1.3 data model: nested struct column ----
+    Q("q67_struct_ops", Some("""
+      SELECT event_id,
+        {'uid': user_id, 'typ': event_type} AS who,
+        user_id AS uid2
+      FROM events ORDER BY event_id""")) { (s, d) =>
+      val who = struct(col("user_id").as("uid"), col("event_type").as("typ"))
+      Tables.events(s, d).select(
+        col("event_id"), who.as("who"), who.getField("uid").as("uid2")
+      ).orderBy("event_id")
+    },
+
     // ---- F8: id generation (uuid is nondeterministic → rows-only) ----
     Q("q61_id_generation", None) { (s, d) =>
       Tables.events(s, d).limit(100).select(
