@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.HammingDistance
+import graft.functions.expressions.{FixedPointDot, HammingDistance}
 
 /** Engine function registry: exposes custom Catalyst expressions to both
   * the SQL surface (`SELECT graft_hamming(a, b)`) and the Column API
@@ -15,7 +15,14 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_hamming",
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_fixed_dot",
+      (exprs: Seq[Expression]) => FixedPointDot(exprs(0), exprs(1)), "built-in")
   }
+
+  /** Fixed-point (2^58) scaled dot product of two double-array columns
+    * (codegen'd; same values as the HOF formulation). */
+  def fixedDot(a: Column, b: Column): Column =
+    call_function("graft_fixed_dot", a, b)
 
   /** Hamming distance of two int64 signature columns (codegen'd). */
   def hamming(a: Column, b: Column): Column =

@@ -29,9 +29,18 @@ object VectorFunctions {
       lit(0L), (acc, v) => acc + v)
       .cast("double") / Scale
 
-  /** Exact (fixed-point) dot product of two float-array columns. */
-  def dotExact(a: Column, b: Column): Column =
+  /** HOF formulation (interpreted) — reference implementation; the
+    * codegen'd [[dotExact]] must produce identical values (tested). */
+  def dotExactHof(a: Column, b: Column): Column =
     scaledSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Exact (fixed-point) dot product of two float/double-array columns —
+    * codegen'd custom expression; float→double element casts are exact so
+    * values equal the HOF form bit-for-bit. Requires
+    * GraftFunctions.register on the session (operators do this). */
+  def dotExact(a: Column, b: Column): Column =
+    GraftFunctions.fixedDot(a.cast("array<double>"), b.cast("array<double>"))
+      .cast("double") / Scale
 
   /** Exact squared L2 norm. */
   def norm2Exact(a: Column): Column = dotExact(a, a)

@@ -20,8 +20,10 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Corpus with exact squared norms attached (computed once). */
-  def withNorm2(emb: DataFrame, embCol: String = "embedding"): DataFrame =
+  def withNorm2(emb: DataFrame, embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.withColumn("n2", norm2Exact(col(embCol)))
+  }
 
   /** Exact top-k cosine neighbors for each query row (queryPred selects
     * queries). Returns (qid, vid, cosine, rank). */

@@ -16,6 +16,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(sql.toSeq === Seq(0, 3, 64))
   }
 
+  test("codegen FixedPointDot equals the HOF formulation on random vectors") {
+    GraftFunctions.register(spark)
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dotExact(col("a"), col("b")).as("cg"),
+      VectorFunctions.dotExactHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (cg, hof) => assert(cg === hof) }
+  }
+
   test("JWT RS256 sign/verify round-trip and tamper rejection (S11)") {
     val kpg = java.security.KeyPairGenerator.getInstance("RSA")
     kpg.initialize(2048)
