@@ -31,7 +31,9 @@ object GraftSession {
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = tuned(
-      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      SparkSession.builder().master(s"local[$cores]").appName("graft")
+        .config("spark.sql.warehouse.dir",
+          s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"),
       math.max(cores, 4)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -104,6 +104,34 @@ class ScaleSpec extends SparkTestBase {
     assert(obs.get("rows") === 3L && obs.get("total") === 6.0)
   }
 
+  test("bucketed tables join without any shuffle (co-located join)") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+    val ord = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders")
+
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").count()
+      val plan = j.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the join key → no Exchange anywhere
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(j.count() === li.select("l_orderkey").distinct().count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("event-date partitioned layout prunes partitions on time-range scans (S9)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Seq(
