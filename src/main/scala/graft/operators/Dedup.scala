@@ -60,10 +60,13 @@ object Dedup {
     // One md5 per element; the k slots are xor-permutations of it —
     // 8× less hashing than k independent md5s, same LSH property.
     def slot(s: Int) = min(col("g").bitwiseXOR(lit(mixConstant(s)))).as(s"mh$s")
-    sh.select(col("doc_id"), explode(col("sh")).as("t"))
+    val sigs = sh.select(col("doc_id"), explode(col("sh")).as("t"))
       .select(col("doc_id"), hash64(col("t"), 0).as("g"))
       .groupBy("doc_id")
       .agg(slot(0), (1 until numHashes).map(slot): _*)
+    // keep ids whose shingle set is empty (explode drops them): their
+    // signature is all-NULL — same as the oracle's list_min over []
+    sh.select("doc_id").join(sigs, Seq("doc_id"), "left")
   }
 
   /** SimHash (bit-vote) signatures: (id, simhash) over distinct tokens.
