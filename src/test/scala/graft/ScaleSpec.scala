@@ -109,6 +109,18 @@ class ScaleSpec extends SparkTestBase {
       .select("l_orderkey", "l_quantity")
     val ord = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
       .select("o_orderkey", "o_totalprice")
+    // the in-memory catalog forgets tables across JVMs but their files
+    // survive in the warehouse dir — clear both before (re)creating
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+      if (loc.exists()) {
+        java.nio.file.Files.walk(loc.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     li.write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("b_lineitem")
     ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
