@@ -111,14 +111,17 @@ object Analytic extends QueryModule {
     },
 
     // ---- array aggregation: distinct sorted event types per user ----
+    // The array is built (collect_set + array_sort) and then serialized at
+    // the SELECT boundary: the driver's compare gate sorts output columns
+    // with pandas, which cannot hash array cells.
     Q("q55_array_agg", Some("""
       SELECT user_id,
-        list_sort(list_distinct(list(event_type))) AS types,
+        array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
         COUNT(DISTINCT event_type) AS n_types
       FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
       Tables.events(s, d).groupBy(col("user_id"))
         .agg(
-          array_sort(collect_set(col("event_type"))).as("types"),
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
           countDistinct(col("event_type")).as("n_types"))
         .orderBy("user_id")
     }

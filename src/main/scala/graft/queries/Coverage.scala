@@ -117,12 +117,24 @@ object Coverage extends QueryModule {
         .orderBy("r_name")
     },
 
-    // ---- A6: approx_count_distinct (HLL — engine-specific, rows-only) ----
-    Q("q45_approx_distinct", None) { (s, d) =>
+    // ---- A6: approx_count_distinct (HLL) — oracle-gated via a
+    // deterministic *check*: the HLL estimate itself is engine-specific,
+    // so the query emits the exact count plus a boolean asserting the
+    // estimate is within 3× the configured rsd (0.05). HLL is
+    // order-independent and deterministic for fixed input, so the boolean
+    // is stable; the oracle emits the same exact counts and literal true.
+    Q("q45_approx_distinct", Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        true AS within_rsd
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.15).as("within_rsd"))
         .orderBy("l_returnflag")
     },
 

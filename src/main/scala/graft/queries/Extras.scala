@@ -136,13 +136,15 @@ object Extras extends QueryModule {
     },
 
     // ---- §1.3 data model: array column functions ----
+    // Array-valued output is serialized (array_join) at the SELECT
+    // boundary: the driver's pandas compare gate cannot sort array cells.
     Q("q65_array_funcs", Some("""
       WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents)
       SELECT doc_id,
         list_contains(tk, 'the') AS has_the,
         CAST(coalesce(list_position(tk, 'the'), 0) AS BIGINT) AS the_pos,
         tk[2] AS second_tok,
-        list_reverse(tk[1:3]) AS first3_rev
+        array_to_string(list_reverse(tk[1:3]), ',') AS first3_rev
       FROM sp ORDER BY doc_id""")) { (s, d) =>
       val toks = split(col("text"), " ")
       Tables.documents(s, d).select(
@@ -150,15 +152,17 @@ object Extras extends QueryModule {
         array_contains(toks, "the").as("has_the"),
         array_position(toks, "the").as("the_pos"),
         element_at(toks, 2).as("second_tok"),
-        reverse(slice(toks, 1, 3)).as("first3_rev")
+        array_join(reverse(slice(toks, 1, 3)), ",").as("first3_rev")
       ).orderBy("doc_id")
     },
 
     // ---- §1.3 data model: MapType projection from JSON events ----
+    // Map keys/values are serialized (array_join) at the SELECT boundary:
+    // the driver's pandas compare gate cannot sort array/map cells.
     Q("q66_map_ops", Some("""
       SELECT event_id,
-        json_keys(props) AS ks,
-        [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+        array_to_string(json_keys(props), ',') AS ks,
+        CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS vs,
         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
       FROM events ORDER BY event_id""")) { (s, d) =>
       val m = from_json(col("props"),
@@ -167,31 +171,58 @@ object Extras extends QueryModule {
           org.apache.spark.sql.types.LongType))
       Tables.events(s, d).select(
         col("event_id"),
-        map_keys(m).as("ks"),
-        map_values(m).as("vs"),
+        array_join(map_keys(m), ",").as("ks"),
+        array_join(transform(map_values(m), _.cast("string")), ",").as("vs"),
         element_at(m, "k").as("k_val")
       ).orderBy("event_id")
     },
 
     // ---- §1.3 data model: nested struct column ----
+    // The struct is built and field-projected in Spark; the struct-valued
+    // output column goes through to_json (both engines print compact
+    // `{"uid":1,"typ":"x"}`) so the driver's pandas gate can hash it.
     Q("q67_struct_ops", Some("""
       SELECT event_id,
-        {'uid': user_id, 'typ': event_type} AS who,
+        to_json({'uid': user_id, 'typ': event_type}) AS who,
         user_id AS uid2
       FROM events ORDER BY event_id""")) { (s, d) =>
       val who = struct(col("user_id").as("uid"), col("event_type").as("typ"))
       Tables.events(s, d).select(
-        col("event_id"), who.as("who"), who.getField("uid").as("uid2")
+        col("event_id"), to_json(who).as("who"), who.getField("uid").as("uid2")
       ).orderBy("event_id")
     },
 
-    // ---- F8: id generation (uuid is nondeterministic → rows-only) ----
-    Q("q61_id_generation", None) { (s, d) =>
-      Tables.events(s, d).limit(100).select(
+    // ---- F8: id generation, oracle-gated via deterministic *checks* ----
+    // uuid()/monotonically_increasing_id() values are nondeterministic, so
+    // the query emits properties that must always hold — RFC-4122-v4 shape,
+    // uniqueness — plus a fully deterministic md5 id mirrored in DuckDB.
+    Q("q61_id_generation", Some("""
+      WITH base AS (SELECT event_id, user_id,
+          md5(CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))
+            AS stable_id
+        FROM (SELECT * FROM events ORDER BY event_id LIMIT 100))
+      SELECT COUNT(*) AS n,
+        true AS uuids_valid,
+        true AS uuids_unique,
+        true AS mono_unique,
+        (COUNT(DISTINCT stable_id) = COUNT(*)) AS stable_unique,
+        min(stable_id) AS first_stable_id
+      FROM base""")) { (s, d) =>
+      val base = Tables.events(s, d).orderBy("event_id").limit(100).select(
         col("event_id"),
         uuid().as("row_uuid"),
         monotonically_increasing_id().as("mono_id"),
         md5(concat_ws(":", col("event_id"), col("user_id"))).as("stable_id"))
+      val uuidV4 =
+        "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+      base.agg(
+        count(lit(1)).as("n"),
+        (count(when(col("row_uuid").rlike(uuidV4), 1)) === count(lit(1)))
+          .as("uuids_valid"),
+        (countDistinct(col("row_uuid")) === count(lit(1))).as("uuids_unique"),
+        (countDistinct(col("mono_id")) === count(lit(1))).as("mono_unique"),
+        (countDistinct(col("stable_id")) === count(lit(1))).as("stable_unique"),
+        min(col("stable_id")).as("first_stable_id"))
     },
 
     // ---- JSON validity / error-tolerant extraction ----

@@ -84,6 +84,10 @@ object Vector extends QueryModule {
     },
 
     // ---- per-label centroids (embedding aggregation) ----
+    // The centroid vector is serialized at the SELECT boundary as
+    // comma-joined fixed-point integers (floor(comp·2^20)): the driver's
+    // pandas gate cannot sort array cells, and double→string formatting is
+    // not portable across engines while int64→string is.
     Q("q37_label_centroids", Some(s"""
       WITH ex AS (SELECT label, g.j - 1 AS j, CAST(embedding[g.j] AS DOUBLE) AS x
                   FROM embeddings, generate_series(1, 64) g(j)),
@@ -91,16 +95,21 @@ object Vector extends QueryModule {
         (CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)
           / 1099511627776.0) / COUNT(x) AS comp
         FROM ex GROUP BY label, j)
-      SELECT label, list(comp ORDER BY j) AS centroid
+      SELECT label,
+        string_agg(CAST(CAST(floor(comp * 1048576.0) AS BIGINT) AS VARCHAR),
+                   ',' ORDER BY j) AS centroid
       FROM comp GROUP BY label ORDER BY label""")) { (s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("j", "x")))
         .groupBy("label", "j")
         .agg(((sum(floor(col("x").cast("double") * 1099511627776.0).cast("long")).cast("double")
           / 1099511627776.0) / count(col("x"))).as("comp"))
+        .select(col("label"), col("j"),
+          floor(col("comp") * 1048576.0).cast("long").as("fp"))
         .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("comp")))),
-          s => s.getField("comp")).as("centroid"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("j"), col("fp")))),
+            s => s.getField("fp").cast("string")), ",").as("centroid"))
         .orderBy("label")
     }
   )

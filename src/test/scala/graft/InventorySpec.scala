@@ -12,10 +12,9 @@ class InventorySpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
-  test("oracle coverage: at most the documented rows-only exceptions") {
+  test("oracle coverage: every declared query is oracle-gated") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q45_approx_distinct", "q61_id_generation"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("every query builds and keeps a stable schema across two builds (sf0.001)") {
