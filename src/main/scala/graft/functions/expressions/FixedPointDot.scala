@@ -6,11 +6,18 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Fixed-point (2^58-scaled) dot product over two double-array columns:
-  * Σ floor(a[i]·b[i]·2^58) as int64 — bit-identical to the zip_with +
-  * aggregate HOF formulation in [[graft.functions.VectorFunctions]], but
-  * codegen'd: higher-order functions run interpreted per element, while
-  * this compiles to a tight primitive loop inside whole-stage codegen.
-  * Null elements are skipped; lengths are truncated to the shorter side.
+  * Σ floor(a[i]·b[i]·2^58) as int64, codegen'd: higher-order functions run
+  * interpreted per element, while this compiles to a tight primitive loop
+  * inside whole-stage codegen.
+  *
+  * Bit-identical to the zip_with + aggregate HOF formulation in
+  * [[graft.functions.VectorFunctions]] for equal-length arrays with no
+  * null elements — the embeddings-table contract. Semantics deliberately
+  * DIVERGE outside that contract: the HOF form returns NULL when lengths
+  * differ (zip_with pads with NULL, which poisons the aggregate) or any
+  * element is NULL, whereas this expression truncates to the shorter
+  * length and skips null elements, returning a number. Covered by
+  * ExpressionsSpec's divergent-case tests.
   */
 case class FixedPointDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

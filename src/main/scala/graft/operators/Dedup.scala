@@ -108,9 +108,12 @@ object Dedup {
       if (shingler != null) shingler else (shingles(_: Column, shingleSize))
 
     // Shingle sets are reused three times (signatures + both sides of the
-    // jaccard verification) — materialize once.
-    val sh = df.select(col(idCol).as("doc_id"),
-      mkSet(col(textCol)).as("sh")).persist()
+    // jaccard verification). Deliberately NOT persisted: at corpus scale a
+    // cached shingle-set frame is material memory pressure and a .persist()
+    // here would leak across invocations (nothing owns the unpersist). The
+    // two verification sides shuffle on the same key over an identical
+    // subtree, so Spark's ReusedExchange computes that branch once.
+    val sh = df.select(col(idCol).as("doc_id"), mkSet(col(textCol)).as("sh"))
 
     // Signatures via explode + hash + min-agg rather than per-row HOF
     // lambdas: md5 stays inside whole-stage codegen and min() is
@@ -118,11 +121,17 @@ object Dedup {
     // the shape that holds at 100 TB.
     val sigs = signaturesFromSets(sh, numHashes)
 
-    // band key = concatenated minhash rows of that band
+    // band key = concatenated minhash rows of that band. Docs with empty
+    // shingle sets have all-NULL signatures; concat_ws skips NULLs so they
+    // would all share band key "" — one giant bucket of m short/empty docs
+    // producing O(m²) candidates that can never verify (0/0 jaccard is
+    // NULL). Filter them before the self-join; the DuckDB mirror excludes
+    // them naturally (NULL = NULL is never true).
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
     }: _*)
     val banded = sigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+      .filter(length(col("bkey")) > 0)
 
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

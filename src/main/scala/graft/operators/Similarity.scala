@@ -45,9 +45,13 @@ object Similarity {
     * fixed-point cosine verification. Returns (a, b, cosine), a < b. */
   def nearDupPairs(emb: DataFrame, planes: Int, dim: Int,
       threshold: Double): DataFrame = {
+    // NOT persisted: both self-join sides shuffle on `bucket` over an
+    // identical subtree, so ReusedExchange computes it once; a .persist()
+    // here would leak cached blocks across invocations (nothing owns the
+    // unpersist) — material memory pressure at corpus scale.
     val e = withNorm2(emb)
       .withColumn("bucket", lshBucket(col("embedding"), planes, dim))
-      .select("vec_id", "embedding", "n2", "bucket").persist()
+      .select("vec_id", "embedding", "n2", "bucket")
     val a = e.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
       col("n2").as("n2_a"), col("bucket"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("emb_b"),

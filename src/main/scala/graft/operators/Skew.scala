@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Valid only for join types where replicating the dim side is harmless:
+    * inner/left drop or null-extend unmatched fact rows per salted copy,
+    * and left_semi keeps fact rows at most once. Under right/full_outer an
+    * unmatched dim row would surface `salts` times, and right_anti/right
+    * semantics break the same way — rejected up front. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/left_semi, got '$joinType': the dim " +
+        "side is replicated per salt, which multiplies unmatched dim rows")
     // Deterministic per-row salt (hash of the whole row): same key's rows
     // scatter uniformly, identical rows land together (harmless).
     val salted = fact.withColumn("__salt",

@@ -28,6 +28,34 @@ object Analytic extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // ---- approximate percentiles: the 100 TB path for q52 ----
+    // Exact percentile state grows with distinct values per group
+    // (unbounded at corpus scale); approx_percentile keeps a bounded
+    // KLL-style summary mergeable map-side. The estimate itself is not
+    // bit-portable across engines, so the oracle gates the exact values
+    // plus a tolerance boolean (rank error 1/accuracy=1e-4 ⇒ value error
+    // far below the 1% bound for any realistic distribution).
+    Q("q68_approx_percentiles", Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.5) AS p50,
+        quantile_cont(l_extendedprice, 0.9) AS p90,
+        true AS approx_within_tol
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      val slim = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      slim.repartition(slim.sparkSession.sparkContext.defaultParallelism)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+          approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"))
+        .select(col("l_returnflag"), col("p50"), col("p90"),
+          (abs(col("a50") - col("p50")) / col("p50") <= 0.01 &&
+           abs(col("a90") - col("p90")) / col("p90") <= 0.01)
+            .as("approx_within_tol"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- correlated scalar subquery (decorrelated by Catalyst) ----
     Q("q53_above_cust_avg", Some("""
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders o

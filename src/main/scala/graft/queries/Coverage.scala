@@ -13,14 +13,15 @@ import graft.operators.Dedup
   */
 object Coverage extends QueryModule {
 
-  /** DuckDB mirror of the q32 simhash CTEs (16-bit). */
+  /** DuckDB mirror of the q41 simhash CTEs (60-bit — the full width of the
+    * md5-derived `hash64`, which is 15 hex chars = 60 bits). */
   private val dkSimhash = s"""
       tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
               FROM documents),
       h AS (SELECT doc_id,
               CAST(('0x'||substr(md5(t||':0'),1,15)) AS BIGINT) AS h FROM tok),
       votes AS (SELECT doc_id, g.b, SUM(((h >> g.b) & 1)*2 - 1) AS v
-                FROM h, generate_series(0, 15) g(b) GROUP BY doc_id, g.b),
+                FROM h, generate_series(0, 59) g(b) GROUP BY doc_id, g.b),
       sig AS (SELECT doc_id,
         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
           AS simhash
@@ -29,14 +30,18 @@ object Coverage extends QueryModule {
   val all: Seq[Q] = Seq(
 
     // ---- simhash near-dup pairs: pigeonhole banding + codegen hamming ----
-    // 16 bits in 3 chunks: hamming <= 2 implies at least one chunk equal,
-    // so the bucket join finds all pairs without an n² comparison.
+    // 60-bit simhash in 3 chunks of 20 bits: hamming <= 2 implies at least
+    // one chunk equal (pigeonhole), so the bucket join finds all pairs
+    // without an n² comparison. Bucket space per band is 2^20 (~1M), so
+    // candidate volume scales with true near-duplicate density rather than
+    // collapsing into a constant number of buckets — a 16-bit signature
+    // (≤128 total buckets) degenerates to O(n²/128) at corpus scale.
     Q("q41_simhash_near_dup", Some(s"""
       WITH $dkSimhash,
       chunks AS (
-        SELECT doc_id, simhash, 0 AS band, simhash & 31 AS ck FROM sig
-        UNION ALL SELECT doc_id, simhash, 1, (simhash >> 5) & 31 FROM sig
-        UNION ALL SELECT doc_id, simhash, 2, (simhash >> 10) & 63 FROM sig),
+        SELECT doc_id, simhash, 0 AS band, simhash & 1048575 AS ck FROM sig
+        UNION ALL SELECT doc_id, simhash, 1, (simhash >> 20) & 1048575 FROM sig
+        UNION ALL SELECT doc_id, simhash, 2, (simhash >> 40) & 1048575 FROM sig),
       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM chunks x JOIN chunks y
           ON x.band = y.band AND x.ck = y.ck AND x.doc_id < y.doc_id),
@@ -45,12 +50,11 @@ object Coverage extends QueryModule {
         FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b)
       SELECT a, b, hamming FROM p WHERE hamming <= 2 ORDER BY a, b""")) { (s, d) =>
       GraftFunctions.register(s)
-      val sig = Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text", 16)
-        .persist()
+      val sig = Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text", 60)
       val chunks = sig.select(col("doc_id"), posexplode(array(
-        col("simhash").bitwiseAND(31),
-        shiftright(col("simhash"), 5).bitwiseAND(31),
-        shiftright(col("simhash"), 10).bitwiseAND(63))).as(Seq("band", "ck")))
+        col("simhash").bitwiseAND(1048575L),
+        shiftright(col("simhash"), 20).bitwiseAND(1048575L),
+        shiftright(col("simhash"), 40).bitwiseAND(1048575L))).as(Seq("band", "ck")))
       val cand = chunks.as("x").join(chunks.as("y"),
           col("x.band") === col("y.band") && col("x.ck") === col("y.ck") &&
             col("x.doc_id") < col("y.doc_id"))

@@ -30,11 +30,16 @@ object Extras extends QueryModule {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       val df = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
-      val n = Tables.documents(s, d).count()
+      // Corpus size as a broadcast 1-row frame inside the same job — a
+      // driver-side .count() at plan-build time would run an extra job per
+      // build and bake a stale constant into the plan.
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("t"))
       tf.join(df, "t")
+        .crossJoin(broadcast(n))
         .withColumn("score",
-          col("tf").cast("double") * (lit(n.toDouble) / col("df")))
+          col("tf").cast("double") * (col("n").cast("double") / col("df")))
+        .drop("n")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("t").as("term"), col("score"),

@@ -31,6 +31,27 @@ class FunctionsSpec extends SparkTestBase {
     got.foreach { case (cg, hof) => assert(cg === hof) }
   }
 
+  test("FixedPointDot diverges from HOF form on unequal lengths / null elements (documented)") {
+    GraftFunctions.register(spark)
+    import graft.functions.VectorFunctions
+    // unequal lengths: HOF zip_with pads with NULL -> aggregate poisons to
+    // NULL; FixedPointDot truncates to the shorter side and returns a number
+    val uneq = spark.sql("SELECT array(1.0D, 2.0D, 3.0D) AS a, array(1.0D) AS b")
+    val r1 = uneq.select(
+      VectorFunctions.dotExact(col("a"), col("b")).as("cg"),
+      VectorFunctions.dotExactHof(col("a"), col("b")).as("hof")).head()
+    assert(!r1.isNullAt(0) && r1.getDouble(0) === 1.0)
+    assert(r1.isNullAt(1))
+    // null element: HOF poisons to NULL; FixedPointDot skips the slot
+    val withNull = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS a, array(1.0D, 5.0D) AS b")
+    val r2 = withNull.select(
+      VectorFunctions.dotExact(col("a"), col("b")).as("cg"),
+      VectorFunctions.dotExactHof(col("a"), col("b")).as("hof")).head()
+    assert(!r2.isNullAt(0) && r2.getDouble(0) === 1.0)
+    assert(r2.isNullAt(1))
+  }
+
   test("JWT RS256 sign/verify round-trip and tamper rejection (S11)") {
     val kpg = java.security.KeyPairGenerator.getInstance("RSA")
     kpg.initialize(2048)

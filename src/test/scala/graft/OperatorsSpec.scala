@@ -57,6 +57,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("minhashLshPairs ignores empty-shingle docs (no giant '' bucket)") {
+    // docs with < shingleSize tokens have empty shingle sets → all-NULL
+    // signatures; they must not pair with each other via band key ""
+    val df = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c d"),
+      (4L, "the quick brown fox jumps"),
+      (5L, "the quick brown fox jumps")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((4L, 5L, 1.0)))
+  }
+
+  test("LSH operators leave no persisted blocks behind (unpersist contract)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with other tokens here now")
+    ).toDF("doc_id", "text")
+    Dedup.minhashLshPairs(docs, "doc_id", "text").count()
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    Similarity.nearDupPairs(emb, planes = 2, dim = 2, threshold = 0.9).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("saltedJoin rejects join types that would replicate unmatched dim rows") {
+    val fact = Seq((1, "x")).toDF("k", "v")
+    val dim = Seq((1, "d")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 4, joinType = "full_outer")
+    }
+    // the valid types still work
+    assert(graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 4).count() === 1)
+  }
+
   test("rollingFingerprint is order-sensitive") {
     val df = Seq("a b c", "c b a").toDF("text")
       .select(rollingFingerprint(col("text")).as("fp"))
