@@ -17,6 +17,8 @@ final case class MediaFeatures(
     kind: String,
     n_bytes: Int,
     checksum: Long,
+    decoded_width: Int,      // -1 when the payload is not a decodable image
+    decoded_height: Int,
     features: Array[Float])
 
 final case class FrameSample(media_id: Long, frame_index: Int, offset: Int,
@@ -26,11 +28,16 @@ final case class FrameSample(media_id: Long, frame_index: Int, offset: Int,
   *
   * The Spark-side plumbing is real and tested: schema, per-partition
   * batch iteration (`mapPartitions` — each task decodes its partition's
-  * rows; no shuffle is introduced), output encoders. The *codec* step is
-  * a STUB: this container has no image/audio libraries, so `decodeStub`
-  * derives a deterministic fake feature vector from the bytes. Swapping
-  * in a real decoder changes only the function body — the distributed
-  * shape (schema in, partition-parallel map, schema out) is final.
+  * rows; no shuffle is introduced), output encoders.
+  *
+  * Codecs: `kind = "image"` rows go through a REAL decoder
+  * ([[decodeImage]], JDK `javax.imageio` — PNG/BMP/GIF/JPEG, zero new
+  * dependencies) producing true dimensions and a normalized RGB-histogram
+  * feature vector. Audio/video remain a STUB ([[decodeStub]], labeled):
+  * this container has no audio/video libraries, so features are
+  * deterministic pseudo-features of the bytes. Swapping a real A/V codec
+  * changes only that function body — the distributed shape (schema in,
+  * partition-parallel map, schema out) is final.
   */
 object Multimodal {
 
@@ -59,12 +66,58 @@ object Multimodal {
     h
   }
 
-  /** Feature extraction: partition-parallel decode of opaque media bytes. */
+  /** Real image decode via JDK `javax.imageio`: (width, height, features)
+    * where features is a per-channel (R,G,B) histogram of `dim/3` bins
+    * each, normalized to sum 1 per channel. Pixels are sampled on a grid
+    * of at most 64×64 so decode cost is bounded for arbitrarily large
+    * images. Returns None when the bytes are not a decodable image —
+    * callers fall back to the stub rather than failing the task. */
+  private[multimodal] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val bins = math.max(dim / 3, 1)
+        val out = new Array[Float](dim)
+        val stepX = math.max(w / 64, 1)
+        val stepY = math.max(h / 64, 1)
+        var n = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(math.min(((rgb >> 16) & 0xff) * bins / 256, bins - 1)) += 1f
+            out(bins + math.min(((rgb >> 8) & 0xff) * bins / 256, bins - 1)) += 1f
+            out(2 * bins + math.min((rgb & 0xff) * bins / 256, bins - 1)) += 1f
+            n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        if (n > 0) { var i = 0; while (i < out.length) { out(i) /= n; i += 1 } }
+        Some((w, h, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Feature extraction: partition-parallel decode of opaque media bytes.
+    * Image rows decode for real (dimensions + RGB histogram); audio/video
+    * and undecodable images take the labeled stub path with -1 dims. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] =
     media.mapPartitions { rows =>
       rows.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.content.length,
-          checksum(m.content), decodeStub(m.content, dim))
+        val decoded =
+          if (m.kind == "image") decodeImage(m.content, dim) else None
+        decoded match {
+          case Some((w, h, feats)) =>
+            MediaFeatures(m.media_id, m.kind, m.content.length,
+              checksum(m.content), w, h, feats)
+          case None =>
+            MediaFeatures(m.media_id, m.kind, m.content.length,
+              checksum(m.content), -1, -1, decodeStub(m.content, dim))
+        }
       }
     }
 

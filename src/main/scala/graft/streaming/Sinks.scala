@@ -40,21 +40,36 @@ object Sinks {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val bucket = pmod(hash(keys.map(col): _*), lit(buckets))
         val latest = graft.operators.Dedup.keepLatest(
           batch, keys, Seq(col(seqCol)))
           .withColumn("part_bucket", bucket)
-        val existing = scala.util.Try(
-          spark.read.parquet(path)
-            .join(latest.select("part_bucket").distinct(), Seq("part_bucket"),
-              "left_semi")).toOption
-        val merged = existing match {
-          case Some(cur) => graft.operators.Dedup.keepLatest(
-            cur.unionByName(latest), keys, Seq(col(seqCol)))
-          case None => latest
-        }
+        // "Store not created yet" is detected with an explicit existence
+        // check; any other read failure (transient IO, corrupt file) must
+        // FAIL the batch so the checkpoint retries it — swallowing it
+        // would overwrite touched buckets with batch-only rows, silently
+        // dropping every previously stored key in them.
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(fsPath)) {
+            val cur = spark.read.parquet(path)
+              .join(latest.select("part_bucket").distinct(), Seq("part_bucket"),
+                "left_semi")
+            // Materialize the merge (bounded by touched buckets) BEFORE
+            // overwriting: this cuts the lineage that reads the same path
+            // the write replaces — a failure up to this point leaves the
+            // store untouched, and the write job never scans files it is
+            // deleting. (A transactional table format would subsume this;
+            // out of scope with parquet-only deps.)
+            graft.operators.Dedup.keepLatest(
+              cur.unionByName(latest), keys, Seq(col(seqCol)))
+              .localCheckpoint(true)
+          } else latest
         merged.write.mode("overwrite")
+          // per-write option — scoping this via session conf would leak
+          // dynamic-overwrite semantics into concurrent queries
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("part_bucket").parquet(path)
       }
       .trigger(Trigger.AvailableNow())

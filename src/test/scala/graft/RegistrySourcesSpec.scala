@@ -94,6 +94,33 @@ class RegistrySourcesSpec extends SparkTestBase {
     assert(f1.map(_.n_bytes).toSeq === Seq(64, 128))
   }
 
+  test("multimodal image codec decodes a real PNG: dimensions + RGB histogram") {
+    // a 20×10 PNG, left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, if (x < 10) 0xff0000 else 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq(
+      MediaRow(1, "image", baos.toByteArray, 0, 0),
+      MediaRow(2, "image", Array.tabulate(64)(_.toByte), 0, 0) // not an image
+    ).toDS().repartition(2)
+    val f = Multimodal.extractFeatures(media, dim = 6).collect()
+      .sortBy(_.media_id)
+    // real decode: true dimensions, not the (0,0) metadata
+    assert((f(0).decoded_width, f(0).decoded_height) === (20, 10))
+    // per-channel 2-bin histograms: R is half-high/half-low, same for B,
+    // G is all-low; each channel sums to 1
+    val Array(r0, r1, g0, g1, b0, b1) = f(0).features
+    assert(math.abs(r0 - 0.5f) < 1e-6 && math.abs(r1 - 0.5f) < 1e-6)
+    assert(math.abs(g0 - 1.0f) < 1e-6 && g1 === 0.0f)
+    assert(math.abs(b0 - 0.5f) < 1e-6 && math.abs(b1 - 0.5f) < 1e-6)
+    // garbage bytes labeled "image" fall back to the stub with -1 dims
+    assert((f(1).decoded_width, f(1).decoded_height) === (-1, -1))
+    assert(f(1).features.length === 6)
+  }
+
   test("multimodal frame sampling fans out frames with offsets") {
     val media = Seq(MediaRow(1, "video", Array.tabulate(100)(_.toByte), 0, 0)).toDS()
     val frames = Multimodal.sampleFrames(media, stride = 25, frameSize = 10).collect()

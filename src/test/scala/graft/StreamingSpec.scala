@@ -121,6 +121,9 @@ class StreamingSpec extends SparkTestBase {
     val store = spark.read.parquet(s"$dir/store")
       .select("user_id", "event_id").as[(Long, Long)].collect().toMap
     assert(store === Map(7L -> 4L, 8L -> 3L)) // newest per user; stale never resurfaces
+    // overwrite mode is a per-write option — the session conf must be
+    // untouched (a session-global set would leak into concurrent queries)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") === "STATIC")
   }
 
   test("alert sink delivers matching rows through the Notifier (T6/S10)") {
