@@ -101,51 +101,85 @@ object Dedup {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
+      shingler: Column => Column = null): DataFrame =
+    minhashLshPairsWithSigs(df, idCol, textCol, numHashes, bands, shingleSize,
+      threshold, shingler)
+      .select("a", "b", "jaccard")
+
+  /** [[minhashLshPairs]] plus both rows' signature slots
+    * (a_mh0..a_mh{k-1}, b_mh0..) in the output — for estimator-style
+    * consumers (q57) that compare signatures on the verified pairs.
+    *
+    * Plan shape (the part that must hold at 100 TB): ONE aggregation over
+    * one scan produces (doc_id, sh, mh*) — the minhash slots as partially-
+    * aggregable `min`s and the shingle set re-collected with `collect_set`
+    * from the same exploded rows (set semantics; order-insensitive
+    * downstream). The band explode then carries sh+signature alongside the
+    * bucket keys, so the self-join's matches already hold both sides'
+    * payloads and verification needs NO further joins. A diamond-shaped
+    * alternative (signatures here, shingle sets joined back per side)
+    * recomputes the scan+shingle subtree per consumer — Catalyst prunes
+    * different columns into each branch, so no exchange canonicalizes
+    * equal and nothing is reused (measured: 4-6 scans). Deliberately NOT
+    * persisted either: a cached corpus-sized shingle frame is material
+    * memory pressure and nothing owns the unpersist. With the carry-
+    * through shape the pipeline exists exactly twice (the two self-join
+    * sides) — and a production deployment staging signatures to a table
+    * reduces it to once (SCALING.md).
+    */
+  def minhashLshPairsWithSigs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
       shingler: Column => Column = null): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val mkSet: Column => Column =
       if (shingler != null) shingler else (shingles(_: Column, shingleSize))
 
-    // Shingle sets are reused three times (signatures + both sides of the
-    // jaccard verification). Deliberately NOT persisted: at corpus scale a
-    // cached shingle-set frame is material memory pressure and a .persist()
-    // here would leak across invocations (nothing owns the unpersist). The
-    // two verification sides shuffle on the same key over an identical
-    // subtree, so Spark's ReusedExchange computes that branch once.
     val sh = df.select(col(idCol).as("doc_id"), mkSet(col(textCol)).as("sh"))
 
-    // Signatures via explode + hash + min-agg rather than per-row HOF
-    // lambdas: md5 stays inside whole-stage codegen and min() is
-    // partially aggregable (map-side combine before the one shuffle) —
-    // the shape that holds at 100 TB.
-    val sigs = signaturesFromSets(sh, numHashes)
+    // One scan → explode → one grouped aggregation: md5 stays inside
+    // whole-stage codegen, min() partially aggregates map-side, and
+    // collect_set rebuilds the shingle set from the very rows being
+    // hashed. Docs with empty shingle sets simply vanish (explode emits
+    // nothing) — they can never verify, and dropping them here prevents
+    // the degenerate all-empty-docs band bucket.
+    def slot(s: Int) = min(col("g").bitwiseXOR(lit(mixConstant(s)))).as(s"mh$s")
+    val sigs = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+      .select(col("doc_id"), col("t"), hash64(col("t"), 0).as("g"))
+      .groupBy("doc_id")
+      .agg(slot(0), (1 until numHashes).map(slot) :+
+        collect_set(col("t")).as("sh"): _*)
 
-    // band key = concatenated minhash rows of that band. Docs with empty
-    // shingle sets have all-NULL signatures; concat_ws skips NULLs so they
-    // would all share band key "" — one giant bucket of m short/empty docs
-    // producing O(m²) candidates that can never verify (0/0 jaccard is
-    // NULL). Filter them before the self-join; the DuckDB mirror excludes
-    // them naturally (NULL = NULL is never true).
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
     }: _*)
-    val banded = sigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
-      .filter(length(col("bkey")) > 0)
+    val banded = sigs.select(
+      (col("doc_id") +: col("sh") +: (0 until numHashes).map(i => col(s"mh$i"))) :+
+        posexplode(bandKeys).as(Seq("band", "bkey")): _*)
 
+    val payload = (side: String, pfx: String) =>
+      col(s"$side.sh").as(s"sh_$pfx") +:
+        (0 until numHashes).map(i => col(s"$side.mh$i").as(s"${pfx}_mh$i"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+      .select(col("x.doc_id").as("a") +: col("y.doc_id").as("b") +:
+        (payload("x", "a") ++ payload("y", "b")): _*)
+      // a pair collides in up to `bands` bands; every duplicate carries an
+      // identical payload, so first-wins dedup is deterministic
+      .dropDuplicates("a", "b")
 
-    val sa = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-    val sb = sh.select(col("doc_id").as("b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    cand.join(sa, "a").join(sb, "b")
+    cand
       .withColumn("jaccard",
         inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
       .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+      .drop("sh_a", "sh_b")
   }
 }

@@ -63,6 +63,57 @@ object Similarity {
       .select("a", "b", "cosine")
   }
 
+  /** IVF-style ANN top-k (the inverted-file scale path next to
+    * [[lshTopK]]): a coarse quantizer of `kCentroids` centroids, every
+    * corpus vector assigned to its nearest centroid (one broadcast pass +
+    * partially-aggregated argmin — no sort, no all-pairs), queries probe
+    * their `nprobe` nearest cells and verify with exact fixed-point
+    * cosine. Centroids are a deterministic corpus sample (the vectors
+    * with `vec_id < kCentroids`) — FAISS-style IVF also trains its
+    * quantizer on a sample; a deterministic sample keeps the DuckDB
+    * oracle exact, and swapping in k-means centroids changes only the
+    * `cents` frame.
+    *
+    * Unlike LSH buckets, each corpus vector lives in exactly one cell, so
+    * (qid, vid) candidates are unique without a distinct. At scale:
+    * assignment is corpus × k dot products, map-side only, followed by a
+    * narrow (vec_id, cell) shuffle; probe cost per query is
+    * nprobe · n / kCentroids — grow kCentroids ~ √n to balance the two.
+    * Returns (qid, vid, cell, cosine, rank). */
+  def ivfTopK(emb: DataFrame, queryPred: Column, kCentroids: Int, nprobe: Int,
+      k: Int): DataFrame = {
+    val e = withNorm2(emb)
+    val cents = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
+    // squared L2 from exact fixed-point parts: n2v + n2c − 2·dot — the
+    // same few IEEE ops in both engines ⇒ bit-identical assignment
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("n2") + col("c_n2") - lit(2.0) * dotExact(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("q_n2") + col("c_n2") - lit(2.0) * dotExact(col("q_emb"), col("c_emb")))
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("q_emb"), col("q_n2"), col("cid").as("cell"))
+    val ev = e.select(col("vec_id"), col("embedding").as("v_emb"), col("n2").as("v_n2"))
+    val wr = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    probes.join(assign, Seq("cell")).filter(col("vec_id") =!= col("qid"))
+      .join(ev, Seq("vec_id"))
+      .withColumn("cosine",
+        cosineFrom(dotExact(col("q_emb"), col("v_emb")), col("q_n2"), col("v_n2")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("vid"), col("cell"), col("cosine"),
+        col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates restricted to the query's
     * random-hyperplane bucket. Returns (qid, vid, bucket, cosine, rank). */
   def lshTopK(emb: DataFrame, queryPred: Column, planes: Int, dim: Int, k: Int): DataFrame = {

@@ -74,14 +74,12 @@ object Extras extends QueryModule {
           AS exact_jaccard
       FROM cand c JOIN mh sa ON sa.doc_id = c.a JOIN mh sb ON sb.doc_id = c.b
       ORDER BY a, b""")) { (s, d) =>
-      // estimator = matching signature slots / k, on LSH candidates
+      // estimator = matching signature slots / k, on LSH candidates. The
+      // pairs operator already carries both sides' signatures — no extra
+      // signature pipelines or joins.
       import graft.operators.Dedup
-      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, bands = 4, shingleSize = 3, threshold = -1.0)
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
-      val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "a" else s"a_$c"): _*)
-      val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "b" else s"b_$c"): _*)
-      pairs.select("a", "b", "jaccard").join(sa, "a").join(sb, "b")
+      Dedup.minhashLshPairsWithSigs(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 8, bands = 4, shingleSize = 3, threshold = -1.0)
         .withColumn("est_jaccard",
           (0 until 8).map(i =>
             when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))

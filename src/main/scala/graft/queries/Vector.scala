@@ -83,6 +83,44 @@ object Vector extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // ---- IVF ANN top-3 (inverted-file scale path; see Similarity.ivfTopK) ----
+    // Coarse quantizer = deterministic corpus sample (vec_id < 8); every
+    // vector assigned to its nearest centroid by exact fixed-point
+    // squared-L2 (n2v + n2c − 2·dot — same IEEE ops both engines);
+    // queries probe their 2 nearest cells.
+    Q("q69_ann_ivf_topk", Some(s"""
+      WITH $dkNorm2,
+      cents AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      cd AS (SELECT e.vec_id, c.cid,
+        ${dkDecSum("CAST(e.embedding[g.j] AS DOUBLE) * CAST(c.c_emb[g.j] AS DOUBLE)")} AS dot
+        FROM embeddings e, cents c, generate_series(1, 64) g(j)
+        GROUP BY e.vec_id, c.cid),
+      dist AS (SELECT cd.vec_id, cd.cid, (a.n2 + b.n2 - 2.0 * cd.dot) AS dist
+        FROM cd JOIN n2 a ON a.vec_id = cd.vec_id JOIN n2 b ON b.vec_id = cd.cid),
+      assign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM dist) WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM dist WHERE vec_id < 8) WHERE rn <= 2),
+      cand AS (SELECT p.qid, a.vec_id AS vid, a.cell
+        FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      dots AS (SELECT c.qid, c.vid, c.cell,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+          JOIN embeddings e ON e.vec_id = c.vid, generate_series(1, 64) g(j)
+        GROUP BY c.qid, c.vid, c.cell),
+      cos AS (SELECT d.qid, d.vid, d.cell, d.dot/(sqrt(a.n2)*sqrt(b.n2)) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
+      SELECT qid, vid, cell, cosine, CAST(rn AS INT) AS rank
+      FROM cos WHERE rn <= 3 ORDER BY qid, rank""")) { (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 8,
+          kCentroids = 8, nprobe = 2, k = 3)
+        .orderBy("qid", "rank")
+    },
+
     // ---- per-label centroids (embedding aggregation) ----
     // The centroid vector is serialized at the SELECT boundary as
     // comma-joined fixed-point integers (floor(comp·2^20)): the driver's

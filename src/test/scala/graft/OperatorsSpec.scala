@@ -114,4 +114,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(top(1L) === 1) // identical vector ranks first
     assert(top(3L) === 2)
   }
+
+  test("ivfTopK assigns to the nearest centroid cell and finds close vectors") {
+    // centroids = vec_id 0 (x-axis) and 1 (y-axis); 10/11 near x, 12 near y
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.95f, 0.05f)),
+      (12L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(df, col("vec_id") === 10, kCentroids = 2,
+      nprobe = 1, k = 2)
+    val rows = res.select("vid", "cell", "rank").as[(Long, Long, Int)].collect()
+    // probe cell is the x-axis centroid's (cell 0): finds 11 and 0, never 12
+    assert(rows.forall(_._2 === 0L))
+    assert(rows.map(_._1).toSet.subsetOf(Set(0L, 11L)))
+    assert(rows.find(_._3 == 1).map(_._1) === Some(11L)) // closest first
+    // nprobe=2 widens the probe to the y-cell too
+    val wide = Similarity.ivfTopK(df, col("vec_id") === 10, kCentroids = 2,
+      nprobe = 2, k = 4)
+    assert(wide.select("vid").as[Long].collect().toSet === Set(0L, 1L, 11L, 12L))
+  }
 }
