@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{FixedPointDot, HammingDistance}
+import org.apache.spark.sql.functions.{call_function, lit}
+import graft.functions.expressions.{FixedPointDot, HammingDistance, NgramShingles}
 
 /** Engine function registry: exposes custom Catalyst expressions to both
   * the SQL surface (`SELECT graft_hamming(a, b)`) and the Column API
@@ -17,6 +17,14 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fixed_dot",
       (exprs: Seq[Expression]) => FixedPointDot(exprs(0), exprs(1)), "built-in")
+    def foldedInt(e: Expression): Int =
+      e.eval(null) match { case i: Int => i case l: Long => l.toInt }
+    reg.createOrReplaceTempFunction("graft_word_shingles",
+      (exprs: Seq[Expression]) =>
+        NgramShingles(exprs(0), foldedInt(exprs(1)), word = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_char_ngrams",
+      (exprs: Seq[Expression]) =>
+        NgramShingles(exprs(0), foldedInt(exprs(1)), word = false), "built-in")
   }
 
   /** Fixed-point (2^58) scaled dot product of two double-array columns
@@ -27,4 +35,14 @@ object GraftFunctions {
   /** Hamming distance of two int64 signature columns (codegen'd). */
   def hamming(a: Column, b: Column): Column =
     call_function("graft_hamming", a, b)
+
+  /** Distinct space-joined n-token shingles (compiled; same semantics as
+    * TextFunctions.shingles). */
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("graft_word_shingles", text, lit(n))
+
+  /** Distinct sliding character n-grams (compiled; same semantics as
+    * TextFunctions.charNgrams). */
+  def charNgrams(text: Column, n: Int): Column =
+    call_function("graft_char_ngrams", text, lit(n))
 }

@@ -120,4 +120,15 @@ object TextFunctions {
     when(size(filter(toks, t => t.isin("the", "a", "of", "and", "is"))) > 0, lit("en"))
       .otherwise(lit("und"))
   }
+
+  /** PII-style redaction for training-data pipelines: email-shaped spans →
+    * `[EMAIL]`, then 6+-digit runs (account/ID-like) → `[ID]`. Order
+    * matters — emails are masked first so their digit runs don't get
+    * double-masked. Pure per-row codegen'd `regexp_replace` (global
+    * replace in both Spark and the DuckDB mirror with flag 'g'); patterns
+    * kept to the regex subset with identical semantics in both engines. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "[0-9]{6,}", "[ID]")
 }

@@ -50,11 +50,13 @@ object Dedup {
     * md5 + partially-aggregable min, one shuffle. Rows with empty shingle
     * sets (fewer than `shingleSize` tokens) are dropped. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8, shingleSize: Int = 3): DataFrame =
+      numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     signaturesFromSets(
       df.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleSize).as("sh")),
+        graft.functions.GraftFunctions.wordShingles(col(textCol), shingleSize).as("sh")),
       numHashes)
+  }
 
   private def signaturesFromSets(sh: DataFrame, numHashes: Int): DataFrame = {
     // One md5 per element; the k slots are xor-permutations of it —
@@ -137,9 +139,13 @@ object Dedup {
       threshold: Double = 0.5,
       shingler: Column => Column = null): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
+    // compiled shingling (NgramShingles) — the interpreted HOF form
+    // dominated executor time (see the expression's scaladoc)
     val mkSet: Column => Column =
-      if (shingler != null) shingler else (shingles(_: Column, shingleSize))
+      if (shingler != null) shingler
+      else (graft.functions.GraftFunctions.wordShingles(_: Column, shingleSize))
 
     val sh = df.select(col(idCol).as("doc_id"), mkSet(col(textCol)).as("sh"))
 

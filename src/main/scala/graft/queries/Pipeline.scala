@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Num._
-import graft.functions.TextFunctions.charNgrams
+import graft.functions.GraftFunctions.charNgrams
 import graft.operators.{Dedup, Similarity}
 
 /** Additional training-data-pipeline ops: embedding-cosine near-dup,

@@ -27,6 +27,26 @@ object Text extends QueryModule {
 
   val all: Seq[Q] = Seq(
 
+    // ---- PII-style redaction (training-data scrubbing) ----
+    // Synthetic contact string exercises both patterns: the constructed
+    // email masks to [EMAIL] (before its digits can match), and the
+    // Customer#NNNNNNNNN digit run masks to [ID].
+    Q("q70_redact", Some("""
+      SELECT c_custkey,
+        regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g') AS masked_name,
+        regexp_replace(
+          regexp_replace(lower(c_name) || '@example.com',
+            '[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '[0-9]{6,}', '[ID]', 'g') AS masked_contact
+      FROM customer ORDER BY c_custkey""")) { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]{6,}", "[ID]").as("masked_name"),
+        redact(concat(lower(col("c_name")), lit("@example.com")))
+          .as("masked_contact")
+      ).orderBy("c_custkey")
+    },
+
     // ---- token counting (U6 text stats) ----
     Q("q24_token_stats", Some("""
       WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents)

@@ -75,4 +75,39 @@ object EngineProps extends Properties("graft") {
       .select(col("t").rlike(pattern)).as[Boolean].head()
     got == java.util.regex.Pattern.compile(pattern).matcher(s).find()
   }
+
+  property("redact leaves no email/long-digit span behind and is idempotent") =
+    forAll(Gen.listOf(Gen.oneOf(
+      "hello", "bob@mail.example.com", "1234567", "id#9876543 x",
+      "a@b.co", "12345"))) { parts =>
+      val spk = spark; import spk.implicits._
+      import graft.functions.TextFunctions
+      val s = parts.mkString(" ")
+      val once = Seq(s).toDF("t")
+        .select(TextFunctions.redact(col("t"))).as[String].head()
+      val twice = Seq(once).toDF("t")
+        .select(TextFunctions.redact(col("t"))).as[String].head()
+      val clean = once.replace("[EMAIL]", "").replace("[ID]", "")
+      !clean.matches(".*[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*") &&
+        !clean.matches(".*[0-9]{6,}.*") && once == twice
+    }
+
+  /** IVF with nprobe = kCentroids degenerates to exact search: probing
+    * every cell must reproduce brute-force top-k exactly. */
+  property("ivfTopK with full probe equals bruteForceTopK") =
+    forAll(Gen.chooseNum(5, 12), Gen.chooseNum(1L, 99999L)) { (n, seed) =>
+      val spk = spark; import spk.implicits._
+      import graft.operators.Similarity
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until n.toLong).map(i =>
+        (i, Array.fill(4)(rnd.nextFloat() - 0.5f)))
+      val df = rows.toDF("vec_id", "embedding")
+      val k = 3
+      val brute = Similarity.bruteForceTopK(df, col("vec_id") === 0, k)
+        .select("vid", "rank").as[(Long, Int)].collect().toSet
+      val ivf = Similarity.ivfTopK(df, col("vec_id") === 0,
+          kCentroids = 3, nprobe = 3, k = k)
+        .select("vid", "rank").as[(Long, Int)].collect().toSet
+      ivf == brute
+    }
 }

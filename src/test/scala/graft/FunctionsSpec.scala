@@ -72,6 +72,41 @@ class FunctionsSpec extends SparkTestBase {
     assert(df.select("ok").as[Boolean].head())
   }
 
+  test("compiled NgramShingles matches the HOF shingles/charNgrams exactly") {
+    GraftFunctions.register(spark)
+    import graft.functions.TextFunctions
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",            // duplicates collapse, order = first occurrence
+      "one two",              // below word-n -> empty
+      "ab",                   // below char-n -> empty
+      "x  y",                 // double space -> empty middle token
+      " leading trailing ",   // boundary empties from split
+      "",                     // empty string
+      "日本語 テスト テキスト です") // multi-byte code points
+    val df = texts.toDF("t")
+    for (n <- Seq(2, 3)) {
+      val w = df.select(
+        TextFunctions.shingles(col("t"), n).as("hof"),
+        GraftFunctions.wordShingles(col("t"), n).as("cg"))
+        .as[(Seq[String], Seq[String])].collect()
+      w.zip(texts).foreach { case ((hof, cg), t) =>
+        assert(hof === cg, s"word n=$n text='$t'") }
+      val c = df.select(
+        TextFunctions.charNgrams(col("t"), n + 4).as("hof"),
+        GraftFunctions.charNgrams(col("t"), n + 4).as("cg"))
+        .as[(Seq[String], Seq[String])].collect()
+      c.zip(texts).foreach { case ((hof, cg), t) =>
+        assert(hof === cg, s"char n=${n + 4} text='$t'") }
+    }
+    // null input -> empty array on both forms
+    val nr = spark.sql("SELECT CAST(NULL AS STRING) AS t").select(
+      TextFunctions.shingles(col("t"), 3).as("hof"),
+      GraftFunctions.wordShingles(col("t"), 3).as("cg"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(nr._1 === Seq.empty && nr._2 === Seq.empty)
+  }
+
   test("HOF minhashSig agrees with the explode-based signatures (one family)") {
     import graft.functions.TextFunctions
     import graft.operators.Dedup
