@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.{call_function, lit}
-import graft.functions.expressions.{FixedPointDot, HammingDistance, NgramShingles}
+import graft.functions.expressions.{FixedPointDot, HammingDistance, Md5Hash60, MinHashSlots, NgramShingles, SimHashBits}
 
 /** Engine function registry: exposes custom Catalyst expressions to both
   * the SQL surface (`SELECT graft_hamming(a, b)`) and the Column API
@@ -25,6 +25,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_char_ngrams",
       (exprs: Seq[Expression]) =>
         NgramShingles(exprs(0), foldedInt(exprs(1)), word = false), "built-in")
+    reg.createOrReplaceTempFunction("graft_hash64",
+      (exprs: Seq[Expression]) =>
+        Md5Hash60(exprs(0), foldedInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_slots",
+      (exprs: Seq[Expression]) =>
+        MinHashSlots(exprs(0), foldedInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      (exprs: Seq[Expression]) =>
+        SimHashBits(exprs(0), foldedInt(exprs(1))), "built-in")
   }
 
   /** Fixed-point (2^58) scaled dot product of two double-array columns
@@ -45,4 +54,20 @@ object GraftFunctions {
     * TextFunctions.charNgrams). */
   def charNgrams(text: Column, n: Int): Column =
     call_function("graft_char_ngrams", text, lit(n))
+
+  /** Portable 60-bit md5-derived hash (compiled; same values as
+    * TextFunctions.hash64 and the DuckDB mirror). */
+  def hash64c(v: Column, seed: Int): Column =
+    call_function("graft_hash64", v, lit(seed))
+
+  /** k-wide MinHash signature of a string-set column as ARRAY<BIGINT>
+    * (compiled one-pass; NULL for empty sets — same family/values as the
+    * explode form). */
+  def minhashSlots(set: Column, k: Int): Column =
+    call_function("graft_minhash_slots", set, lit(k))
+
+  /** SimHash of a token-set column (compiled one-pass; same values as the
+    * vote-sum form). */
+  def simhashBits(set: Column, bits: Int): Column =
+    call_function("graft_simhash", set, lit(bits))
 }

@@ -1,0 +1,136 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5-60 element hashing for the signature expressions: the value
+  * of `CAST(('0x'||substr(md5(v||':0'),1,15)) AS BIGINT)` per element (see
+  * [[Md5Hash60]] for the bytes→60-bit derivation). */
+private[expressions] object SigHash {
+  private val suffix = ":0".getBytes("UTF-8")
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash60(s: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    md.update(s.getBytes)
+    md.update(suffix)
+    val d = md.digest()
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+}
+
+/** k-wide MinHash signature of a string-set column in ONE compiled pass:
+  * slot i = min over elements of hash60(t) XOR mixConstant(i) — the same
+  * md5-derived family as [[graft.functions.TextFunctions.minhash]], the
+  * explode form, and MinHashAggregator (all DuckDB-mirrorable). Returns
+  * ARRAY<BIGINT>(k); NULL for a NULL or empty input set (matching the
+  * explode form, where such docs aggregate no rows → all-NULL slots).
+  *
+  * At scale this is the signature shape of choice: a pure per-row
+  * projection — no explode (which multiplies the corpus by shingle count
+  * through a shuffle) and no grouped aggregation. The explode+min-agg
+  * form in Dedup predates compiled hashing and is kept only where the
+  * signature must be built from pre-exploded element streams. */
+case class MinHashSlots(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, s"signature width must be >= 1, got $k")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_slots"
+
+  private val mix: Array[Long] =
+    Array.tabulate(k)(graft.functions.TextFunctions.mixConstant)
+
+  def compute(arr: ArrayData): ArrayData = {
+    if (arr == null || arr.numElements() == 0) return null
+    val slots = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = SigHash.hash60(arr.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val v = h ^ mix(j)
+        if (v < slots(j)) slots(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(slots)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhslots", this, classOf[MinHashSlots].getName)
+    nullSafeCodeGen(ctx, ev, input => s"""
+      ${ev.value} = $ref.compute($input);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSlots =
+    copy(child = newChild)
+}
+
+/** SimHash of a token-set column in ONE compiled pass: per element, +1/−1
+  * votes on each of `bits` bit positions of hash60(t); bit set iff its
+  * vote sum is positive. Identical values to the explode + 60-column
+  * grouped-sum form (and its DuckDB mirror) — but as a pure projection:
+  * no explode, no shuffle, no wide aggregation buffers. NULL input →
+  * NULL. */
+case class SimHashBits(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](bits)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = SigHash.hash60(arr.getUTF8String(i))
+      var b = 0
+      while (b < bits) {
+        votes(b) += (((h >>> b) & 1L).toInt * 2) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHashBits].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.compute($input);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}

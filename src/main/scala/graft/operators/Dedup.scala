@@ -46,47 +46,33 @@ object Dedup {
     df.groupBy(fingerprint.as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
-  /** k-wide MinHash signatures: (id, mh0..mh{k-1}) — explode + codegen'd
-    * md5 + partially-aggregable min, one shuffle. Rows with empty shingle
-    * sets (fewer than `shingleSize` tokens) are dropped. */
+  /** k-wide MinHash signatures: (id, mh0..mh{k-1}) as a pure compiled
+    * projection (MinHashSlots — one md5 per element, k xor-permutation
+    * slots in one pass). NO explode, NO aggregation, NO shuffle: the
+    * signature stage is map-only, which is the shape that holds at
+    * 100 TB. Docs with empty shingle sets (fewer than `shingleSize`
+    * tokens) get all-NULL slots — same as the oracle's list_min over []. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    signaturesFromSets(
-      df.select(col(idCol).as("doc_id"),
-        graft.functions.GraftFunctions.wordShingles(col(textCol), shingleSize).as("sh")),
-      numHashes)
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSlots(col("sh"), numHashes).as("__mh"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*)
   }
 
-  private def signaturesFromSets(sh: DataFrame, numHashes: Int): DataFrame = {
-    // One md5 per element; the k slots are xor-permutations of it —
-    // 8× less hashing than k independent md5s, same LSH property.
-    def slot(s: Int) = min(col("g").bitwiseXOR(lit(mixConstant(s)))).as(s"mh$s")
-    val sigs = sh.select(col("doc_id"), explode(col("sh")).as("t"))
-      .select(col("doc_id"), hash64(col("t"), 0).as("g"))
-      .groupBy("doc_id")
-      .agg(slot(0), (1 until numHashes).map(slot): _*)
-    // keep ids whose shingle set is empty (explode drops them): their
-    // signature is all-NULL — same as the oracle's list_min over []
-    sh.select("doc_id").join(sigs, Seq("doc_id"), "left")
-  }
-
-  /** SimHash (bit-vote) signatures: (id, simhash) over distinct tokens.
-    * Same explode + grouped-sum shape — per-bit votes are partial
-    * aggregates, md5 runs once per token inside codegen. */
+  /** SimHash (bit-vote) signatures: (id, simhash) over distinct tokens,
+    * as a pure compiled projection (SimHashBits — all `bits` votes in one
+    * pass per row). NO explode, NO 60-column grouped sum, NO shuffle —
+    * the signature stage is map-only at any corpus size. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
-    val h = df
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .select(col("doc_id"), hash64(col("t"), 0).as("h"))
-    val votes = (0 until bits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
-    h.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until bits).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.GraftFunctions.simhashBits(
+        array_distinct(tokens(col(textCol))), bits).as("simhash"))
   }
 
   /** MinHash+LSH near-duplicate pairs over a text column.
@@ -149,18 +135,16 @@ object Dedup {
 
     val sh = df.select(col(idCol).as("doc_id"), mkSet(col(textCol)).as("sh"))
 
-    // One scan → explode → one grouped aggregation: md5 stays inside
-    // whole-stage codegen, min() partially aggregates map-side, and
-    // collect_set rebuilds the shingle set from the very rows being
-    // hashed. Docs with empty shingle sets simply vanish (explode emits
-    // nothing) — they can never verify, and dropping them here prevents
-    // the degenerate all-empty-docs band bucket.
-    def slot(s: Int) = min(col("g").bitwiseXOR(lit(mixConstant(s)))).as(s"mh$s")
-    val sigs = sh.select(col("doc_id"), explode(col("sh")).as("t"))
-      .select(col("doc_id"), col("t"), hash64(col("t"), 0).as("g"))
-      .groupBy("doc_id")
-      .agg(slot(0), (1 until numHashes).map(slot) :+
-        collect_set(col("t")).as("sh"): _*)
+    // One scan → one compiled projection (MinHashSlots): signatures are
+    // map-only — no explode shuffle, no aggregation. Docs with empty
+    // shingle sets get NULL slots; concat_ws skips NULLs so their band
+    // key is "" — filtered below (they can never verify, and one giant
+    // ""-bucket of short docs would be O(m²) candidates).
+    val sigs = sh.select(col("doc_id"), col("sh"),
+      graft.functions.GraftFunctions.minhashSlots(col("sh"), numHashes).as("__mh"))
+      .select(col("doc_id") :: col("sh") ::
+        (0 until numHashes).map(i =>
+          element_at(col("__mh"), i + 1).as(s"mh$i")).toList: _*)
 
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
@@ -168,6 +152,7 @@ object Dedup {
     val banded = sigs.select(
       (col("doc_id") +: col("sh") +: (0 until numHashes).map(i => col(s"mh$i"))) :+
         posexplode(bandKeys).as(Seq("band", "bkey")): _*)
+      .filter(length(col("bkey")) > 0)
 
     val payload = (side: String, pfx: String) =>
       col(s"$side.sh").as(s"sh_$pfx") +:

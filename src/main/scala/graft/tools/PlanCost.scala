@@ -3,13 +3,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** A/B planning-cost probe: times fresh-plan runs of the named queries
-  * with a Catalyst conf toggled on/off in the same JVM (warm JIT/codegen
-  * cache). Usage: runMain graft.tools.PlanCost <sfDir> <confKey> <q>... */
+  * with a Catalyst conf toggled across values in the same JVM (warm
+  * JIT/codegen cache).
+  * Usage: runMain graft.tools.PlanCost <sfDir> <confKey> <v1,v2> <q>... */
 object PlanCost {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val key = args(1)
-    val names = args.drop(2)
+    val values = args(2).split(",").toSeq
+    val names = args.drop(3)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -29,7 +31,7 @@ object PlanCost {
     }
     // JIT warm pass with default conf
     names.foreach(run)
-    Seq("true", "false", "true", "false").foreach { v =>
+    (values ++ values).foreach { v =>
       spark.conf.set(key, v)
       val times = names.map(n => f"$n=${run(n)}%.2f").mkString(" ")
       println(s"[plancost] $key=$v $times")

@@ -107,6 +107,25 @@ class FunctionsSpec extends SparkTestBase {
     assert(nr._1 === Seq.empty && nr._2 === Seq.empty)
   }
 
+  test("compiled Md5Hash60 equals the conv(md5) built-in composition and java MD5") {
+    GraftFunctions.register(spark)
+    import graft.functions.TextFunctions
+    val vals = Seq("", "a", "the quick", "mix:3", "日本語", "x" * 500)
+    for (seed <- Seq(0, 7)) {
+      val got = vals.toDF("v").select(
+        TextFunctions.hash64(col("v"), seed).as("hof"),
+        GraftFunctions.hash64c(col("v"), seed).as("cg"))
+        .as[(Long, Long)].collect()
+      got.zip(vals).foreach { case ((hof, cg), v) =>
+        assert(hof === cg, s"seed=$seed v='${v.take(20)}'")
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$v:$seed".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        assert(cg === java.lang.Long.parseLong(hex, 16))
+      }
+    }
+  }
+
   test("HOF minhashSig agrees with the explode-based signatures (one family)") {
     import graft.functions.TextFunctions
     import graft.operators.Dedup
