@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.{call_function, lit}
-import graft.functions.expressions.{FixedPointDot, HammingDistance, Md5Hash60, MinHashSlots, NgramShingles, SimHashBits}
+import graft.functions.expressions.{FixedPointDot, FixedPointVectorSum, HammingDistance, Md5Hash60, MinHashSlots, NgramShingles, SimHashBits}
 
 /** Engine function registry: exposes custom Catalyst expressions to both
   * the SQL surface (`SELECT graft_hamming(a, b)`) and the Column API
@@ -34,6 +34,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash",
       (exprs: Seq[Expression]) =>
         SimHashBits(exprs(0), foldedInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_fpvec_sum",
+      (exprs: Seq[Expression]) =>
+        FixedPointVectorSum(exprs(0)), "built-in")
   }
 
   /** Fixed-point (2^58) scaled dot product of two double-array columns
@@ -70,4 +73,10 @@ object GraftFunctions {
     * vote-sum form). */
   def simhashBits(set: Column, bits: Int): Column =
     call_function("graft_simhash", set, lit(bits))
+
+  /** Elementwise Σ floor(x_j·2^40) aggregate over array columns — the
+    * centroid partial sums without a dimension-explode (see
+    * FixedPointVectorSum). */
+  def fpVecSum(arr: Column): Column =
+    call_function("graft_fpvec_sum", arr)
 }

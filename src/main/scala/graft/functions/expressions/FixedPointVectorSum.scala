@@ -1,0 +1,83 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Elementwise fixed-point vector sum aggregate: buffer(j) accumulates
+  * Σ floor(x_j · 2^40) as int64 over all input arrays — the exact partial
+  * sums the q37 centroid mirror defines, but WITHOUT exploding the corpus
+  * by its dimensionality: `posexplode → groupBy(label, j)` multiplies a
+  * 100 TB embedding table 64× through the exchange, while this aggregate
+  * map-side-combines long-array partials and shuffles one buffer per
+  * (group × partition). Same longs, same order-independence (integer
+  * addition is associative), bit-identical downstream math.
+  *
+  * Null elements are skipped (matching COUNT(x)/SUM semantics of the
+  * mirror's per-component aggregation when arrays are complete — the
+  * corpus contract); ragged inputs accumulate into the longest width
+  * seen. Empty groups evaluate to NULL.
+  */
+case class FixedPointVectorSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+  /** 2^40 — matches the q37 oracle mirror's floor(x * 1099511627776.0). */
+  private val Scale = 1099511627776.0
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fpvec_sum"
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input).asInstanceOf[ArrayData]
+    if (v == null) return buffer
+    val n = v.numElements()
+    val b = if (buffer.length >= n) buffer else java.util.Arrays.copyOf(buffer, n)
+    var j = 0
+    while (j < n) {
+      if (!v.isNullAt(j)) b(j) += math.floor(v.getDouble(j) * Scale).toLong
+      j += 1
+    }
+    b
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    val (big, small) =
+      if (buffer.length >= other.length) (buffer, other) else (other, buffer)
+    var j = 0
+    while (j < small.length) { big(j) += small(j); j += 1 }
+    big
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.length == 0) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FixedPointVectorSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FixedPointVectorSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FixedPointVectorSum =
+    copy(child = newChildren.head)
+}

@@ -137,17 +137,21 @@ object Vector extends QueryModule {
         string_agg(CAST(CAST(floor(comp * 1048576.0) AS BIGINT) AS VARCHAR),
                    ',' ORDER BY j) AS centroid
       FROM comp GROUP BY label ORDER BY label""")) { (s, d) =>
+      // One grouped aggregation with an array buffer (FixedPointVectorSum)
+      // instead of posexplode + groupBy(label, j): the explode shape
+      // multiplies the corpus by its dimensionality (64×) through the
+      // exchange; the array aggregate map-side-combines and shuffles one
+      // 64-long buffer per (label × partition). Same longs, same math.
+      graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("j", "x")))
-        .groupBy("label", "j")
-        .agg(((sum(floor(col("x").cast("double") * 1099511627776.0).cast("long")).cast("double")
-          / 1099511627776.0) / count(col("x"))).as("comp"))
-        .select(col("label"), col("j"),
-          floor(col("comp") * 1048576.0).cast("long").as("fp"))
         .groupBy("label")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("j"), col("fp")))),
-            s => s.getField("fp").cast("string")), ",").as("centroid"))
+        .agg(graft.functions.GraftFunctions.fpVecSum(
+            col("embedding").cast("array<double>")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("label"), array_join(
+          transform(col("s"), v =>
+            floor(((v.cast("double") / 1099511627776.0) / col("n")) * 1048576.0)
+              .cast("long").cast("string")), ",").as("centroid"))
         .orderBy("label")
     }
   )

@@ -139,6 +139,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(hof === exploded)
   }
 
+  test("FixedPointVectorSum matches the explode formulation across partitionings") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(40)(i => (i % 3, Array.fill(8)(rnd.nextDouble() - 0.5)))
+    def viaAgg(parts: Int): Map[Int, Seq[Long]] =
+      rows.toDF("label", "v").repartition(parts)
+        .groupBy("label").agg(GraftFunctions.fpVecSum(col("v")).as("s"))
+        .as[(Int, Seq[Long])].collect().toMap
+    val viaExplode = rows.toDF("label", "v")
+      .select(col("label"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy("label", "j")
+      .agg(sum(floor(col("x") * 1099511627776.0).cast("long")).as("s"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rs) => l -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(viaAgg(1) === viaExplode)
+    assert(viaAgg(7) === viaExplode) // partial-merge across partitions
+  }
+
   test("MinHashAggregator matches a two-pass elementwise-min computation") {
     val hashes = Seq(11L, 22L, 33L, 44L, 55L)
     val agg = new MinHashAggregator(8)
