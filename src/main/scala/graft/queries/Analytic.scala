@@ -19,12 +19,16 @@ object Analytic extends QueryModule {
       // single-row-group files (unsplittable), and percentile's partial
       // aggregation is heavy — a narrow 2-column shuffle buys full
       // parallelism for it
+      // one percentile buffer for both cut points (array form) — halves
+      // the per-group sort/state vs two separate percentile aggregates
       val slim = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
       slim.repartition(slim.sparkSession.sparkContext.defaultParallelism)
         .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9))).as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p50"),
+          element_at(col("ps"), 2).as("p90"))
         .orderBy("l_returnflag")
     },
 
@@ -45,13 +49,16 @@ object Analytic extends QueryModule {
       slim.repartition(slim.sparkSession.sparkContext.defaultParallelism)
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
-          approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
-          approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"))
-        .select(col("l_returnflag"), col("p50"), col("p90"),
-          (abs(col("a50") - col("p50")) / col("p50") <= 0.01 &&
-           abs(col("a90") - col("p90")) / col("p90") <= 0.01)
+          percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("ps"),
+          approx_percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9)), lit(10000)).as("as"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p50"),
+          element_at(col("ps"), 2).as("p90"),
+          (abs(element_at(col("as"), 1) - element_at(col("ps"), 1))
+             / element_at(col("ps"), 1) <= 0.01 &&
+           abs(element_at(col("as"), 2) - element_at(col("ps"), 2))
+             / element_at(col("ps"), 2) <= 0.01)
             .as("approx_within_tol"))
         .orderBy("l_returnflag")
     },
