@@ -75,6 +75,45 @@ object Dedup {
         array_distinct(tokens(col(textCol))), bits).as("simhash"))
   }
 
+  /** Connected components over an undirected near-duplicate pair list
+    * ((a, b) rows): returns (id, cluster) where cluster = the minimum id
+    * in the component — the canonical representative a keep-one-per-
+    * cluster dedup policy retains. Ids without any pair are absent (they
+    * are their own cluster trivially).
+    *
+    * Min-label propagation: each iteration every node takes the min of
+    * its own and its neighbors' labels; converges in O(component
+    * diameter) rounds — near-dup clusters are dense (template families),
+    * so diameters are small. Each round is one equi-join + one partial-
+    * aggregated min — the standard distributed-CC shape that holds at
+    * corpus scale. Lineage is cut per round (`localCheckpoint`):
+    * iterative plans otherwise grow exponentially in the optimizer.
+    * The driver-side loop is the iteration counter only — per-round data
+    * never leaves the executors beyond the one-row convergence count. */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("cluster")).as("nbr"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).limit(1).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** MinHash+LSH near-duplicate pairs over a text column.
     *
     * shingle(n) → k-wide MinHash signature → `bands` bands of k/bands rows

@@ -25,6 +25,26 @@ object Text extends QueryModule {
   private val dkShingles =
     "list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2],' ')))"
 
+  /** DuckDB: the full LSH near-dup pair pipeline as a CTE chain ending in
+    * j(a, b, jaccard) — shared by q31 (pairs) and q71 (clusters). */
+  private lazy val dkLshPairs = s"""sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      sh AS (SELECT doc_id, $dkShingles AS sh FROM sp),
+      mh AS (SELECT doc_id, sh,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(sh, t -> xor(${dkHash("t", 0)}, ${dkMix(i)}))) AS mh$i").mkString(",\n        ")}
+      FROM sh),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM mh")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      j AS (SELECT c.a, c.b,
+        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        FROM cand c JOIN mh sa ON sa.doc_id = c.a JOIN mh sb ON sb.doc_id = c.b)"""
+
   val all: Seq[Q] = Seq(
 
     // ---- PII-style redaction (training-data scrubbing) ----
@@ -149,27 +169,34 @@ object Text extends QueryModule {
 
     // ---- full MinHash+LSH near-duplicate pipeline (bucket join, no n²) ----
     Q("q31_lsh_near_dup", Some(s"""
-      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
-      sh AS (SELECT doc_id, $dkShingles AS sh FROM sp),
-      mh AS (SELECT doc_id, sh,
-        ${(0 until 8).map(i =>
-          s"list_min(list_transform(sh, t -> xor(${dkHash("t", 0)}, ${dkMix(i)}))) AS mh$i").mkString(",\n        ")}
-      FROM sh),
-      bands AS (
-        ${(0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM mh")
-          .mkString("\n        UNION ALL ")}),
-      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-      j AS (SELECT c.a, c.b,
-        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-        FROM cand c JOIN mh sa ON sa.doc_id = c.a JOIN mh sb ON sb.doc_id = c.b)
+      WITH $dkLshPairs
       SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""")) { (s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
           numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
         .orderBy("a", "b")
+    },
+
+    // ---- near-dup clusters + keep-one policy (connected components) ----
+    // DuckDB mirror: recursive CTE propagates every reachable node id,
+    // MIN per node = the component's canonical (minimum) id — identical
+    // to the Spark side's min-label propagation fixpoint.
+    Q("q71_near_dup_clusters", Some(s"""
+      WITH RECURSIVE $dkLshPairs,
+      p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+      edges AS (SELECT a AS src, b AS dst FROM p
+                UNION ALL SELECT b, a FROM p),
+      walk(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst)
+      SELECT id AS doc_id, MIN(lab) AS cluster, (MIN(lab) = id) AS keep
+      FROM walk GROUP BY id ORDER BY doc_id""")) { (s, d) =>
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+      Dedup.nearDupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("cluster") === col("id")).as("keep"))
+        .orderBy("doc_id")
     },
 
     // ---- SimHash (16-bit) ----

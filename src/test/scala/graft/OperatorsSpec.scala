@@ -95,6 +95,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 4).count() === 1)
   }
 
+  test("nearDupClusters finds components: chain, triangle, pair (min-id canonical)") {
+    // chain 1-2-3-4 (diameter 3 — needs multiple propagation rounds),
+    // triangle 10-11-12, pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("a", "b")
+    val got = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("rollingFingerprint is order-sensitive") {
     val df = Seq("a b c", "c b a").toDF("text")
       .select(rollingFingerprint(col("text")).as("fp"))
