@@ -92,6 +92,21 @@ object EngineProps extends Properties("graft") {
         !clean.matches(".*[0-9]{6,}.*") && once == twice
     }
 
+  property("compiled NgramShingles == HOF shingles/charNgrams on random text") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "ccc", "", " ", "dd d", "ée€"))) { parts =>
+      val spk = spark; import spk.implicits._
+      import graft.functions.{GraftFunctions, TextFunctions}
+      GraftFunctions.register(spk)
+      val s = parts.mkString(" ")
+      val r = Seq(s).toDF("t").select(
+        TextFunctions.shingles(col("t"), 3).as("wh"),
+        GraftFunctions.wordShingles(col("t"), 3).as("wc"),
+        TextFunctions.charNgrams(col("t"), 4).as("ch"),
+        GraftFunctions.charNgrams(col("t"), 4).as("cc"))
+        .as[(Seq[String], Seq[String], Seq[String], Seq[String])].head()
+      r._1 == r._2 && r._3 == r._4
+    }
+
   /** IVF with nprobe = kCentroids degenerates to exact search: probing
     * every cell must reproduce brute-force top-k exactly. */
   property("ivfTopK with full probe equals bruteForceTopK") =
