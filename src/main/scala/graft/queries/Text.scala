@@ -26,8 +26,9 @@ object Text extends QueryModule {
     "list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2],' ')))"
 
   /** DuckDB: the full LSH near-dup pair pipeline as a CTE chain ending in
-    * j(a, b, jaccard) — shared by q31 (pairs) and q71 (clusters). */
-  private lazy val dkLshPairs = s"""sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+    * j(a, b, jaccard) over source relation `src` — shared by q31 (pairs),
+    * q71 (clusters) and q72 (pipeline). */
+  private def dkLshPairsFrom(src: String) = s"""sp AS (SELECT doc_id, string_split(text,' ') tk FROM $src),
       sh AS (SELECT doc_id, $dkShingles AS sh FROM sp),
       mh AS (SELECT doc_id, sh,
         ${(0 until 8).map(i =>
@@ -44,6 +45,8 @@ object Text extends QueryModule {
         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
         FROM cand c JOIN mh sa ON sa.doc_id = c.a JOIN mh sb ON sb.doc_id = c.b)"""
+
+  private lazy val dkLshPairs = dkLshPairsFrom("documents")
 
   val all: Seq[Q] = Seq(
 
@@ -196,6 +199,50 @@ object Text extends QueryModule {
       Dedup.nearDupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster"),
           (col("cluster") === col("id")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- end-to-end training-data pipeline (capstone) ----
+    // lang-ID filter → quality gate → PII redaction → exact dedup
+    // (keep min id per content hash) → near-dup drop. The near-dup
+    // policy here is the greedy local-minima form (drop any doc with a
+    // smaller near-duplicate — one anti-join); q71's connected components
+    // is the exact-canonical alternative when transitive clusters matter.
+    Q("q72_training_pipeline", Some(s"""
+      WITH f AS (SELECT doc_id, text FROM documents
+        WHERE len(list_filter(string_split(text,' '),
+                t -> t IN ('the','a','of','and','is'))) > 0
+          AND least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)*0.5
+            + (1.0 - CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE)
+                / len(string_split(text,' ')))*0.3
+            + least(1.0, (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                / len(string_split(text,' ')))/8.0)*0.2 >= 0.5),
+      r AS (SELECT doc_id,
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '[0-9]{6,}', '[ID]', 'g') AS text FROM f),
+      ex AS (SELECT MIN(doc_id) AS doc_id FROM r GROUP BY md5(text)),
+      kept AS (SELECT r.doc_id, r.text FROM r JOIN ex ON r.doc_id = ex.doc_id),
+      ${dkLshPairsFrom("kept")},
+      p AS (SELECT a, b FROM j WHERE jaccard >= 0.5)
+      SELECT k.doc_id,
+        CAST(len(string_split(k.text,' ')) AS INT) AS n_tokens
+      FROM kept k WHERE k.doc_id NOT IN (SELECT b FROM p)
+      ORDER BY k.doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val f = docs.filter(langId(col("text")) === "en" &&
+        qualityScore(col("text")) >= 0.5)
+      val r = f.select(col("doc_id"),
+        graft.functions.TextFunctions.redact(col("text")).as("text"))
+      val keepIds = r.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val kept = r.join(keepIds, Seq("doc_id"), "left_semi")
+      val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
+        numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+      kept.join(pairs.select(col("b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
     },
 
