@@ -13,9 +13,13 @@ import graft.operators.Similarity
 object Vector extends QueryModule {
 
   /** DuckDB mirror of VectorFunctions.scaledSum: fixed-point (2^58)
-    * floor-scaled integer sum — bit-identical in any IEEE engine. */
+    * floor-scaled integer sum — bit-identical in any IEEE engine. The sum
+    * is re-cast to BIGINT before the DOUBLE conversion: DuckDB's
+    * SUM(BIGINT) yields a HUGEINT whose direct →DOUBLE cast double-rounds
+    * for |sum| > 2^53 (observed 1-ulp drift vs Java's correctly-rounded
+    * long→double), while BIGINT→DOUBLE rounds correctly. */
   private def dkDecSum(x: String): String =
-    s"CAST(SUM(CAST(floor(($x) * 2.88230376151711744e17) AS BIGINT)) AS DOUBLE) / 2.88230376151711744e17"
+    s"CAST(CAST(SUM(CAST(floor(($x) * 2.88230376151711744e17) AS BIGINT)) AS BIGINT) AS DOUBLE) / 2.88230376151711744e17"
 
   private val dkNorm2 = s"""
       n2 AS (SELECT vec_id,
@@ -81,6 +85,77 @@ object Vector extends QueryModule {
       Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 8,
           planes = 4, dim = 64, k = 3)
         .orderBy("qid", "rank")
+    },
+
+    // ---- int8 embedding quantization (4× ANN memory/shuffle reduction) ----
+    // Symmetric max-abs quantization: scale = 127/max|x|, q_i =
+    // floor(x_i·scale + 0.5) ∈ [-127, 127] (floor(+0.5) is the portable
+    // round-half-up — both engines' round() differ in tie handling).
+    // Approx cosine from integer dot products (exact int64 sums) is
+    // gated against the exact fixed-point cosine with a 0.05 tolerance;
+    // exact cosines hash-match as scalars.
+    Q("q73_int8_quant", Some(s"""
+      WITH $dkNorm2,
+      sc AS (SELECT vec_id, embedding,
+        127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings),
+      qv AS (SELECT vec_id, scale,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS q
+        FROM sc),
+      pairs AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+          a.q AS qa, b.q AS qb, a.scale AS sa, b.scale AS sb
+        FROM qv a JOIN qv b ON a.vec_id < 4 AND b.vec_id >= 4 AND b.vec_id < 20),
+      dots AS (SELECT p.qid, p.vid,
+        (CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> p.qa[i] * p.qb[i])) AS DOUBLE) / (p.sa * p.sb)) AS adot,
+        (CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> p.qa[i] * p.qa[i])) AS DOUBLE) / (p.sa * p.sa)) AS an2a,
+        (CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> p.qb[i] * p.qb[i])) AS DOUBLE) / (p.sb * p.sb)) AS an2b
+        FROM pairs p),
+      ex AS (SELECT q.vec_id AS qid, e.vec_id AS vid,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM embeddings q JOIN embeddings e
+          ON q.vec_id < 4 AND e.vec_id >= 4 AND e.vec_id < 20,
+          generate_series(1, 64) g(j)
+        GROUP BY q.vec_id, e.vec_id)
+      SELECT d.qid, d.vid,
+        ex.dot/(sqrt(a.n2)*sqrt(b.n2)) AS exact_cosine,
+        (abs(d.adot/(sqrt(d.an2a)*sqrt(d.an2b))
+           - ex.dot/(sqrt(a.n2)*sqrt(b.n2))) <= 0.05) AS approx_ok
+      FROM dots d JOIN ex ON ex.qid = d.qid AND ex.vid = d.vid
+        JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid
+      ORDER BY d.qid, d.vid""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Similarity.withNorm2(Tables.embeddings(s, d))
+      val dbl = col("embedding").cast("array<double>")
+      val qv = e.select(col("vec_id"), col("embedding"), col("n2"),
+        (lit(127.0) / array_max(transform(dbl, x => abs(x)))).as("scale"))
+        .withColumn("q", transform(col("embedding").cast("array<double>"),
+          x => floor(x * col("scale") + lit(0.5)).cast("long")))
+      val a = qv.select(col("vec_id").as("qid"), col("q").as("qa"),
+        col("scale").as("sa"), col("embedding").as("emb_a"), col("n2").as("n2a"))
+        .filter(col("qid") < 4)
+      val b = qv.select(col("vec_id").as("vid"), col("q").as("qb"),
+        col("scale").as("sb"), col("embedding").as("emb_b"), col("n2").as("n2b"))
+        .filter(col("vid") >= 4 && col("vid") < 20)
+      def idot(x: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+      a.join(broadcast(b))
+        .withColumn("adot", idot(col("qa"), col("qb")).cast("double")
+          / (col("sa") * col("sb")))
+        .withColumn("an2a", idot(col("qa"), col("qa")).cast("double")
+          / (col("sa") * col("sa")))
+        .withColumn("an2b", idot(col("qb"), col("qb")).cast("double")
+          / (col("sb") * col("sb")))
+        .withColumn("exact_cosine", cosineFrom(
+          dotExact(col("emb_a"), col("emb_b")), col("n2a"), col("n2b")))
+        .select(col("qid"), col("vid"), col("exact_cosine"),
+          (abs(col("adot") / (sqrt(col("an2a")) * sqrt(col("an2b")))
+            - col("exact_cosine")) <= 0.05).as("approx_ok"))
+        .orderBy("qid", "vid")
     },
 
     // ---- IVF ANN top-3 (inverted-file scale path; see Similarity.ivfTopK) ----
