@@ -246,6 +246,27 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- deterministic hash split (train/val/test curation) ----
+    // Hash-percentile assignment is stable under repartitioning, retries
+    // and row order — unlike RNG sample/randomSplit — and both engines
+    // reproduce it exactly from md5. Counts per (lang, split) hash-gate
+    // the whole assignment.
+    Q("q74_hash_split", Some(s"""
+      WITH h AS (SELECT lang,
+        CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':42'),1,15)) AS BIGINT) % 100 AS b
+        FROM documents)
+      SELECT lang,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        COUNT(*) AS n
+      FROM h GROUP BY 1, 2 ORDER BY lang, split""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .withColumn("split",
+          graft.operators.Sampling.assignSplit(col("doc_id"), seed = 42))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+
     // ---- SimHash (16-bit) ----
     Q("q32_simhash", Some(s"""
       WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t

@@ -111,6 +111,26 @@ class OperatorsSpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("hash sampling is repartition-stable and splits are exhaustive") {
+    import graft.operators.Sampling
+    graft.functions.GraftFunctions.register(spark)
+    val ids = (1L to 1000L).toDF("id")
+    val s1 = Sampling.sampleHash(ids, "id", pct = 20, seed = 7)
+      .as[Long].collect().toSet
+    val s2 = Sampling.sampleHash(ids.repartition(13), "id", pct = 20, seed = 7)
+      .as[Long].collect().toSet
+    assert(s1 === s2) // same rows regardless of physical layout
+    assert(s1.size > 120 && s1.size < 280) // ~20%
+    // different seed -> different sample
+    val s3 = Sampling.sampleHash(ids, "id", pct = 20, seed = 8).as[Long].collect().toSet
+    assert(s1 !== s3)
+    // split assignment is exhaustive and ~80/10/10
+    val splits = ids.withColumn("sp", Sampling.assignSplit(col("id"), seed = 42))
+      .groupBy("sp").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet === Set("train", "val", "test"))
+    assert(splits("train") > 700 && splits("train") < 900)
+  }
+
   test("rollingFingerprint is order-sensitive") {
     val df = Seq("a b c", "c b a").toDF("text")
       .select(rollingFingerprint(col("text")).as("fp"))
