@@ -267,6 +267,39 @@ object Text extends QueryModule {
         .orderBy("lang", "split")
     },
 
+    // ---- benchmark decontamination (shingle-overlap flagging) ----
+    // The standard eval-contamination check: flag corpus docs sharing ≥ 2
+    // distinct 3-token shingles with any benchmark doc (stand-in
+    // benchmark: doc_id < 5). Scale shape: the benchmark side is tiny by
+    // contract — its exploded shingle set broadcasts, the corpus side is
+    // one scan + compiled shingling, and the overlap count is a partial
+    // aggregation; no corpus self-join anywhere. Mirror verifies with
+    // list_intersect over the same shingle definition.
+    Q("q75_decontamination", Some(s"""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2],' '))) AS sh
+        FROM sp),
+      b AS (SELECT doc_id AS bench_id, sh AS bsh FROM sh WHERE doc_id < 5),
+      t AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 5)
+      SELECT t.doc_id, b.bench_id,
+        CAST(len(list_intersect(t.sh, b.bsh)) AS BIGINT) AS n_shared
+      FROM t, b
+      WHERE len(list_intersect(t.sh, b.bsh)) >= 2
+      ORDER BY t.doc_id, b.bench_id""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.GraftFunctions.wordShingles(col("text"), 3).as("sh"))
+      val bench = sh.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("bench_id"), explode(col("sh")).as("t"))
+      val train = sh.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(col("sh")).as("t"))
+      train.join(broadcast(bench), Seq("t"))
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_id", "bench_id")
+    },
+
     // ---- SimHash (16-bit) ----
     Q("q32_simhash", Some(s"""
       WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
