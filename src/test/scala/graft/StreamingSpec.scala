@@ -49,6 +49,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming corpus ingestion dedups by content fingerprint (U6 x T5)") {
+    // documents arriving on a stream, exact-dedup by md5(text): the batch
+    // q29 policy applied online — duplicate content never reaches the sink
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docs = ms.toDF().toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicates("fp")
+    val q = docs.writeStream.format("memory").queryName("corpus")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "the quick brown fox"), (2L, "other text"))
+      q.processAllAvailable()
+      ms.addData((3L, "the quick brown fox"), (4L, "third text")) // 3 = dup content
+      q.processAllAvailable()
+      val kept = spark.table("corpus").select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("keepLatestPerUser emits the newest row per user (T4/A3)") {
     val ms = newEvents()
     val q = StatefulOps.keepLatestPerUser(ms.toDS())
