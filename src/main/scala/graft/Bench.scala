@@ -34,7 +34,8 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Measure queries independently: drop any cached blocks between runs.
+      // Measure queries independently: defensively drop any cached blocks
+      // (operators no longer persist, but clearCache is cheap insurance).
       spark.catalog.clearCache()
       (name, dt, ok)
     }

@@ -81,16 +81,19 @@ object Dedup {
     * cluster dedup policy retains. Ids without any pair are absent (they
     * are their own cluster trivially).
     *
-    * Min-label propagation: each iteration every node takes the min of
-    * its own and its neighbors' labels; converges in O(component
-    * diameter) rounds — near-dup clusters are dense (template families),
-    * so diameters are small. Each round is one equi-join + one partial-
-    * aggregated min — the standard distributed-CC shape that holds at
-    * corpus scale. Lineage is cut per round (`localCheckpoint`):
-    * iterative plans otherwise grow exponentially in the optimizer.
-    * The driver-side loop is the iteration counter only — per-round data
-    * never leaves the executors beyond the one-row convergence count. */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Each round does min-label propagation (every node takes the min of
+    * its own and its neighbors' labels) FOLLOWED by a pointer jump
+    * (label(v) ← label(label(v))): jumping halves label-chain depth, so
+    * convergence is O(log n) rounds even for path-shaped components —
+    * plain propagation alone needs O(diameter) rounds and would silently
+    * truncate long chains at `maxIter` (now a loud failure instead).
+    * Rounds are one equi-join + partial-aggregated min + one self-join —
+    * the standard distributed-CC shape at corpus scale. Lineage is cut
+    * per round (`localCheckpoint`): iterative plans otherwise grow
+    * exponentially in the optimizer. The driver-side loop is the
+    * iteration counter only — per-round data never leaves the executors
+    * beyond the one-row convergence probe. */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
@@ -102,15 +105,25 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("cluster")).as("nbr"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+      // pointer jump: cluster labels are themselves node ids, so follow
+      // one hop of the label chain (labels only ever decrease → safe)
+      val hop = prop.select(col("id").as("jid"), col("cluster").as("jcluster"))
+      val jumped = prop.join(hop, prop("cluster") === hop("jid"), "left")
+        .select(prop("id"),
+          least(prop("cluster"), coalesce(col("jcluster"), prop("cluster")))
+            .as("cluster"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
+      converged = jumped.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).limit(1).isEmpty
-      labels = updated
+      labels = jumped
       i += 1
     }
+    require(converged,
+      s"nearDupClusters did not converge in $maxIter rounds — component " +
+        "structure deeper than 2^maxIter; raise maxIter")
     labels
   }
 

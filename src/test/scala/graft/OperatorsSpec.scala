@@ -111,6 +111,15 @@ class OperatorsSpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("nearDupClusters converges on a long chain (pointer jumping, not O(diameter))") {
+    // path 0-1-2-...-63: diameter 63 — plain propagation would need 63
+    // rounds; jumping converges well within maxIter=25
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.nearDupClusters(chain).as[(Long, Long)].collect()
+    assert(got.length === 64)
+    assert(got.forall(_._2 === 0L))
+  }
+
   test("hash sampling is repartition-stable and splits are exhaustive") {
     import graft.operators.Sampling
     graft.functions.GraftFunctions.register(spark)
