@@ -25,8 +25,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
-    def foldedInt(e: Expression): Int =
-      e.eval(null) match { case i: Int => i case l: Long => l.toInt }
+    def foldedInt(e: Expression): Int = {
+      require(e.foldable,
+        s"graft function width/seed argument must be a literal, got: ${e.sql}")
+      e.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft function width/seed argument must be integral, got: $other")
+      }
+    }
 
     ext.injectFunction((FunctionIdentifier("graft_hamming"), info("graft_hamming"),
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))

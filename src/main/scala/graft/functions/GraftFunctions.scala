@@ -17,8 +17,16 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fixed_dot",
       (exprs: Seq[Expression]) => FixedPointDot(exprs(0), exprs(1)), "built-in")
-    def foldedInt(e: Expression): Int =
-      e.eval(null) match { case i: Int => i case l: Long => l.toInt }
+    def foldedInt(e: Expression): Int = {
+      require(e.foldable,
+        s"graft function width/seed argument must be a literal, got: ${e.sql}")
+      e.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft function width/seed argument must be integral, got: $other")
+      }
+    }
     reg.createOrReplaceTempFunction("graft_word_shingles",
       (exprs: Seq[Expression]) =>
         NgramShingles(exprs(0), foldedInt(exprs(1)), word = true), "built-in")

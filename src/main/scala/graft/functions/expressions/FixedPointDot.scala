@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ImplicitCastInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -17,10 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * differ (zip_with pads with NULL, which poisons the aggregate) or any
   * element is NULL, whereas this expression truncates to the shorter
   * length and skips null elements, returning a number. Covered by
-  * ExpressionsSpec's divergent-case tests.
+  * FunctionsSpec's divergent-case tests.
   */
 case class FixedPointDot(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))

@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ImplicitCastInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * bits, same Long.
   */
 case class Md5Hash60(child: Expression, seed: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
@@ -29,23 +29,7 @@ case class Md5Hash60(child: Expression, seed: Int)
 
   private val suffix: Array[Byte] = s":$seed".getBytes("UTF-8")
 
-  @transient private lazy val digest =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
-  def compute(s: UTF8String): Long = {
-    val md = digest.get()
-    md.reset()
-    md.update(s.getBytes)
-    md.update(suffix)
-    val d = md.digest()
-    // first 15 hex chars == top 60 bits of the first 8 bytes (big-endian)
-    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
-      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
-  }
+  def compute(s: UTF8String): Long = Md5Hash60.hash60(s, suffix)
 
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -57,4 +41,25 @@ case class Md5Hash60(child: Expression, seed: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
     copy(child = newChild)
+}
+
+object Md5Hash60 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The one md5→60-bit derivation every engine hash shares: first 15 hex
+    * chars of md5(s ++ suffix) == top 60 bits of the first 8 digest bytes
+    * (big-endian). */
+  def hash60(s: UTF8String, suffix: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    md.update(s.getBytes)
+    md.update(suffix)
+    val d = md.digest()
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
 }

@@ -1,30 +1,17 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ImplicitCastInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Shared md5-60 element hashing for the signature expressions: the value
-  * of `CAST(('0x'||substr(md5(v||':0'),1,15)) AS BIGINT)` per element (see
-  * [[Md5Hash60]] for the bytes→60-bit derivation). */
+/** Shared md5-60 element hashing for the signature expressions (seed 0):
+  * the value of `CAST(('0x'||substr(md5(v||':0'),1,15)) AS BIGINT)` per
+  * element — one shared derivation with [[Md5Hash60]]. */
 private[expressions] object SigHash {
   private val suffix = ":0".getBytes("UTF-8")
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-  def hash60(s: UTF8String): Long = {
-    val md = digest.get()
-    md.reset()
-    md.update(s.getBytes)
-    md.update(suffix)
-    val d = md.digest()
-    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
-      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
-  }
+  def hash60(s: UTF8String): Long = Md5Hash60.hash60(s, suffix)
 }
 
 /** k-wide MinHash signature of a string-set column in ONE compiled pass:
@@ -33,6 +20,8 @@ private[expressions] object SigHash {
   * explode form, and MinHashAggregator (all DuckDB-mirrorable). Returns
   * ARRAY<BIGINT>(k); NULL for a NULL or empty input set (matching the
   * explode form, where such docs aggregate no rows → all-NULL slots).
+  * NULL elements are skipped, exactly as `array_min` skips the NULL that
+  * `hash64(NULL)` produces in the HOF form.
   *
   * At scale this is the signature shape of choice: a pure per-row
   * projection — no explode (which multiplies the corpus by shingle count
@@ -40,7 +29,7 @@ private[expressions] object SigHash {
   * form in Dedup predates compiled hashing and is kept only where the
   * signature must be built from pre-exploded element streams. */
 case class MinHashSlots(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(k >= 1, s"signature width must be >= 1, got $k")
 
@@ -55,17 +44,22 @@ case class MinHashSlots(child: Expression, k: Int)
     if (arr == null || arr.numElements() == 0) return null
     val slots = Array.fill(k)(Long.MaxValue)
     var i = 0
+    var seen = false
     val n = arr.numElements()
     while (i < n) {
-      val h = SigHash.hash60(arr.getUTF8String(i))
-      var j = 0
-      while (j < k) {
-        val v = h ^ mix(j)
-        if (v < slots(j)) slots(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = SigHash.hash60(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val v = h ^ mix(j)
+          if (v < slots(j)) slots(j) = v
+          j += 1
+        }
       }
       i += 1
     }
+    if (!seen) return null // all-NULL set behaves like an empty set
     new GenericArrayData(slots)
   }
 
@@ -89,11 +83,14 @@ case class MinHashSlots(child: Expression, k: Int)
 /** SimHash of a token-set column in ONE compiled pass: per element, +1/−1
   * votes on each of `bits` bit positions of hash60(t); bit set iff its
   * vote sum is positive. Identical values to the explode + 60-column
-  * grouped-sum form (and its DuckDB mirror) — but as a pure projection:
-  * no explode, no shuffle, no wide aggregation buffers. NULL input →
-  * NULL. */
+  * grouped-sum form (and its DuckDB mirror) for non-empty, non-null
+  * token sets — the contract of `array_distinct(split(...))`, which
+  * always yields ≥ 1 element — but as a pure projection: no explode, no
+  * shuffle, no wide aggregation buffers. Outside that contract: NULL
+  * input → NULL; NULL elements are skipped; an empty/all-NULL set yields
+  * signature 0 (the explode form emits no row at all for such docs). */
 case class SimHashBits(child: Expression, bits: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
 
@@ -106,11 +103,13 @@ case class SimHashBits(child: Expression, bits: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = SigHash.hash60(arr.getUTF8String(i))
-      var b = 0
-      while (b < bits) {
-        votes(b) += (((h >>> b) & 1L).toInt * 2) - 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val h = SigHash.hash60(arr.getUTF8String(i))
+        var b = 0
+        while (b < bits) {
+          votes(b) += (((h >>> b) & 1L).toInt * 2) - 1
+          b += 1
+        }
       }
       i += 1
     }

@@ -107,6 +107,28 @@ class FunctionsSpec extends SparkTestBase {
     assert(nr._1 === Seq.empty && nr._2 === Seq.empty)
   }
 
+  test("SQL callers get implicit coercion; null elements are skipped in signatures") {
+    GraftFunctions.register(spark)
+    // int literal coerces to the LongType input (ImplicitCastInputTypes)
+    assert(spark.sql("SELECT graft_hamming(0, 7)").as[Int].head() === 3)
+    // float arrays widen to double for the fixed dot
+    val d = spark.sql(
+      "SELECT graft_fixed_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
+      .as[Long].head()
+    assert(d === (1L << 58))
+    // null elements skipped, all-null set behaves like empty (NULL out)
+    val r = spark.sql("""
+      SELECT graft_minhash_slots(array('a', CAST(NULL AS STRING)), 2) AS m,
+             graft_minhash_slots(array(CAST(NULL AS STRING)), 2) AS mn,
+             graft_simhash(array('a', CAST(NULL AS STRING)), 8) AS s""").head()
+    val only = spark.sql("SELECT graft_minhash_slots(array('a'), 2)")
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(r.getAs[scala.collection.Seq[Long]]("m").toSeq === only.toSeq)
+    assert(r.isNullAt(1))
+    val sOnly = spark.sql("SELECT graft_simhash(array('a'), 8)").as[Long].head()
+    assert(r.getAs[Long]("s") === sOnly)
+  }
+
   test("compiled Md5Hash60 equals the conv(md5) built-in composition and java MD5") {
     GraftFunctions.register(spark)
     import graft.functions.TextFunctions
