@@ -40,11 +40,21 @@ object AsOf {
       carried: Seq[String]): DataFrame = {
 
     val leftCols = left.columns
-    // side 0 = right (sorts before left at equal time → inclusive <=)
-    val taggedRight = right.select(
-      (col(key).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        col(rightTiebreak).as("__tb") +:
-        carried.map(c => col(c).as(s"__c_$c"))): _*)
+    // Range-join parity for NULLs: a right row with NULL key or NULL time
+    // can never satisfy `r.key = l.key AND r.time <= l.time`, so it must
+    // not be carried — drop such rows up front. (Left rows with NULL key
+    // then simply find no right rows in their partition → NULL carry,
+    // matching the join.) Side 0 = right (sorts before left at equal
+    // time → inclusive <=).
+    val taggedRight = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        col(rightTiebreak).as("__tb"),
+        // carry the MATCHED ROW as one struct: carrying columns
+        // independently with per-column ignoreNulls would stitch values
+        // from different right rows whenever the true match holds a NULL
+        struct(carried.map(col): _*).as("__r"))
     val taggedLeft = left.select(
       (col(key).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
         lit(null).cast(right.schema(rightTiebreak).dataType).as("__tb") +:
@@ -57,12 +67,10 @@ object AsOf {
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val withCarried = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__latest_$c", last(col(s"__c_$c"), ignoreNulls = true).over(w))
-    }
-
-    withCarried.filter(col("__side") === 1)
+    unioned
+      .withColumn("__latest", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        carried.map(c => col(s"__latest_$c").as(c)): _*)
+        carried.map(c => col(s"__latest.$c").as(c)): _*)
   }
 }

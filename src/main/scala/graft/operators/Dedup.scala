@@ -41,9 +41,14 @@ object Dedup {
   }
 
   /** Exact duplicate clusters by a fingerprint expression: one row per
-    * fingerprint with group size and representative (min) id. */
+    * fingerprint with group size and representative (min) id. Rows whose
+    * fingerprint is NULL (e.g. md5 of NULL text) are excluded — grouping
+    * them would declare all NULL-content docs duplicates of each other,
+    * and a keep-one policy would then discard unrelated documents. */
   def exactClusters(df: DataFrame, idCol: String, fingerprint: Column): DataFrame =
-    df.groupBy(fingerprint.as("fingerprint"))
+    df.select(fingerprint.as("fingerprint"), col(idCol))
+      .filter(col("fingerprint").isNotNull)
+      .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
   /** k-wide MinHash signatures: (id, mh0..mh{k-1}) as a pure compiled
@@ -150,11 +155,10 @@ object Dedup {
     * (a_mh0..a_mh{k-1}, b_mh0..) in the output — for estimator-style
     * consumers (q57) that compare signatures on the verified pairs.
     *
-    * Plan shape (the part that must hold at 100 TB): ONE aggregation over
-    * one scan produces (doc_id, sh, mh*) — the minhash slots as partially-
-    * aggregable `min`s and the shingle set re-collected with `collect_set`
-    * from the same exploded rows (set semantics; order-insensitive
-    * downstream). The band explode then carries sh+signature alongside the
+    * Plan shape (the part that must hold at 100 TB): one scan → compiled
+    * shingling (NgramShingles) → compiled signature (MinHashSlots), all
+    * map-only — no explode, no aggregation, no shuffle before the band
+    * join. The band explode carries shingle-set + signature alongside the
     * bucket keys, so the self-join's matches already hold both sides'
     * payloads and verification needs NO further joins. A diamond-shaped
     * alternative (signatures here, shingle sets joined back per side)
@@ -162,10 +166,10 @@ object Dedup {
     * different columns into each branch, so no exchange canonicalizes
     * equal and nothing is reused (measured: 4-6 scans). Deliberately NOT
     * persisted either: a cached corpus-sized shingle frame is material
-    * memory pressure and nothing owns the unpersist. With the carry-
-    * through shape the pipeline exists exactly twice (the two self-join
-    * sides) — and a production deployment staging signatures to a table
-    * reduces it to once (SCALING.md).
+    * memory pressure and nothing owns the unpersist. The pipeline exists
+    * exactly twice (the two self-join sides) — and a production
+    * deployment staging signatures to a table reduces it to once
+    * (SCALING.md).
     */
   def minhashLshPairsWithSigs(
       df: DataFrame,

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
 
 /** Deterministic hash-based sampling and split assignment.
   *
@@ -17,10 +16,16 @@ import graft.functions.GraftFunctions
 object Sampling {
 
   /** Uniform bucket in [0, buckets) from the id's seeded md5-hash.
-    * Modulo bias is ≤ buckets/2^60 — negligible. */
+    * Modulo bias is ≤ buckets/2^60 — negligible. Built from plain
+    * `functions._` (the conv/substring md5 composition, same value as
+    * graft_hash64) so the Column works on ANY session — no function
+    * registration required; sampling is one hash per row, where the
+    * compiled expression's advantage is immaterial. */
   def hashBucket(id: Column, seed: Int, buckets: Int = 100): Column = {
     require(buckets >= 1)
-    pmod(GraftFunctions.hash64c(id.cast("string"), seed), lit(buckets.toLong))
+    val h = conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 15),
+      16, 10).cast("long")
+    pmod(h, lit(buckets.toLong))
   }
 
   /** train/val/test assignment by hash percentile: [0,train) → "train",
@@ -33,10 +38,7 @@ object Sampling {
       .otherwise(lit("test"))
   }
 
-  /** Keep ~pct% of rows, deterministically (requires
-    * GraftFunctions.register — done here via the frame's session). */
-  def sampleHash(df: DataFrame, idCol: String, pct: Int, seed: Int): DataFrame = {
-    GraftFunctions.register(df.sparkSession)
+  /** Keep ~pct% of rows, deterministically. */
+  def sampleHash(df: DataFrame, idCol: String, pct: Int, seed: Int): DataFrame =
     df.filter(hashBucket(col(idCol), seed) < pct)
-  }
 }

@@ -19,10 +19,12 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Corpus with exact squared norms attached (computed once). */
-  def withNorm2(emb: DataFrame, embCol: String = "embedding"): DataFrame = {
+  /** Corpus with exact squared norms attached (computed once). Schema
+    * contract shared by every operator here: columns `vec_id` and
+    * `embedding` (rename upstream if needed). */
+  def withNorm2(emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    emb.withColumn("n2", norm2Exact(col(embCol)))
+    emb.withColumn("n2", norm2Exact(col("embedding")))
   }
 
   /** Exact top-k cosine neighbors for each query row (queryPred selects

@@ -21,17 +21,31 @@ object Skew {
     * semantics break the same way — rejected up front. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts (pmod by 0 would " +
+      "silently NULL every salt and the join would return no matches)")
     val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
     require(ok.contains(joinType.toLowerCase.replace(" ", "_")),
       s"saltedJoin supports inner/left/left_semi, got '$joinType': the dim " +
         "side is replicated per salt, which multiplies unmatched dim rows")
-    // Deterministic per-row salt (hash of the whole row): same key's rows
-    // scatter uniformly, identical rows land together (harmless).
-    val salted = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+    // Deterministic per-row salt (hash of the row's hashable columns —
+    // hash() rejects MapType since Spark 3.0, and wide curation tables
+    // often carry map columns): same key's rows scatter uniformly,
+    // identical rows land together (harmless).
+    val hashable = fact.schema.fields.collect {
+      case f if !hasMap(f.dataType) => col(f.name)
+    }.toSeq
+    require(hashable.nonEmpty, "saltedJoin needs at least one non-map column")
+    val salted = fact.withColumn("__salt", pmod(hash(hashable: _*), lit(salts)))
     val replicated = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case org.apache.spark.sql.types.ArrayType(et, _) => hasMap(et)
+    case st: org.apache.spark.sql.types.StructType => st.fields.exists(f => hasMap(f.dataType))
+    case _ => false
   }
 
   /** Top-n heavy-hitter keys with frequencies — the diagnostic used to

@@ -95,6 +95,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 4).count() === 1)
   }
 
+  test("asOf joinLatest matches range-join NULL semantics (no stitched rows)") {
+    import graft.operators.AsOf
+    val right = Seq(
+      (Some(1L), Some(1L), Some(10.0), Some(5.0)),   // t=1: price 10, qty 5
+      (Some(1L), Some(2L), Some(20.0), None),        // t=2: price 20, qty NULL
+      (Some(1L), None, Some(99.0), Some(99.0)),      // NULL time: never matches
+      (None, Some(1L), Some(77.0), Some(77.0))       // NULL key: never matches
+    ).toDF("k", "t", "price", "qty")
+    val left = Seq(
+      (Some(1L), 3L),  // as-of match is t=2 -> price 20, qty NULL (not 5!)
+      (None, 3L)       // NULL key -> no match at all
+    ).toDF("k", "lt")
+    val got = AsOf.joinLatest(left, right, "k", "lt", "t", "t",
+        Seq("price", "qty"))
+      .select("k", "price", "qty").collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+         if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === Set(
+      (Some(1L), Some(20.0), None), // the true t=2 row, its NULL qty intact
+      (None, None, None)))          // NULL-key left row gets no carry
+  }
+
   test("nearDupClusters finds components: chain, triangle, pair (min-id canonical)") {
     // chain 1-2-3-4 (diameter 3 — needs multiple propagation rounds),
     // triangle 10-11-12, pair 20-21
