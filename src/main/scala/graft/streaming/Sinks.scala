@@ -41,18 +41,42 @@ object Sinks {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val bucket = pmod(hash(keys.map(col): _*), lit(buckets))
-        val latest = graft.operators.Dedup.keepLatest(
-          batch, keys, Seq(col(seqCol)))
+        // Equal-seq ties break on the remaining columns (sorted by name)
+        // so the winning row is a function of row CONTENT, not execution
+        // order — a bare orderBy(seqCol) window picks an arbitrary winner
+        // per run, and store content would differ across batch retries.
+        val tieBreak = (batch.columns.toSet -- keys - seqCol).toSeq.sorted
+        val order = col(seqCol) +: tieBreak.map(col)
+        val latest = graft.operators.Dedup.keepLatest(batch, keys, order)
           .withColumn("part_bucket", bucket)
-        // "Store not created yet" is detected with an explicit existence
-        // check; any other read failure (transient IO, corrupt file) must
-        // FAIL the batch so the checkpoint retries it — swallowing it
-        // would overwrite touched buckets with batch-only rows, silently
-        // dropping every previously stored key in them.
+        // "Store not created yet" must be distinguished from real read
+        // failures (those FAIL the batch so the checkpoint retries —
+        // swallowing them would overwrite touched buckets with batch-only
+        // rows). A bare directory-exists check is not enough: a crash
+        // before the first commit can leave an empty/staging-only dir
+        // that would wedge every retry on schema inference. The bucket
+        // count is persisted and validated — remixing keys with a
+        // different count would strand stale rows in old buckets.
         val fsPath = new org.apache.hadoop.fs.Path(path)
         val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+        val hasData = fs.exists(fsPath) && fs.listStatus(fsPath).exists { st =>
+          val n = st.getPath.getName
+          st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+        }
         val merged =
-          if (fs.exists(fsPath)) {
+          if (hasData) {
+            require(fs.exists(metaPath), s"$path has data but no _graft_buckets " +
+              "marker — not a graft upsert store, refusing to overwrite")
+            val recorded = {
+              val in = fs.open(metaPath)
+              try new String(
+                org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
+              finally in.close()
+            }
+            require(recorded == buckets,
+              s"store at $path was written with buckets=$recorded, got $buckets — " +
+                "a different count strands stale keys in unvisited buckets")
             val cur = spark.read.parquet(path)
               .join(latest.select("part_bucket").distinct(), Seq("part_bucket"),
                 "left_semi")
@@ -62,8 +86,7 @@ object Sinks {
             // store untouched, and the write job never scans files it is
             // deleting. (A transactional table format would subsume this;
             // out of scope with parquet-only deps.)
-            graft.operators.Dedup.keepLatest(
-              cur.unionByName(latest), keys, Seq(col(seqCol)))
+            graft.operators.Dedup.keepLatest(cur.unionByName(latest), keys, order)
               .localCheckpoint(true)
           } else latest
         merged.write.mode("overwrite")
@@ -71,6 +94,10 @@ object Sinks {
           // dynamic-overwrite semantics into concurrent queries
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("part_bucket").parquet(path)
+        if (!fs.exists(metaPath)) {
+          val out = fs.create(metaPath, true)
+          try out.write(s"$buckets\n".getBytes("UTF-8")) finally out.close()
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()

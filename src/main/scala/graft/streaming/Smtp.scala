@@ -40,7 +40,10 @@ class SmtpNotifier(
         // SMTP replies may be multiline: "250-..." continues, "250 " ends.
         var line = in.readLine()
         if (line == null) throw new java.io.IOException("SMTP: connection closed")
-        while (line.length >= 4 && line.charAt(3) == '-') line = in.readLine()
+        while (line != null && line.length >= 4 && line.charAt(3) == '-')
+          line = in.readLine()
+        if (line == null) throw new java.io.IOException(
+          "SMTP: connection closed mid-reply")
         val code = line.take(3).toIntOption.getOrElse(-1)
         if (!codes.contains(code))
           throw new java.io.IOException(s"SMTP: expected ${codes.mkString("/")}, got: $line")
@@ -49,15 +52,22 @@ class SmtpNotifier(
         out.write(s + "\r\n"); out.flush(); expect(codes: _*)
       }
 
+      // CR/LF never reaches a header or envelope line: a row-derived
+      // subject (or address) containing "\r\n" would otherwise inject
+      // SMTP commands or terminate DATA early — the body is dot-stuffed,
+      // headers must be sanitized here.
+      def hdr(v: String): String = v.replaceAll("[\r\n]+", " ")
+      val fromS = hdr(from)
+      val toS = to.map(hdr)
       expect(220)
       cmd(s"EHLO graft", 250)
-      cmd(s"MAIL FROM:<$from>", 250)
-      to.foreach(r => cmd(s"RCPT TO:<$r>", 250, 251))
+      cmd(s"MAIL FROM:<$fromS>", 250)
+      toS.foreach(r => cmd(s"RCPT TO:<$r>", 250, 251))
       cmd("DATA", 354)
       val headers = Seq(
-        s"From: <$from>",
-        s"To: ${to.map(r => s"<$r>").mkString(", ")}",
-        s"Subject: $subject",
+        s"From: <$fromS>",
+        s"To: ${toS.map(r => s"<$r>").mkString(", ")}",
+        s"Subject: ${hdr(subject)}",
         "MIME-Version: 1.0",
         "Content-Type: text/plain; charset=utf-8",
         "")

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
-/** A typed event row for stateful streaming ops (mirrors the events table;
-  * `ts` in epoch micros to keep the state encoder simple). */
+/** A typed event row for stateful streaming ops (mirrors the events
+  * table; `ts` is a java.sql.Timestamp — Spark's product encoder stores
+  * it as micros internally). */
 final case class Event(
     event_id: Long,
     ts: java.sql.Timestamp,
@@ -90,6 +91,6 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Update())
 
   /** Typed view of an events DataFrame (batch or stream). */
-  def asEvents(df: DataFrame)(implicit spark: SparkSession): Dataset[Event] =
+  def asEvents(df: DataFrame): Dataset[Event] =
     df.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]
 }

@@ -20,6 +20,15 @@ final class TopicRegistry {
 
   /** Upsert a continuous query for (broker, topic): any existing
     * subscription is stopped first, then the new one starts. */
+  /** Broker/topic strings become filesystem path components for the
+    * checkpoint; real broker lists ("host1:9092,host2:9092") contain
+    * characters HDFS/S3 path segments reject, so each component is
+    * sanitized with an md5 suffix preserving uniqueness. */
+  private def pathSafe(raw: String): String =
+    raw.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+
   def subscribe(
       broker: String,
       topic: String,
@@ -29,19 +38,24 @@ final class TopicRegistry {
       unsubscribe(broker, topic)
       val q = stream.writeStream
         .queryName(s"$broker/$topic")
-        .option("checkpointLocation", s"$checkpointDir/$broker/$topic")
+        .option("checkpointLocation",
+          s"$checkpointDir/${pathSafe(broker)}/${pathSafe(topic)}")
         .foreachBatch(onBatch)
         .start()
       queries.put((broker, topic), q)
       q
     }
 
-  /** Stop and remove a subscription; true when one existed. */
-  def unsubscribe(broker: String, topic: String): Boolean =
+  /** Stop and remove a subscription; true when one existed. Synchronized
+    * with subscribe: an unsynchronized remove could race a concurrent
+    * subscribe's stop-then-put window, reporting "nothing to remove" while
+    * the fresh query lives on. */
+  def unsubscribe(broker: String, topic: String): Boolean = synchronized {
     queries.remove((broker, topic)) match {
       case Some(q) => q.stop(); true
       case None    => false
     }
+  }
 
   /** Registered and still-active subscriptions, key-sorted (the
     * reference's registry iterates in key order). */

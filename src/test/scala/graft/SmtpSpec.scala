@@ -77,6 +77,21 @@ class SmtpSpec extends SparkTestBase {
     } finally srv.close()
   }
 
+  test("SmtpNotifier sanitizes CR/LF out of headers (no command injection)") {
+    val srv = new FakeSmtpServer
+    try {
+      val n = new SmtpNotifier("127.0.0.1", srv.port, "graft@example.com",
+        Seq("ops@example.com"))
+      n.send("evil\r\n.\r\nMAIL FROM:<x@y>", "body line")
+      // the injected terminator never reached the wire as its own line:
+      // DATA contains a single flattened Subject header and the body
+      val d = srv.data.toString
+      assert(d.contains("Subject: evil . MAIL FROM:<x@y>"))
+      assert(srv.commands.count(_.toUpperCase.startsWith("MAIL FROM")) === 1)
+      assert(d.contains("body line"))
+    } finally srv.close()
+  }
+
   test("SmtpNotifier send failure throws (batch retry, not silent drop)") {
     val srv = new FakeSmtpServer
     srv.failFirstRcpt = true
