@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * (multiply and floor are deterministic), int64 sums are exact and
   * associative — so partial aggregation (map-side combine) stays enabled
   * and bit-stable under any partitioning / AQE re-plan. DuckDB mirror:
-  * `CAST(SUM(CAST(floor(x*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0`.
+  * `CAST(CAST(SUM(CAST(floor(x*1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0`.
   *
   * Range: micro-unit sums must stay below 2^63 → per-group Σ|x| < 9.2e12.
   * That covers this corpus by ~100×; for unbounded-scale sums use
@@ -73,7 +73,7 @@ object Num {
 
   /** SQL-text mirrors for oracle queries (DuckDB side). */
   def sqlSum(x: String): String =
-    s"CAST(SUM(CAST(floor(($x) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0"
+    s"CAST(CAST(SUM(CAST(floor(($x) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0"
   def sqlAvg(x: String): String =
     s"${sqlSum(x)} / COUNT($x)"
 }

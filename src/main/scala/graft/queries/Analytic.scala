@@ -67,7 +67,7 @@ object Analytic extends QueryModule {
     Q("q53_above_cust_avg", Some("""
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
       WHERE o_totalprice > 1.5 * (
-        SELECT CAST(SUM(CAST(floor(i.o_totalprice * 1000000.0) AS BIGINT)) AS DOUBLE)
+        SELECT CAST(CAST(SUM(CAST(floor(i.o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
           / 1000000.0 / COUNT(*)
         FROM orders i WHERE i.o_custkey = o.o_custkey)
       ORDER BY o_orderkey""")) { (s, d) =>
@@ -75,7 +75,7 @@ object Analytic extends QueryModule {
       s.sql("""
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         WHERE o_totalprice > 1.5 * (
-          SELECT CAST(SUM(CAST(floor(i.o_totalprice * 1000000.0) AS BIGINT)) AS DOUBLE)
+          SELECT CAST(CAST(SUM(CAST(floor(i.o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
             / 1000000.0 / COUNT(*)
           FROM orders i WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")

@@ -26,18 +26,18 @@ object Pipeline extends QueryModule {
           / 1152921504606846976.0) * 2.0 - 1.0 AS w
         FROM generate_series(0, 3) p(p), generate_series(1, 64) j(j)),
       pd AS (SELECT e.vec_id, w.p,
-        CAST(SUM(CAST(floor((CAST(e.embedding[w.j] AS DOUBLE) * w.w) * 2.88230376151711744e17) AS BIGINT)) AS DOUBLE) / 2.88230376151711744e17 AS d
+        CAST(CAST(SUM(CAST(floor((CAST(e.embedding[w.j] AS DOUBLE) * w.w) * 2.88230376151711744e17) AS BIGINT)) AS BIGINT) AS DOUBLE) / 2.88230376151711744e17 AS d
         FROM embeddings e, w GROUP BY e.vec_id, w.p),
       sig AS (SELECT vec_id,
         CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
         FROM pd GROUP BY vec_id),
       n2 AS (SELECT vec_id,
-        CAST(SUM(CAST(floor((CAST(embedding[g.j] AS DOUBLE) * CAST(embedding[g.j] AS DOUBLE)) * 2.88230376151711744e17) AS BIGINT)) AS DOUBLE) / 2.88230376151711744e17 AS n2
+        CAST(CAST(SUM(CAST(floor((CAST(embedding[g.j] AS DOUBLE) * CAST(embedding[g.j] AS DOUBLE)) * 2.88230376151711744e17) AS BIGINT)) AS BIGINT) AS DOUBLE) / 2.88230376151711744e17 AS n2
         FROM embeddings, generate_series(1, 64) g(j) GROUP BY vec_id),
       cand AS (SELECT x.vec_id AS a, y.vec_id AS b
         FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
       dots AS (SELECT c.a, c.b,
-        CAST(SUM(CAST(floor((CAST(ea.embedding[g.j] AS DOUBLE) * CAST(eb.embedding[g.j] AS DOUBLE)) * 2.88230376151711744e17) AS BIGINT)) AS DOUBLE) / 2.88230376151711744e17 AS dot
+        CAST(CAST(SUM(CAST(floor((CAST(ea.embedding[g.j] AS DOUBLE) * CAST(eb.embedding[g.j] AS DOUBLE)) * 2.88230376151711744e17) AS BIGINT)) AS BIGINT) AS DOUBLE) / 2.88230376151711744e17 AS dot
         FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
           JOIN embeddings eb ON eb.vec_id = c.b, generate_series(1, 64) g(j)
         GROUP BY c.a, c.b)
@@ -108,7 +108,7 @@ object Pipeline extends QueryModule {
       Tables.registerAll(s, d)
       s.sql(s"""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-          CAST(SUM(CAST(floor(l_quantity * 1000000.0) AS BIGINT)) AS DOUBLE)
+          CAST(CAST(SUM(CAST(floor(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
             / 1000000.0 AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())

@@ -233,9 +233,9 @@ object Relational extends QueryModule {
     // ---- window: running sum over event stream (frame-based) ----
     Q("q15_running_sum", Some("""
       SELECT event_id, user_id,
-        CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER (
+        CAST(CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER (
           PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) / 1000000.0
           AS running_value
       FROM events ORDER BY event_id""")) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -277,7 +277,7 @@ object Relational extends QueryModule {
     Q("q18_json_extract", Some("""
       SELECT event_type,
         COUNT(*) AS n,
-        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        CAST(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS DOUBLE)
           / COUNT(*) AS avg_k
       FROM events GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
       Tables.events(s, d)

@@ -235,9 +235,12 @@ object Text extends QueryModule {
         qualityScore(col("text")) >= 0.5)
       val r = f.select(col("doc_id"),
         graft.functions.TextFunctions.redact(col("text")).as("text"))
-      val keepIds = r.groupBy(md5(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val kept = r.join(keepIds, Seq("doc_id"), "left_semi")
+      // keep min doc_id per content hash in ONE pass (firstWins window):
+      // a groupBy + semi-join back onto r would create a plan diamond
+      // re-running the filter→redact subtree on both branches
+      val kept = graft.operators.Dedup.firstWins(
+          r.withColumn("__fp", md5(col("text"))), Seq("__fp"), Seq(col("doc_id")))
+        .drop("__fp")
       val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
         numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
       kept.join(pairs.select(col("b").as("doc_id")).distinct(),
@@ -253,7 +256,7 @@ object Text extends QueryModule {
     // the whole assignment.
     Q("q74_hash_split", Some(s"""
       WITH h AS (SELECT lang,
-        CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':42'),1,15)) AS BIGINT) % 100 AS b
+        ${dkHash("CAST(doc_id AS VARCHAR)", 42)} % 100 AS b
         FROM documents)
       SELECT lang,
         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
@@ -277,9 +280,7 @@ object Text extends QueryModule {
     // list_intersect over the same shingle definition.
     Q("q75_decontamination", Some(s"""
       WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
-      sh AS (SELECT doc_id, list_distinct(list_transform(
-          generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2],' '))) AS sh
-        FROM sp),
+      sh AS (SELECT doc_id, $dkShingles AS sh FROM sp),
       b AS (SELECT doc_id AS bench_id, sh AS bsh FROM sh WHERE doc_id < 5),
       t AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 5)
       SELECT t.doc_id, b.bench_id,

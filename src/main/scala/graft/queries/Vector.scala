@@ -205,7 +205,7 @@ object Vector extends QueryModule {
       WITH ex AS (SELECT label, g.j - 1 AS j, CAST(embedding[g.j] AS DOUBLE) AS x
                   FROM embeddings, generate_series(1, 64) g(j)),
       comp AS (SELECT label, j,
-        (CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+        (CAST(CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
           / 1099511627776.0) / COUNT(x) AS comp
         FROM ex GROUP BY label, j)
       SELECT label,
