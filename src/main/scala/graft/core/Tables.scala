@@ -34,7 +34,12 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // floor division, not `div` (which truncates toward zero): the two
+      // differ for pre-epoch timestamps, where floor is what the ns→µs
+      // timestamp narrowing must do. (ts - pmod(ts, 1000)) is exact in
+      // int64 — no double round-trip.
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
       case _        => df
     }
   }
@@ -50,7 +55,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = spread(load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = spread(load(s, d, "embeddings"))
 
-  /** Register every table as a temp view (for the SQL surface). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  /** Register every table as a temp view (for the SQL surface) — through
+    * the TYPED loaders, so SQL sees the same frames the DataFrame path
+    * uses: raw `load` would expose events.ts as a nanosecond long
+    * (silently diverging from every timestamp comparison the oracle
+    * makes) and leave documents/embeddings on their unsplittable
+    * single-row-group scans. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val typed: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "events" -> events, "documents" -> documents, "embeddings" -> embeddings)
+    names.foreach { n =>
+      typed.getOrElse(n, (s: SparkSession, d: String) => load(s, d, n))(spark, dir)
+        .createOrReplaceTempView(n)
+    }
+  }
 }

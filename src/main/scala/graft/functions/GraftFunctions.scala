@@ -11,40 +11,49 @@ import graft.functions.expressions.{FixedPointDot, FixedPointVectorSum, HammingD
   * before using the wrappers. */
 object GraftFunctions {
 
+  private def foldedInt(e: Expression): Int = {
+    require(e.foldable,
+      s"graft function width/seed argument must be a literal, got: ${e.sql}")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft function width/seed argument must be integral, got: $other")
+    }
+  }
+
+  private def checked(name: String, arity: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == arity,
+        s"$name expects $arity arguments, got ${exprs.length}")
+      f(exprs)
+    }
+
+  /** The single (name → builder) table both registration paths consume —
+    * in-process [[register]] and config-injected
+    * [[graft.core.GraftExtensions]]. Adding an expression here makes it
+    * available on both; maintaining two lists would silently drop new
+    * functions from extensions-only deployments. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_hamming" -> checked("graft_hamming", 2)(e => HammingDistance(e(0), e(1))),
+    "graft_fixed_dot" -> checked("graft_fixed_dot", 2)(e => FixedPointDot(e(0), e(1))),
+    "graft_word_shingles" -> checked("graft_word_shingles", 2)(e =>
+      NgramShingles(e(0), foldedInt(e(1)), word = true)),
+    "graft_char_ngrams" -> checked("graft_char_ngrams", 2)(e =>
+      NgramShingles(e(0), foldedInt(e(1)), word = false)),
+    "graft_hash64" -> checked("graft_hash64", 2)(e => Md5Hash60(e(0), foldedInt(e(1)))),
+    "graft_minhash_slots" -> checked("graft_minhash_slots", 2)(e =>
+      MinHashSlots(e(0), foldedInt(e(1)))),
+    "graft_simhash" -> checked("graft_simhash", 2)(e =>
+      SimHashBits(e(0), foldedInt(e(1)))),
+    "graft_fpvec_sum" -> checked("graft_fpvec_sum", 1)(e => FixedPointVectorSum(e(0))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_hamming",
-      (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_fixed_dot",
-      (exprs: Seq[Expression]) => FixedPointDot(exprs(0), exprs(1)), "built-in")
-    def foldedInt(e: Expression): Int = {
-      require(e.foldable,
-        s"graft function width/seed argument must be a literal, got: ${e.sql}")
-      e.eval(null) match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"graft function width/seed argument must be integral, got: $other")
-      }
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
     }
-    reg.createOrReplaceTempFunction("graft_word_shingles",
-      (exprs: Seq[Expression]) =>
-        NgramShingles(exprs(0), foldedInt(exprs(1)), word = true), "built-in")
-    reg.createOrReplaceTempFunction("graft_char_ngrams",
-      (exprs: Seq[Expression]) =>
-        NgramShingles(exprs(0), foldedInt(exprs(1)), word = false), "built-in")
-    reg.createOrReplaceTempFunction("graft_hash64",
-      (exprs: Seq[Expression]) =>
-        Md5Hash60(exprs(0), foldedInt(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_slots",
-      (exprs: Seq[Expression]) =>
-        MinHashSlots(exprs(0), foldedInt(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      (exprs: Seq[Expression]) =>
-        SimHashBits(exprs(0), foldedInt(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_fpvec_sum",
-      (exprs: Seq[Expression]) =>
-        FixedPointVectorSum(exprs(0)), "built-in")
   }
 
   /** Fixed-point (2^58) scaled dot product of two double-array columns

@@ -53,19 +53,21 @@ object Jwt {
       case _ => None
     }
 
-  /** Column function: sign a JSON-claims column with a PEM key. */
+  /** Column function: sign a JSON-claims column with a PEM key. The key
+    * is parsed ONCE on the driver and shipped in the closure
+    * (java.security keys are Serializable) — re-parsing the PEM per row
+    * would make KeyFactory dominate the actual signature work. */
   def jwtSign(claims: Column, privateKeyPem: String): Column = {
-    val f = udf { (c: String) =>
-      if (c == null) null else sign(c, privateKeyFromPem(privateKeyPem))
-    }
+    val key = privateKeyFromPem(privateKeyPem)
+    val f = udf { (c: String) => if (c == null) null else sign(c, key) }
     f(claims)
   }
 
-  /** Column function: true when the token column verifies. */
+  /** Column function: true when the token column verifies (key parsed
+    * once, as in [[jwtSign]]). */
   def jwtVerify(token: Column, publicKeyPem: String): Column = {
-    val f = udf { (t: String) =>
-      t != null && verify(t, publicKeyFromPem(publicKeyPem)).isDefined
-    }
+    val key = publicKeyFromPem(publicKeyPem)
+    val f = udf { (t: String) => t != null && verify(t, key).isDefined }
     f(token)
   }
 }

@@ -14,16 +14,24 @@ import org.apache.spark.sql.expressions.Aggregator
   * explode×k+groupBy shape this trades k shuffle columns for a single
   * binary buffer — the win when k is large or the group count is huge.
   *
+  * NULL hash values are skipped (the input type is java.lang.Long so the
+  * encoder is nullable) — the same behavior as the explode+min form,
+  * where a NULL hash contributes nothing to any slot; a primitive Long
+  * input encoder would instead crash the stage on the first NULL.
+  *
   * Register for SQL/DataFrame use with
   * `udaf(new MinHashAggregator(k))`.
   */
-class MinHashAggregator(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+class MinHashAggregator(k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
 
   private val mixers: Array[Long] = Array.tabulate(k)(TextFunctions.mixConstant)
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
-  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+  override def reduce(buf: Array[Long], boxed: java.lang.Long): Array[Long] = {
+    if (boxed == null) return buf
+    val h = boxed.longValue()
     var i = 0
     while (i < k) { val v = h ^ mixers(i); if (v < buf(i)) buf(i) = v; i += 1 }
     buf

@@ -51,10 +51,14 @@ object Num {
 
   def dstddevSamp(c: Column): Column = sqrt(dvarSamp(c))
 
-  /** Deterministic Pearson correlation from exact fixed-point sums. */
+  /** Deterministic Pearson correlation from exact fixed-point sums, over
+    * COMPLETE pairs only (rows where both inputs are non-null — standard
+    * corr semantics). Mixing a count(*) n with null-skipping sums would
+    * produce a number that is the correlation of nothing in particular. */
   def dcorr(x: Column, y: Column): Column = {
-    val n = count(lit(1)).cast("double")
-    def s(e: Column) = sum(floor(e * S)).cast("double") / S
+    val both = x.isNotNull && y.isNotNull
+    val n = count(when(both, 1)).cast("double")
+    def s(e: Column) = sum(floor(when(both, e) * S)).cast("double") / S
     val (sx, sy, sxy, sxx, syy) = (s(x), s(y), s(x * y), s(x * x), s(y * y))
     (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
   }
@@ -65,10 +69,12 @@ object Num {
     s"((${sqlSum(s"($x) * ($x)")}) - (${sqlSum(x)}) * (${sqlSum(x)}) / $n) / ($n - 1.0)"
   }
   def sqlCorr(x: String, y: String): String = {
-    val n = "CAST(COUNT(*) AS DOUBLE)"
-    s"($n * (${sqlSum(s"($x) * ($y)")}) - (${sqlSum(x)}) * (${sqlSum(y)}))" +
-      s" / (sqrt($n * (${sqlSum(s"($x) * ($x)")}) - (${sqlSum(x)}) * (${sqlSum(x)}))" +
-      s" * sqrt($n * (${sqlSum(s"($y) * ($y)")}) - (${sqlSum(y)}) * (${sqlSum(y)})))"
+    val both = s"($x) IS NOT NULL AND ($y) IS NOT NULL"
+    val n = s"CAST(COUNT(CASE WHEN $both THEN 1 END) AS DOUBLE)"
+    def cs(e: String) = sqlSum(s"CASE WHEN $both THEN ($e) END")
+    s"($n * (${cs(s"($x) * ($y)")}) - (${cs(x)}) * (${cs(y)}))" +
+      s" / (sqrt($n * (${cs(s"($x) * ($x)")}) - (${cs(x)}) * (${cs(x)}))" +
+      s" * sqrt($n * (${cs(s"($y) * ($y)")}) - (${cs(y)}) * (${cs(y)})))"
   }
 
   /** SQL-text mirrors for oracle queries (DuckDB side). */

@@ -81,8 +81,10 @@ object Multimodal {
         val h = img.getHeight
         val bins = math.max(dim / 3, 1)
         val out = new Array[Float](dim)
-        val stepX = math.max(w / 64, 1)
-        val stepY = math.max(h / 64, 1)
+        // ceil division: a 127×127 image must step 2, not 1 — floor would
+        // sample up to 127×127 pixels where ≤64×64 is the documented bound
+        val stepX = math.max((w + 63) / 64, 1)
+        val stepY = math.max((h + 63) / 64, 1)
         var n = 0
         var y = 0
         while (y < h) {
@@ -123,7 +125,9 @@ object Multimodal {
 
   /** Frame sampling: every `stride` bytes becomes a "frame" (STUB for a
     * video frame-extractor; one input row fans out to many frame rows). */
-  def sampleFrames(media: Dataset[MediaRow], stride: Int, frameSize: Int): Dataset[FrameSample] =
+  def sampleFrames(media: Dataset[MediaRow], stride: Int, frameSize: Int): Dataset[FrameSample] = {
+    require(stride > 0, s"stride must be > 0, got $stride")
+    require(frameSize > 0, s"frameSize must be > 0, got $frameSize")
     media.flatMap { m =>
       Iterator.range(0, math.max(m.content.length - frameSize + 1, 0), stride)
         .zipWithIndex.map { case (off, idx) =>
@@ -131,4 +135,5 @@ object Multimodal {
             java.util.Arrays.copyOfRange(m.content, off, off + frameSize))
         }
     }
+  }
 }

@@ -29,13 +29,22 @@ object Sources {
       .load(path)
 
   /** S8: recursive listing, hidden files excluded (reference skips
-    * dot-files: utils/utils.c:183-189). Returns (path, length, mtime). */
-  def listFilesRecursive(spark: SparkSession, path: String): DataFrame =
+    * dot-files: utils/utils.c:183-189). Returns (path, length, mtime).
+    * The dot-segment filter applies only BELOW the base path — a base
+    * like `/home/u/.local/corpus` must not hide its own contents because
+    * an ancestor directory is dotted. Note one delta from the reference:
+    * Spark's file index also skips `_`-prefixed entries (its own metadata
+    * convention); the reference skips only dot-files. */
+  def listFilesRecursive(spark: SparkSession, path: String): DataFrame = {
+    val base = path.stripSuffix("/")
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", true)
       .load(path)
-      .filter(!col("path").rlike("/\\.[^/]*$") && !col("path").rlike("/\\.[^/]*/"))
+      .withColumn("__rel",
+        regexp_replace(col("path"), "^[a-z]+:(//[^/]*)?" + java.util.regex.Pattern.quote(base), ""))
+      .filter(!col("__rel").rlike("/\\.[^/]*$") && !col("__rel").rlike("/\\.[^/]*/"))
       .select(col("path"), col("length"), col("modificationTime"))
+  }
 
   /** S1 (dev form): file-stream source over an events directory; the
     * production form is format("kafka") with identical downstream plan. */

@@ -189,6 +189,13 @@ class FunctionsSpec extends SparkTestBase {
       .as[Seq[Long]].head()
     assert(sig === viaAgg)
 
+    // NULL hashes are skipped, not a crash (parity with the explode+min form)
+    val withNull = spark.sql(
+      "SELECT * FROM VALUES (11L),(22L),(33L),(44L),(55L),(CAST(NULL AS BIGINT)) AS t(h)")
+    val sigN = withNull.select(udaf(new MinHashAggregator(8)).apply(col("h")).as("sig"))
+      .as[Seq[Long]].head()
+    assert(sigN === viaAgg)
+
     // permutation invariance + merge associativity
     val shuffled = scala.util.Random.shuffle(hashes)
     val viaAgg2 = shuffled.foldLeft(agg.zero)((b, h) => agg.reduce(b, h)).toSeq
