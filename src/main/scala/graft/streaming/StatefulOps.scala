@@ -90,6 +90,83 @@ object StatefulOps {
       .transformWithState(new KeepLatestProcessor,
         TimeMode.None(), OutputMode.Update())
 
+  /** Streaming near-duplicate detection — the online form of the batch
+    * MinHash+LSH pipeline (q31): each arriving document's compiled
+    * signature is banded exactly like the batch operator, per-band-bucket
+    * state remembers the FIRST doc seen in that bucket (with its full
+    * signature), and later arrivals verify with the signature-agreement
+    * estimator (matching slots / k). Emits (doc_id, dup_of, est_jaccard)
+    * for docs whose estimate against a bucket's representative meets the
+    * threshold.
+    *
+    * Scale/state notes: state per band bucket is ONE representative
+    * (doc_id + k longs), keyed by bucket so it shards across executors
+    * and lives in the state store (RocksDB-backed in production).
+    * Divergence from batch (documented): verification is the unbiased
+    * signature estimator, not exact shingle-Jaccard — exact verification
+    * online would mean storing every shingle set in state; the estimator
+    * is the standard streaming trade (E[est] = true Jaccard). A doc
+    * colliding in several bands emits once per agreeing band — downstream
+    * dedups on doc_id if needed. */
+  def streamingNearDup(
+      docs: Dataset[(Long, String)],
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): Dataset[(Long, Long, Double)] = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+
+    val seqLongEnc: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    implicit val bandedEnc: Encoder[(String, Long, Seq[Long])] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, seqLongEnc)
+    implicit val outEnc: Encoder[(Long, Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val stEnc: Encoder[(Long, Seq[Long])] =
+      Encoders.tuple(Encoders.scalaLong, seqLongEnc)
+
+    val sigs = docs.toDF("doc_id", "text")
+      .withColumn("__mh", graft.functions.GraftFunctions.minhashSlots(
+        graft.functions.GraftFunctions.wordShingles(col("text"), shingleSize),
+        numHashes))
+      .filter(col("__mh").isNotNull) // empty docs can never near-dup
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("_", lit(b.toString) +:
+        (0 until rows).map(r => element_at(col("__mh"), b * rows + r + 1)): _*)
+    }: _*)
+    val banded = sigs
+      .select(col("doc_id"), col("__mh"), explode(bandKeys).as("bkey"))
+      .select(col("bkey"), col("doc_id"), col("__mh"))
+      .as[(String, Long, Seq[Long])]
+
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rs: Iterator[(String, Long, Seq[Long])],
+            state: GroupState[(Long, Seq[Long])]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var rep = state.getOption
+          rs.foreach { case (_, id, mh) =>
+            rep match {
+              case Some((repId, repMh)) if repId != id =>
+                val est = mh.zip(repMh).count { case (a, b) => a == b }.toDouble /
+                  mh.length
+                if (est >= threshold) out += ((id, repId, est))
+              case None =>
+                rep = Some((id, mh))
+                state.update((id, mh))
+              case _ => ()
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Typed view of an events DataFrame (batch or stream). */
   def asEvents(df: DataFrame): Dataset[Event] =
     df.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]

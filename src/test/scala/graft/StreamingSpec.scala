@@ -49,6 +49,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags arriving docs against stored signatures (U6 x T4)") {
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val dups = StatefulOps.streamingNearDup(ms.toDS())
+    val q = dups.toDF("doc_id", "dup_of", "est").writeStream
+      .format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      ms.addData((1L, "the quick brown fox jumps over the lazy dog"),
+                 (2L, "completely different text with other tokens here now"))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() === 0) // first-seen docs: no dups
+      // a later micro-batch re-sends doc 1's content under a new id
+      ms.addData((3L, "the quick brown fox jumps over the lazy dog"),
+                 (4L, "yet another unrelated document entirely about nothing"))
+      q.processAllAvailable()
+      val flagged = spark.table("neardup")
+        .select("doc_id", "dup_of", "est").as[(Long, Long, Double)]
+        .collect().toSet
+      // doc 3 flags against representative 1 (est = 1.0: identical sigs),
+      // possibly once per agreeing band
+      assert(flagged.nonEmpty && flagged.forall(_ == ((3L, 1L, 1.0))))
+      assert(!flagged.exists(_._1 == 4L))
+    } finally q.stop()
+  }
+
   test("streaming corpus ingestion dedups by content fingerprint (U6 x T5)") {
     // documents arriving on a stream, exact-dedup by md5(text): the batch
     // q29 policy applied online — duplicate content never reaches the sink
