@@ -121,6 +121,25 @@ object TextFunctions {
       .otherwise(lit("und"))
   }
 
+  /** Token-window chunking for training pipelines: split a document into
+    * windows of `size` tokens advancing by `size - overlap` (so
+    * consecutive chunks share `overlap` tokens). Returns an array of
+    * space-joined chunk strings; a doc shorter than `size` yields one
+    * chunk (itself). Pure built-ins — the per-doc chunk count is small,
+    * so the interpreted HOF cost is immaterial (unlike per-shingle work).
+    */
+  def chunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    val nChunks = greatest(lit(1L),
+      ceil((n - lit(overlap)).cast("double") / stride).cast("long"))
+    transform(sequence(lit(0L), nChunks - 1),
+      i => array_join(slice(toks, (i * stride + 1).cast("int"), lit(chunkSize)), " "))
+  }
+
   /** PII-style redaction for training-data pipelines: email-shaped spans →
     * `[EMAIL]`, then 6+-digit runs (account/ID-like) → `[ID]`. Order
     * matters — emails are masked first so their digit runs don't get

@@ -301,6 +301,32 @@ object Text extends QueryModule {
         .orderBy("doc_id", "bench_id")
     },
 
+    // ---- token-window chunking (pre-training prep) ----
+    // 32-token windows, 8-token overlap (stride 24); chunk text is
+    // emitted with its ordinal and token count. ceil() on an exact
+    // integer ratio is engine-portable; chunk strings hash-gate the
+    // whole windowing.
+    Q("q76_chunking", Some("""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      n AS (SELECT doc_id, tk,
+        greatest(1, CAST(ceil(CAST(len(tk) - 8 AS DOUBLE) / 24.0) AS BIGINT)) AS nc
+        FROM sp),
+      e AS (SELECT doc_id, tk, unnest(generate_series(1, nc)) - 1 AS chunk_id FROM n),
+      c AS (SELECT doc_id, chunk_id,
+        array_to_string(tk[CAST(chunk_id * 24 + 1 AS INT) : CAST(chunk_id * 24 + 32 AS INT)], ' ') AS chunk
+        FROM e)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, chunk,
+        CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens
+      FROM c ORDER BY doc_id, chunk_id""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.chunks(col("text"), 32, 8))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id"), col("chunk"),
+          size(split(col("chunk"), " ")).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ---- SimHash (16-bit) ----
     Q("q32_simhash", Some(s"""
       WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
