@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
@@ -325,6 +326,49 @@ object Text extends QueryModule {
         .select(col("doc_id"), col("chunk_id"), col("chunk"),
           size(split(col("chunk"), " ")).as("n_tokens"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- sequential packing into fixed token budgets ----
+    // The standard pre-training packing pass after chunking: take chunks
+    // in deterministic (doc_id, chunk_id) order, accumulate token counts,
+    // and cut a new pack every 256 tokens — bin = floor of the running
+    // sum BEFORE the chunk, so a chunk straddling the boundary starts the
+    // next pack. The unpartitioned window is the declared semantic
+    // (globally sequential packs); at corpus scale you partition the
+    // window by a hash-bucketed shard and namespace pack ids by shard —
+    // packing is embarrassingly parallel across shards since packs never
+    // span documents from different shards.
+    Q("q77_packing", Some("""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      n AS (SELECT doc_id, tk,
+        greatest(1, CAST(ceil(CAST(len(tk) - 8 AS DOUBLE) / 24.0) AS BIGINT)) AS nc
+        FROM sp),
+      e AS (SELECT doc_id, tk, unnest(generate_series(1, nc)) - 1 AS chunk_id FROM n),
+      c AS (SELECT doc_id, chunk_id,
+        len(string_split(array_to_string(
+          tk[CAST(chunk_id * 24 + 1 AS INT) : CAST(chunk_id * 24 + 32 AS INT)], ' '), ' ')) AS nt
+        FROM e),
+      r AS (SELECT doc_id, chunk_id, nt,
+        CAST(SUM(nt) OVER (ORDER BY doc_id, chunk_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM c)
+      SELECT CAST(floor((cum - nt) / 256.0) AS BIGINT) AS pack_id,
+        COUNT(*) AS n_chunks, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM r GROUP BY 1 ORDER BY pack_id""")) { (s, d) =>
+      val w = Window.orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.chunks(col("text"), 32, 8))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id"),
+          size(split(col("chunk"), " ")).cast("long").as("nt"))
+        .withColumn("cum", sum(col("nt")).over(w))
+        .select((floor((col("cum") - col("nt")) / 256)).cast("long").as("pack_id"),
+          col("nt"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("nt")).as("n_tokens"))
+        .orderBy("pack_id")
     },
 
     // ---- SimHash (16-bit) ----
