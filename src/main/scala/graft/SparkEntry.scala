@@ -32,9 +32,14 @@ object SparkEntry {
       .orderBy("w_start", "event_type")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every build
+    * runs with the engine's function registry installed (idempotent) so
+    * query code can use the compiled graft_* expressions directly. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    qs.map(q => q.name -> q.build).toMap
+    qs.map(q => q.name -> { (s: SparkSession, d: String) =>
+      graft.functions.GraftFunctions.register(s)
+      q.build(s, d)
+    }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

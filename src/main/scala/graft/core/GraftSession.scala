@@ -37,6 +37,9 @@ object GraftSession {
       math.max(cores, 4)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the compiled graft_* expressions are part of the engine surface —
+    // any session from this factory can use them (idempotent)
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

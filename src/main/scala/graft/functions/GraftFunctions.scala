@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.{call_function, lit}
-import graft.functions.expressions.{FixedPointDot, FixedPointVectorSum, HammingDistance, Md5Hash60, MinHashSlots, NgramShingles, SimHashBits}
+import graft.functions.expressions.{FixedPointDot, FixedPointVectorSum, HammingDistance, Md5Hash60, MinHashSlots, NgramShingles, RollingFingerprint, SimHashBits, TokenStats}
 
 /** Engine function registry: exposes custom Catalyst expressions to both
   * the SQL surface (`SELECT graft_hamming(a, b)`) and the Column API
@@ -19,6 +19,16 @@ object GraftFunctions {
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(
         s"graft function width/seed argument must be integral, got: $other")
+    }
+  }
+
+  private def foldedString(e: Expression): String = {
+    require(e.foldable,
+      s"graft function word-list argument must be a literal, got: ${e.sql}")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft function word-list argument must be a string, got: $other")
     }
   }
 
@@ -47,7 +57,11 @@ object GraftFunctions {
       MinHashSlots(e(0), foldedInt(e(1)))),
     "graft_simhash" -> checked("graft_simhash", 2)(e =>
       SimHashBits(e(0), foldedInt(e(1)))),
-    "graft_fpvec_sum" -> checked("graft_fpvec_sum", 1)(e => FixedPointVectorSum(e(0))))
+    "graft_fpvec_sum" -> checked("graft_fpvec_sum", 1)(e => FixedPointVectorSum(e(0))),
+    "graft_token_stats" -> checked("graft_token_stats", 4)(e =>
+      TokenStats(e(0), foldedInt(e(1)),
+        foldedString(e(2)).split(",").toSeq, foldedString(e(3)).split(",").toSeq)),
+    "graft_rolling_fp" -> checked("graft_rolling_fp", 1)(e => RollingFingerprint(e(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -96,4 +110,17 @@ object GraftFunctions {
     * FixedPointVectorSum). */
   def fpVecSum(arr: Column): Column =
     call_function("graft_fpvec_sum", arr)
+
+  /** One-pass compiled token statistics:
+    * struct(n_tokens, n_distinct, n_shingles, n_stop, n_marker) — the
+    * values of the five HOF stats in TextFunctions, one tokenization. */
+  def tokenStats(text: Column, shingleN: Int,
+      stopwords: Seq[String], markers: Seq[String]): Column =
+    call_function("graft_token_stats", text, lit(shingleN),
+      lit(stopwords.mkString(",")), lit(markers.mkString(",")))
+
+  /** Order-sensitive rolling-hash document fingerprint (compiled; same
+    * values as TextFunctions.rollingFingerprint). */
+  def rollingFp(text: Column): Column =
+    call_function("graft_rolling_fp", text)
 }

@@ -85,8 +85,17 @@ object TextFunctions {
   }
 
   /** Order-sensitive rolling (polynomial) fingerprint of the token stream:
-    * fold h -> (h*31 + tokenHash) mod (2^31-1), seeded with 7. */
-  def rollingFingerprint(text: Column): Column = {
+    * fold h -> (h*31 + tokenHash) mod (2^31-1), seeded with 7. Compiled
+    * ([[graft.functions.expressions.RollingFingerprint]]) — the
+    * transform+aggregate HOF pair this replaces ran two interpreted
+    * lambda walks per token (kept bit-identical; parity is spec-tested). */
+  def rollingFingerprint(text: Column): Column =
+    GraftFunctions.rollingFp(text)
+
+  /** The HOF formulation of [[rollingFingerprint]] — retained as the
+    * readable reference semantics and as the parity oracle for the
+    * compiled expression (FunctionsSpec). */
+  private[graft] def rollingFingerprintHof(text: Column): Column = {
     val M = 2147483647L
     val hs = transform(tokens(text), t => pmod(hash64(t, 0), lit(M)))
     aggregate(hs, lit(7L), (acc, h) => pmod(acc * 31 + h, lit(M)))
@@ -100,26 +109,37 @@ object TextFunctions {
 
   val defaultStopwords: Seq[String] = Seq("the", "a")
 
+  /** English marker tokens for the language-ID heuristic. */
+  val markerWords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  /** One-pass compiled token statistics
+    * ([[graft.functions.expressions.TokenStats]]): every stat below
+    * derives from this struct, and identical calls within one projection
+    * share a single tokenization via subexpression elimination — the
+    * interpreted `filter`/`transform` HOFs they replace walked the token
+    * array once per stat per row. Values are bit-identical to the HOF
+    * forms (spec-tested). */
+  def tokenStatsOf(text: Column,
+      stopwords: Seq[String] = defaultStopwords): Column =
+    GraftFunctions.tokenStats(text, 3, stopwords, markerWords)
+
   def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val toks = tokens(text)
-    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double") /
-      size(toks)
+    val st = tokenStatsOf(text, stopwords)
+    st.getField("n_stop").cast("double") / st.getField("n_tokens")
   }
 
   /** Heuristic quality score in [0,1]: length, non-stopword density and
     * token-length components (deterministic double arithmetic). */
   def qualityScore(text: Column): Column =
-    least(lit(1.0), tokenCount(text).cast("double") / 100.0) * 0.5 +
+    least(lit(1.0), tokenStatsOf(text).getField("n_tokens").cast("double") / 100.0) * 0.5 +
       (lit(1.0) - stopwordRatio(text)) * 0.3 +
       least(lit(1.0), avgTokenLen(text) / 8.0) * 0.2
 
   /** n-gram/stopword language-ID heuristic: 'en' when English marker
     * tokens appear, else 'und' (undetermined). */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(filter(toks, t => t.isin("the", "a", "of", "and", "is"))) > 0, lit("en"))
+  def langId(text: Column): Column =
+    when(tokenStatsOf(text).getField("n_marker") > 0, lit("en"))
       .otherwise(lit("und"))
-  }
 
   /** Token-window chunking for training pipelines: split a document into
     * windows of `size` tokens advancing by `size - overlap` (so

@@ -96,15 +96,23 @@ object Dedup {
     * the standard distributed-CC shape at corpus scale. Lineage is cut
     * per round (`localCheckpoint`): iterative plans otherwise grow
     * exponentially in the optimizer. The driver-side loop is the
-    * iteration counter only — per-round data never leaves the executors
-    * beyond the one-row convergence probe. */
+    * iteration counter only — per-round data never leaves the executors.
+    *
+    * Convergence detection rides the round's own materialization: each
+    * row carries its previous label through the round, and the
+    * checkpoint-materializing job counts label changes into an
+    * accumulator — no separate probe job (and no probe JOIN) per round.
+    * A task retry can only inflate the count for partitions that really
+    * had changes, so `count == 0` remains an exact convergence test. */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
+    val schema = labels.schema
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -112,17 +120,24 @@ object Dedup {
         .groupBy(edges("src").as("nid")).agg(min(col("cluster")).as("nbr"))
       val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
+          col("cluster").as("__old"))
       // pointer jump: cluster labels are themselves node ids, so follow
       // one hop of the label chain (labels only ever decrease → safe)
       val hop = prop.select(col("id").as("jid"), col("cluster").as("jcluster"))
-      val jumped = prop.join(hop, prop("cluster") === hop("jid"), "left")
+      val staged = prop.join(hop, prop("cluster") === hop("jid"), "left")
         .select(prop("id"),
           least(prop("cluster"), coalesce(col("jcluster"), prop("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          prop("__old"))
+      val changed = spark.sparkContext.longAccumulator("graft-cc-changed")
+      val jumped = spark.createDataFrame(
+        staged.rdd.mapPartitions(_.map { r =>
+          if (r.get(1) != r.get(2)) changed.add(1L)
+          org.apache.spark.sql.Row(r.get(0), r.get(1))
+        }), schema)
         .localCheckpoint(true)
-      converged = jumped.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).limit(1).isEmpty
+      converged = changed.value == 0
       labels = jumped
       i += 1
     }

@@ -49,6 +49,30 @@ object Text extends QueryModule {
 
   private lazy val dkLshPairs = dkLshPairsFrom("documents")
 
+  /** The sharded packing plan (q78) — also driven directly by the plan-
+    * shape spec, which asserts no single-partition exchange survives. */
+  def sqlPackingSharded(s: org.apache.spark.sql.SparkSession, d: String,
+      shards: Int = 8, budget: Int = 256): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.chunks(col("text"), 32, 8))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        pmod(graft.functions.GraftFunctions.hash64c(
+          col("doc_id").cast("string"), 7), lit(shards.toLong)).as("shard"),
+        size(split(col("chunk"), " ")).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .select(col("shard"),
+        floor((col("cum") - col("nt")) / budget).cast("long").as("pack_id"),
+        col("nt"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("nt")).as("n_tokens"))
+      .orderBy("shard", "pack_id")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- PII-style redaction (training-data scrubbing) ----
@@ -80,11 +104,14 @@ object Text extends QueryModule {
         CAST(len(list_distinct(list_transform(generate_series(1, len(tk)-2),
           i -> array_to_string(tk[i:i+2],' ')))) AS INT) AS n_shingles
       FROM sp ORDER BY doc_id""")) { (s, d) =>
+      // one compiled tokenization per row (TokenStats) — the three HOF
+      // stats this replaces each walked the token array interpreted
+      val st = tokenStatsOf(col("text"))
       Tables.documents(s, d).select(
         col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        size(distinctTokens(col("text"))).as("n_distinct_tokens"),
-        size(shingles(col("text"), 3)).as("n_shingles")
+        st.getField("n_tokens").as("n_tokens"),
+        st.getField("n_distinct").as("n_distinct_tokens"),
+        st.getField("n_shingles").as("n_shingles")
       ).orderBy("doc_id")
     },
 
@@ -369,6 +396,35 @@ object Text extends QueryModule {
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_chunks"), sum(col("nt")).as("n_tokens"))
         .orderBy("pack_id")
+    },
+
+    // ---- sharded sequential packing (the 100 TB form of q77) ----
+    // q77's globally sequential packs need a single-partition window — at
+    // corpus scale every chunk would flow through one task. Here docs are
+    // hash-bucketed into shards first (md5-derived, deterministic and
+    // engine-portable), the running-sum window partitions by shard, and
+    // pack ids are namespaced by shard — packing is embarrassingly
+    // parallel across shards because packs never span shards. A spec
+    // asserts the plan contains NO single-partition exchange.
+    Q("q78_packing_sharded", Some(s"""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      n AS (SELECT doc_id, tk,
+        greatest(1, CAST(ceil(CAST(len(tk) - 8 AS DOUBLE) / 24.0) AS BIGINT)) AS nc
+        FROM sp),
+      e AS (SELECT doc_id, tk, unnest(generate_series(1, nc)) - 1 AS chunk_id FROM n),
+      c AS (SELECT doc_id, chunk_id,
+        ${dkHash("CAST(doc_id AS VARCHAR)", 7)} % 8 AS shard,
+        len(string_split(array_to_string(
+          tk[CAST(chunk_id * 24 + 1 AS INT) : CAST(chunk_id * 24 + 32 AS INT)], ' '), ' ')) AS nt
+        FROM e),
+      r AS (SELECT shard, nt,
+        CAST(SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM c)
+      SELECT shard, CAST(floor((cum - nt) / 256.0) AS BIGINT) AS pack_id,
+        COUNT(*) AS n_chunks, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM r GROUP BY 1, 2 ORDER BY shard, pack_id""")) { (s, d) =>
+      sqlPackingSharded(s, d)
     },
 
     // ---- SimHash (16-bit) ----

@@ -148,6 +148,70 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("compiled TokenStats matches the five HOF stats exactly") {
+    GraftFunctions.register(spark)
+    import graft.functions.TextFunctions
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",            // duplicate tokens, all stopwords
+      "one two",              // below shingle n
+      "x  y",                 // double space -> empty middle token
+      " leading trailing ",   // boundary empties from split
+      "",                     // empty string -> one empty token
+      "the a of and is",      // all markers
+      "日本語 テスト テキスト です")
+    val df = texts.toDF("t")
+    val st = TextFunctions.tokenStatsOf(col("t"))
+    val toks = split(col("t"), " ")
+    val got = df.select(
+      st.getField("n_tokens"), st.getField("n_distinct"),
+      st.getField("n_shingles"), st.getField("n_stop"), st.getField("n_marker"),
+      size(toks), size(array_distinct(toks)),
+      size(TextFunctions.shingles(col("t"), 3)),
+      size(filter(toks, t => t.isin("the", "a"))),
+      size(filter(toks, t => t.isin("the", "a", "of", "and", "is"))))
+      .collect()
+    got.zip(texts).foreach { case (r, t) =>
+      for (i <- 0 until 5)
+        assert(r.getInt(i) === r.getInt(i + 5), s"field $i text='$t'")
+    }
+    // NULL text -> NULL struct (matching NULL-propagating built-ins)
+    val nr = spark.sql("SELECT CAST(NULL AS STRING) AS t")
+      .select(TextFunctions.tokenStatsOf(col("t"))).head()
+    assert(nr.isNullAt(0))
+    // derived stats keep their HOF values
+    val derived = df.select(
+      TextFunctions.stopwordRatio(col("t")).as("sw"),
+      TextFunctions.langId(col("t")).as("lang"),
+      size(filter(toks, t => t.isin("the", "a"))).cast("double")
+        ./(size(toks)).as("swHof"),
+      when(size(filter(toks, t => t.isin("the", "a", "of", "and", "is"))) > 0,
+        lit("en")).otherwise(lit("und")).as("langHof"))
+      .collect()
+    derived.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(2))
+      assert(r.getString(1) === r.getString(3))
+    }
+  }
+
+  test("compiled RollingFingerprint matches the HOF fold exactly") {
+    GraftFunctions.register(spark)
+    import graft.functions.TextFunctions
+    val texts = Seq(
+      "the quick brown fox", "fox brown quick the", // order sensitivity
+      "a", "", "x  y", "日本語 テスト")
+    val got = texts.toDF("t").select(
+      TextFunctions.rollingFingerprint(col("t")).as("cg"),
+      TextFunctions.rollingFingerprintHof(col("t")).as("hof"))
+      .as[(Long, Long)].collect()
+    got.zip(texts).foreach { case ((cg, hof), t) =>
+      assert(cg === hof, s"text='$t'") }
+    assert(got(0)._1 !== got(1)._1) // order-sensitive
+    val nr = spark.sql("SELECT CAST(NULL AS STRING) AS t")
+      .select(TextFunctions.rollingFingerprint(col("t"))).head()
+    assert(nr.isNullAt(0))
+  }
+
   test("HOF minhashSig agrees with the explode-based signatures (one family)") {
     import graft.functions.TextFunctions
     import graft.operators.Dedup

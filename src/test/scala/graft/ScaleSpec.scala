@@ -144,6 +144,20 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("sharded packing (q78) plans no single-partition window; totals match q77") {
+    val d = "/root/testdata/sf0.001"
+    val sharded = graft.queries.Text.sqlPackingSharded(spark, d)
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition stage in:\n$plan")
+    // contrast: the globally-sequential form (q77) needs one
+    val global = SparkEntry.queries("q77_packing")(spark, d)
+    assert(global.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    // sharding re-buckets the same chunk stream: token totals are invariant
+    val tokSharded = sharded.agg(sum("n_tokens")).head().getLong(0)
+    val tokGlobal = global.agg(sum("n_tokens")).head().getLong(0)
+    assert(tokSharded === tokGlobal)
+  }
+
   test("event-date partitioned layout prunes partitions on time-range scans (S9)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Seq(
