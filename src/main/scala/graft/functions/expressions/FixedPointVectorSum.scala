@@ -15,10 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * (group × partition). Same longs, same order-independence (integer
   * addition is associative), bit-identical downstream math.
   *
-  * Null elements are skipped (matching COUNT(x)/SUM semantics of the
-  * mirror's per-component aggregation when arrays are complete — the
-  * corpus contract); ragged inputs accumulate into the longest width
-  * seen. Empty groups evaluate to NULL.
+  * Input contract (ENFORCED, not assumed): every array is non-null,
+  * every element is non-null, and all arrays in a group have one width.
+  * Downstream centroid math divides by the per-group ROW count, which is
+  * only correct under that contract — a null/ragged input would silently
+  * diverge from the per-component COUNT(x) division of the SQL mirror,
+  * so such inputs fail the task loudly instead. Empty groups evaluate to
+  * NULL.
   */
 case class FixedPointVectorSum(
     child: Expression,
@@ -39,18 +42,32 @@ case class FixedPointVectorSum(
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input).asInstanceOf[ArrayData]
-    if (v == null) return buffer
+    require(v != null,
+      "graft_fpvec_sum: NULL array in input — rows must carry complete " +
+        "vectors (divide-by-row-count centroid math would silently diverge)")
     val n = v.numElements()
+    require(buffer.length == 0 || buffer.length == n,
+      s"graft_fpvec_sum: ragged vector widths in one group " +
+        s"(${buffer.length} vs $n) — mixed dimensionality breaks the " +
+        "elementwise sum contract")
     val b = if (buffer.length >= n) buffer else java.util.Arrays.copyOf(buffer, n)
     var j = 0
     while (j < n) {
-      if (!v.isNullAt(j)) b(j) += math.floor(v.getDouble(j) * Scale).toLong
+      require(!v.isNullAt(j),
+        s"graft_fpvec_sum: NULL element at index $j — vectors must be dense")
+      b(j) += math.floor(v.getDouble(j) * Scale).toLong
       j += 1
     }
     b
   }
 
   override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    // cross-partition raggedness (consistent widths per partition, mixed
+    // across them) is only visible here
+    require(buffer.length == 0 || other.length == 0 ||
+      buffer.length == other.length,
+      s"graft_fpvec_sum: ragged vector widths across partitions " +
+        s"(${buffer.length} vs ${other.length})")
     val (big, small) =
       if (buffer.length >= other.length) (buffer, other) else (other, buffer)
     var j = 0

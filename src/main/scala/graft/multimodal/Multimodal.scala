@@ -17,8 +17,9 @@ final case class MediaFeatures(
     kind: String,
     n_bytes: Int,
     checksum: Long,
-    decoded_width: Int,      // -1 when the payload is not a decodable image
-    decoded_height: Int,
+    decoded_width: Int,      // image: pixel width; audio: sample rate (Hz);
+    decoded_height: Int,     // image: pixel height; audio: channel count;
+                             // -1/-1 when the payload is not decodable
     features: Array[Float])
 
 final case class FrameSample(media_id: Long, frame_index: Int, offset: Int,
@@ -33,10 +34,13 @@ final case class FrameSample(media_id: Long, frame_index: Int, offset: Int,
   * Codecs: `kind = "image"` rows go through a REAL decoder
   * ([[decodeImage]], JDK `javax.imageio` — PNG/BMP/GIF/JPEG, zero new
   * dependencies) producing true dimensions and a normalized RGB-histogram
-  * feature vector. Audio/video remain a STUB ([[decodeStub]], labeled):
-  * this container has no audio/video libraries, so features are
-  * deterministic pseudo-features of the bytes. Swapping a real A/V codec
-  * changes only that function body — the distributed shape (schema in,
+  * feature vector. `kind = "audio"` rows decode for REAL too
+  * ([[decodeAudio]], JDK `javax.sound.sampled` — WAV/AIFF/AU PCM):
+  * true sample rate + channel count and a windowed-RMS-energy feature
+  * vector. Only video remains a STUB ([[decodeStub]], labeled): this
+  * container has no video libraries, so features are deterministic
+  * pseudo-features of the bytes. Swapping a real video codec changes
+  * only that function body — the distributed shape (schema in,
   * partition-parallel map, schema out) is final.
   */
 object Multimodal {
@@ -104,14 +108,94 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real audio decode via JDK `javax.sound.sampled`: (sampleRate,
+    * channels, features) where features is `dim` windowed RMS energies of
+    * the normalized PCM signal (channels mixed), each in [0,1]. Supports
+    * the formats the JDK ships parsers for (WAV/AIFF/AU, 8/16-bit PCM).
+    * At most 2^20 frames are read so decode cost is bounded for
+    * arbitrarily long clips (mirroring the image decoder's 64×64 sampling
+    * bound). Returns None when the bytes are not decodable audio —
+    * callers fall back to the stub rather than failing the task. */
+  private[multimodal] def decodeAudio(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16)
+        if (!ok) None
+        else {
+          val channels = fmt.getChannels
+          val bytesPerFrame = fmt.getFrameSize
+          val maxFrames = 1 << 20
+          val raw = ais.readNBytes(maxFrames * bytesPerFrame)
+          val nFrames = raw.length / bytesPerFrame
+          if (nFrames == 0) None
+          else {
+            // mix channels to one normalized [-1,1] sample per frame
+            val samples = new Array[Float](nFrames)
+            val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val big = fmt.isBigEndian
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0f
+              var c = 0
+              while (c < channels) {
+                val off = f * bytesPerFrame + c * (bits / 8)
+                val v =
+                  if (bits == 8) {
+                    if (signed) bytes2f(raw(off).toInt, 0x80)
+                    else bytes2f((raw(off) & 0xff) - 128, 0x80)
+                  } else {
+                    val lo = if (big) raw(off + 1) else raw(off)
+                    val hi = if (big) raw(off) else raw(off + 1)
+                    val s = ((hi.toInt << 8) | (lo & 0xff)).toShort.toInt
+                    bytes2f(if (signed) s else ((s & 0xffff) - 32768), 0x8000)
+                  }
+                acc += v
+                c += 1
+              }
+              samples(f) = acc / channels
+              f += 1
+            }
+            // dim windowed RMS energies over the frame span
+            val out = new Array[Float](dim)
+            var w = 0
+            while (w < dim) {
+              val from = (w.toLong * nFrames / dim).toInt
+              val until = ((w + 1).toLong * nFrames / dim).toInt
+              if (until > from) {
+                var sum = 0.0
+                var i = from
+                while (i < until) { sum += samples(i).toDouble * samples(i); i += 1 }
+                out(w) = math.sqrt(sum / (until - from)).toFloat
+              }
+              w += 1
+            }
+            Some((fmt.getSampleRate.toInt, channels, out))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  @inline private def bytes2f(v: Int, scale: Int): Float = v.toFloat / scale
+
   /** Feature extraction: partition-parallel decode of opaque media bytes.
-    * Image rows decode for real (dimensions + RGB histogram); audio/video
-    * and undecodable images take the labeled stub path with -1 dims. */
+    * Image and audio rows decode for real (dimensions + RGB histogram /
+    * sample-rate + channels + RMS windows); video and undecodable
+    * payloads take the labeled stub path with -1 dims. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] =
     media.mapPartitions { rows =>
       rows.map { m =>
-        val decoded =
-          if (m.kind == "image") decodeImage(m.content, dim) else None
+        val decoded = m.kind match {
+          case "image" => decodeImage(m.content, dim)
+          case "audio" => decodeAudio(m.content, dim)
+          case _       => None
+        }
         decoded match {
           case Some((w, h, feats)) =>
             MediaFeatures(m.media_id, m.kind, m.content.length,

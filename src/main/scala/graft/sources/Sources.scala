@@ -41,7 +41,10 @@ object Sources {
       .option("recursiveFileLookup", true)
       .load(path)
       .withColumn("__rel",
-        regexp_replace(col("path"), "^[a-z]+:(//[^/]*)?" + java.util.regex.Pattern.quote(base), ""))
+        // RFC 3986 scheme grammar — schemes with digits/dots/uppercase
+        // (s3, s3a, o3fs, WASB) must strip too, or the dot-filter would
+        // regress to full-path matching on those filesystems
+        regexp_replace(col("path"), "^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?" + java.util.regex.Pattern.quote(base), ""))
       .filter(!col("__rel").rlike("/\\.[^/]*$") && !col("__rel").rlike("/\\.[^/]*/"))
       .select(col("path"), col("length"), col("modificationTime"))
   }

@@ -66,14 +66,32 @@ object Sinks {
         }
         val merged =
           if (hasData) {
-            require(fs.exists(metaPath), s"$path has data but no _graft_buckets " +
-              "marker — not a graft upsert store, refusing to overwrite")
-            val recorded = {
-              val in = fs.open(metaPath)
-              try new String(
-                org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
-              finally in.close()
-            }
+            // Marker present → it is authoritative. Marker absent (a store
+            // written before markers existed, or a lost marker) → adopt the
+            // layout iff every data partition parses as part_bucket=k with
+            // k < buckets; anything else is not a graft upsert store laid
+            // out for this bucket count, and overwriting it would strand
+            // keys (or destroy foreign data).
+            val recorded: Int =
+              if (fs.exists(metaPath)) {
+                val in = fs.open(metaPath)
+                try new String(
+                  org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
+                finally in.close()
+              } else {
+                fs.listStatus(fsPath).foreach { st =>
+                  val n = st.getPath.getName
+                  if (st.isDirectory && !n.startsWith("_") && !n.startsWith(".")) {
+                    val k = n.stripPrefix("part_bucket=").toIntOption
+                    require(n.startsWith("part_bucket=") &&
+                      k.exists(v => v >= 0 && v < buckets),
+                      s"$path has data but no _graft_buckets marker and " +
+                        s"partition '$n' does not fit a bucketed layout with " +
+                        s"buckets=$buckets — not adoptable, refusing to overwrite")
+                  }
+                }
+                buckets // adopted; the post-write marker records it
+              }
             require(recorded == buckets,
               s"store at $path was written with buckets=$recorded, got $buckets — " +
                 "a different count strands stale keys in unvisited buckets")
@@ -94,10 +112,11 @@ object Sinks {
           // dynamic-overwrite semantics into concurrent queries
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("part_bucket").parquet(path)
-        if (!fs.exists(metaPath)) {
-          val out = fs.create(metaPath, true)
-          try out.write(s"$buckets\n".getBytes("UTF-8")) finally out.close()
-        }
+        // (re)written after EVERY successful write: the marker describes
+        // the data just committed, so a stale marker left beside an
+        // emptied/adopted store can never wedge the next batch
+        val out = fs.create(metaPath, true)
+        try out.write(s"$buckets\n".getBytes("UTF-8")) finally out.close()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -7,33 +7,50 @@ import java.nio.charset.StandardCharsets
 /** Minimal dependency-free SMTP transport behind [[Sinks.Notifier]].
   *
   * The reference ships a complete SMTP sender as its alert delivery path
-  * (utils/email-sender-libcurl.c:128-193, utils/email-sender.c); this is
-  * the same capability as an RFC 5321 client over a plain JDK socket:
-  * EHLO → MAIL FROM → RCPT TO → DATA (dot-stuffed) → QUIT. No TLS/auth —
-  * point it at a local relay for authenticated delivery (the transport
-  * seam is [[Sinks.Notifier]], so a TLS-capable client drops in without
-  * touching the alert operator).
+  * (utils/email-sender-libcurl.c:128-193, utils/email-sender.c), with TLS
+  * and AUTH security modes (utils/email-sender.h:32-38, auth setup
+  * utils/email-sender.c:271-293); this is the same capability as an
+  * RFC 5321 client over a plain JDK socket, upgraded in place:
+  * EHLO → [STARTTLS (RFC 3207) + re-EHLO] → [AUTH PLAIN (RFC 4616)] →
+  * MAIL FROM → RCPT TO → DATA (dot-stuffed) → QUIT. TLS uses the JDK
+  * default `SSLContext`; override [[sslSocketFactory]] to pin a custom
+  * trust store (the spec's in-process TLS server does).
   *
   * Serializable: each executor task constructs one connection per send.
   * A failed send throws, failing the task → the streaming checkpoint
   * retries the batch (at-least-once delivery, strictly stronger than the
-  * reference's fire-and-forget).
+  * reference's fire-and-forget). Credentials ride the closure like any
+  * other connector secret — source them from a secret manager in
+  * production, not code.
   */
 class SmtpNotifier(
     host: String,
     port: Int,
     from: String,
     to: Seq[String],
-    timeoutMs: Int = 10000) extends Sinks.Notifier {
+    timeoutMs: Int = 10000,
+    startTls: Boolean = false,
+    username: Option[String] = None,
+    password: Option[String] = None) extends Sinks.Notifier {
+
+  require(username.isDefined == password.isDefined,
+    "AUTH PLAIN needs both username and password (or neither)")
+
+  /** Client-side TLS socket factory for the STARTTLS upgrade. Default =
+    * JDK default context (system trust store); tests override with a
+    * context trusting their in-process certificate. */
+  protected def sslSocketFactory(): javax.net.ssl.SSLSocketFactory =
+    javax.net.ssl.SSLContext.getDefault.getSocketFactory
 
   override def send(subject: String, body: String): Unit = {
-    val socket = new Socket()
+    val plain = new Socket()
+    var socket: Socket = plain
     try {
-      socket.connect(new InetSocketAddress(host, port), timeoutMs)
-      socket.setSoTimeout(timeoutMs)
-      val in = new BufferedReader(new InputStreamReader(
+      plain.connect(new InetSocketAddress(host, port), timeoutMs)
+      plain.setSoTimeout(timeoutMs)
+      var in = new BufferedReader(new InputStreamReader(
         socket.getInputStream, StandardCharsets.UTF_8))
-      val out = new OutputStreamWriter(
+      var out = new OutputStreamWriter(
         socket.getOutputStream, StandardCharsets.UTF_8)
 
       def expect(codes: Int*): Unit = {
@@ -61,6 +78,29 @@ class SmtpNotifier(
       val toS = to.map(hdr)
       expect(220)
       cmd(s"EHLO graft", 250)
+      if (startTls) {
+        cmd("STARTTLS", 220)
+        val ssl = sslSocketFactory()
+          .createSocket(socket, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(true)
+        ssl.setSoTimeout(timeoutMs)
+        ssl.startHandshake()
+        socket = ssl
+        in = new BufferedReader(new InputStreamReader(
+          socket.getInputStream, StandardCharsets.UTF_8))
+        out = new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8)
+        cmd(s"EHLO graft", 250) // RFC 3207 §4.2: state resets after TLS
+      }
+      (username, password) match {
+        case (Some(u), Some(p)) =>
+          require(startTls || host == "127.0.0.1" || host == "localhost",
+            "refusing AUTH PLAIN on an unencrypted non-loopback connection")
+          val token = java.util.Base64.getEncoder.encodeToString(
+            (s"\u0000$u\u0000$p").getBytes(StandardCharsets.UTF_8))
+          cmd(s"AUTH PLAIN $token", 235)
+        case _ => ()
+      }
       cmd(s"MAIL FROM:<$fromS>", 250)
       toS.foreach(r => cmd(s"RCPT TO:<$r>", 250, 251))
       cmd("DATA", 354)

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** A typed event row for stateful streaming ops (mirrors the events
   * table; `ts` is a java.sql.Timestamp — Spark's product encoder stores
@@ -165,6 +166,128 @@ object StatefulOps {
           }
           out.iterator
       }
+  }
+
+  /** A banded doc heading into the bounded near-dup processor. */
+  final case class BandedDoc(
+      bkey: String, doc_id: Long, ts: java.sql.Timestamp, mh: Seq[Long])
+
+  /** One near-duplicate hit; `ts` is the arriving doc's event time (the
+    * output watermark column for downstream stateful dedup). */
+  final case class DupHit(
+      doc_id: Long, dup_of: Long, est: Double, ts: java.sql.Timestamp)
+
+  /** Band-bucket representative state with event-time eviction: the
+    * representative is dropped once the bucket has seen no traffic for
+    * `horizonMs` of event time (watermark-driven timer). One live timer
+    * per bucket — re-registration deletes the previous one. */
+  class NearDupProcessor(threshold: Double, horizonMs: Long)
+      extends StatefulProcessor[String, BandedDoc, DupHit] {
+    @transient private var rep: ValueState[(Long, Long, Seq[Long])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      rep = getHandle.getValueState[(Long, Long, Seq[Long])]("rep",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandedDoc],
+        timers: TimerValues): Iterator[DupHit] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[DupHit]
+      var cur = if (rep.exists()) Some(rep.get()) else None
+      val lastSeen0 = cur.map(_._2).getOrElse(Long.MinValue)
+      var lastSeen = lastSeen0
+      rows.foreach { r =>
+        val tsMs = r.ts.getTime
+        cur match {
+          case Some((repId, _, repMh)) =>
+            if (repId != r.doc_id) {
+              val est = r.mh.zip(repMh).count { case (a, b) => a == b }.toDouble /
+                r.mh.length
+              if (est >= threshold) out += DupHit(r.doc_id, repId, est, r.ts)
+            }
+            if (tsMs > lastSeen) lastSeen = tsMs
+          case None =>
+            cur = Some((r.doc_id, tsMs, r.mh))
+            lastSeen = tsMs
+        }
+      }
+      cur.foreach { case (id, _, mh) =>
+        if (lastSeen != lastSeen0) {
+          rep.update((id, lastSeen, mh))
+          if (lastSeen0 != Long.MinValue)
+            getHandle.deleteTimer(lastSeen0 + horizonMs)
+          getHandle.registerTimer(lastSeen + horizonMs)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[DupHit] = {
+      // stale timers (superseded by later traffic) are deleted on
+      // re-registration, so any firing timer is authoritative
+      if (rep.exists() && rep.get()._2 + horizonMs <= expired.getExpiryTimeInMs)
+        rep.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[streamingNearDup]] with bounded state and deduplicated emission —
+    * the production form (VERDICT r2 item 6).
+    *
+    * Two defects of the simple operator are closed here:
+    *  1. **Eviction**: band-bucket representatives are dropped after
+    *     `horizonMs` of event-time inactivity via watermark-driven timers
+    *     (`TimeMode.EventTime`), so state is bounded by the active window,
+    *     not corpus lifetime.
+    *  2. **Emit-once**: a pair agreeing in several bands previously
+    *     emitted once per band; the processor's output carries the doc's
+    *     event time as the watermark column (`eventTimeColumnName = "ts"`)
+    *     so a downstream `dropDuplicatesWithinWatermark(doc_id, dup_of)`
+    *     — itself bounded state — keeps exactly one hit per pair.
+    *
+    * Semantics note: eviction means "near-dup" is scoped to documents
+    * within `horizonMs` of each other — the streaming contract a bounded
+    * operator can honestly offer (the batch q31 pipeline remains the
+    * whole-corpus form).
+    */
+  def streamingNearDupBounded(
+      docs: Dataset[(Long, java.sql.Timestamp, String)],
+      watermarkDelay: String = "10 seconds",
+      horizonMs: Long = 30 * 60 * 1000L,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): Dataset[DupHit] = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+
+    implicit val bandedEnc: Encoder[BandedDoc] = Encoders.product[BandedDoc]
+    implicit val hitEnc: Encoder[DupHit] = Encoders.product[DupHit]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+
+    val sigs = docs.toDF("doc_id", "ts", "text")
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("__mh", graft.functions.GraftFunctions.minhashSlots(
+        graft.functions.GraftFunctions.wordShingles(col("text"), shingleSize),
+        numHashes))
+      .filter(col("__mh").isNotNull) // empty docs can never near-dup
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("_", lit(b.toString) +:
+        (0 until rows).map(r => element_at(col("__mh"), b * rows + r + 1)): _*)
+    }: _*)
+    sigs
+      .select(explode(bandKeys).as("bkey"), col("doc_id"), col("ts"),
+        col("__mh").as("mh"))
+      .as[BandedDoc]
+      .groupByKey(_.bkey)
+      .transformWithState(new NearDupProcessor(threshold, horizonMs),
+        eventTimeColumnName = "ts", outputMode = OutputMode.Append())
+      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
   }
 
   /** Typed view of an events DataFrame (batch or stream). */

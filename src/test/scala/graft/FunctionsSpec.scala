@@ -243,6 +243,29 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaAgg(7) === viaExplode) // partial-merge across partitions
   }
 
+  test("FixedPointVectorSum fails fast on null/ragged vectors (contract enforced)") {
+    GraftFunctions.register(spark)
+    def agg(sql: String) = spark.sql(
+      s"SELECT graft_fpvec_sum(v) FROM (SELECT explode($sql) AS v)").collect()
+    // dense same-width arrays are fine
+    assert(agg("array(array(1.0D, 2.0D), array(3.0D, 4.0D))").length === 1)
+    // ragged widths in one group -> loud failure, not silent divergence
+    val ragged = intercept[Exception](
+      agg("array(array(1.0D, 2.0D), array(3.0D))"))
+    assert(ragged.getMessage.contains("ragged") ||
+      Option(ragged.getCause).exists(_.getMessage.contains("ragged")))
+    // null element -> loud failure
+    val nullElem = intercept[Exception](
+      agg("array(array(1.0D, CAST(NULL AS DOUBLE)))"))
+    assert(nullElem.getMessage.contains("dense") ||
+      Option(nullElem.getCause).exists(_.getMessage.contains("dense")))
+    // null array -> loud failure
+    val nullArr = intercept[Exception](
+      agg("array(array(1.0D), CAST(NULL AS ARRAY<DOUBLE>))"))
+    assert(nullArr.getMessage.contains("NULL array") ||
+      Option(nullArr.getCause).exists(_.getMessage.contains("NULL array")))
+  }
+
   test("MinHashAggregator matches a two-pass elementwise-min computation") {
     val hashes = Seq(11L, 22L, 33L, 44L, 55L)
     val agg = new MinHashAggregator(8)

@@ -121,6 +121,39 @@ class RegistrySourcesSpec extends SparkTestBase {
     assert(f(1).features.length === 6)
   }
 
+  test("multimodal audio codec decodes a real WAV: format fields + RMS windows") {
+    // 8000 Hz mono 16-bit PCM, 0.5 s: first half silence, second half a
+    // loud 440 Hz sine — windowed RMS must be ~0 then clearly positive
+    val rate = 8000
+    val n = rate / 2
+    val pcm = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 30000).toShort
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val media = Seq(
+      MediaRow(1, "audio", baos.toByteArray, 0, 0),
+      MediaRow(2, "audio", Array.tabulate(64)(_.toByte), 0, 0) // not audio
+    ).toDS().repartition(2)
+    val f = Multimodal.extractFeatures(media, dim = 4).collect().sortBy(_.media_id)
+    // real decode: true sample rate + channel count, not the (0,0) metadata
+    assert((f(0).decoded_width, f(0).decoded_height) === (rate, 1))
+    val Array(w0, w1, w2, w3) = f(0).features
+    assert(w0 < 0.01f && w1 < 0.01f, "silent half must have ~zero RMS")
+    // a full-scale sine's RMS is ~0.65 of peak (1/sqrt(2) * 30000/32768)
+    assert(w2 > 0.5f && w3 > 0.5f, s"loud half must have high RMS, got $w2 $w3")
+    // garbage bytes labeled "audio" fall back to the stub with -1 dims
+    assert((f(1).decoded_width, f(1).decoded_height) === (-1, -1))
+    assert(f(1).features.length === 4)
+  }
+
   test("multimodal frame sampling fans out frames with offsets") {
     val media = Seq(MediaRow(1, "video", Array.tabulate(100)(_.toByte), 0, 0)).toDS()
     val frames = Multimodal.sampleFrames(media, stride = 25, frameSize = 10).collect()

@@ -74,6 +74,57 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bounded streaming near-dup: emit-once pairs + event-time state eviction") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      val fox = "the quick brown fox jumps over the lazy dog"
+      // 1-minute event-time horizon, zero watermark delay: watermark = max ts
+      val hits = StatefulOps.streamingNearDupBounded(ms.toDS(),
+        watermarkDelay = "0 seconds", horizonMs = 60 * 1000L)
+      val q = hits.toDF().writeStream
+        .format("memory").queryName("bounded_nd").outputMode("append").start()
+      try {
+        def rows() = spark.table("bounded_nd")
+          .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq
+
+        ms.addData((1L, ts(0), fox))
+        q.processAllAvailable()
+        ms.addData((2L, ts(0, 30), fox))
+        q.processAllAvailable()
+        // identical docs agree in ALL bands, yet exactly one pair emits
+        assert(rows() === Seq((2L, 1L)), "emit-once: one row per (doc, dup_of) pair")
+
+        // push the watermark far past doc 1/2's buckets' horizon; the
+        // unrelated text shares no bucket with them, then one more batch
+        // fires the eviction timers
+        ms.addData((3L, ts(10), "completely different text with other tokens here now"))
+        q.processAllAvailable()
+        ms.addData((4L, ts(11), "yet another unrelated document entirely about nothing"))
+        q.processAllAvailable()
+
+        // doc 5 repeats doc 1's content AFTER eviction: representative is
+        // gone, so no hit — doc 5 becomes the new representative
+        ms.addData((5L, ts(12), fox))
+        q.processAllAvailable()
+        assert(!rows().exists(_._1 == 5L),
+          "evicted representative must not flag post-horizon arrivals")
+        // ...and doc 6 now flags against doc 5, not the evicted doc 1
+        ms.addData((6L, ts(12, 30), fox))
+        q.processAllAvailable()
+        assert(rows().filter(_._1 == 6L) === Seq((6L, 5L)),
+          "new representative owns the bucket after eviction (exactly one pair)")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming corpus ingestion dedups by content fingerprint (U6 x T5)") {
     // documents arriving on a stream, exact-dedup by md5(text): the batch
     // q29 policy applied online — duplicate content never reaches the sink
@@ -169,6 +220,44 @@ class StreamingSpec extends SparkTestBase {
     // overwrite mode is a per-write option — the session conf must be
     // untouched (a session-global set would leak into concurrent queries)
     assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") === "STATIC")
+  }
+
+  test("upsertParquet adopts legacy marker-less stores; marker rewritten per write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-legacy").toString
+    val ms = newEvents()
+    def run(): Unit = {
+      val q = Sinks.upsertParquet(ms.toDF(), s"$dir/store", s"$dir/ckpt",
+        keys = Seq("user_id"), seqCol = "ts")
+      q.awaitTermination(60000)
+    }
+    ms.addData(Event(1, ts(1), 7, "a", 1.0))
+    run()
+    // simulate a store written before markers existed
+    val marker = java.nio.file.Paths.get(s"$dir/store/_graft_buckets")
+    assert(java.nio.file.Files.deleteIfExists(marker))
+    ms.addData(Event(2, ts(2), 7, "b", 2.0))
+    run() // adopts the valid part_bucket layout instead of wedging
+    val store = spark.read.parquet(s"$dir/store")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(store === Map(7L -> 2L))
+    // the marker is rewritten after every successful write
+    assert(java.nio.file.Files.exists(marker))
+
+    // foreign (non-bucketed) data is NOT adoptable — refuse, don't overwrite
+    val foreign = java.nio.file.Files.createTempDirectory("graft-upsert-foreign").toString
+    spark.range(3).withColumn("v", col("id") * 2)
+      .write.partitionBy("id").parquet(s"$foreign/store")
+    val ms2 = newEvents()
+    ms2.addData(Event(9, ts(1), 9, "x", 1.0))
+    val q2 = Sinks.upsertParquet(ms2.toDF(), s"$foreign/store", s"$foreign/ckpt",
+      keys = Seq("user_id"), seqCol = "ts")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(60000)
+    }
+    assert(err.getMessage.contains("not adoptable") ||
+      Option(err.getCause).exists(_.getMessage.contains("not adoptable")))
+    // the foreign data is untouched
+    assert(spark.read.parquet(s"$foreign/store").count() === 3)
   }
 
   test("alert sink delivers matching rows through the Notifier (T6/S10)") {
