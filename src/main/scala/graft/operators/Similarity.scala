@@ -88,6 +88,14 @@ object Similarity {
     val cents = e.filter(col("vec_id") < kCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("n2").as("c_n2"))
+    ivfSearch(e, cents, queryPred, nprobe, k)
+  }
+
+  /** IVF search against a given quantizer frame `cents` (cid, c_emb,
+    * c_n2) — shared by the sampled ([[ivfTopK]]) and trained
+    * ([[ivfTrainedTopK]]) quantizers. */
+  private def ivfSearch(e: DataFrame, cents: DataFrame, queryPred: Column,
+      nprobe: Int, k: Int): DataFrame = {
     // squared L2 from exact fixed-point parts: n2v + n2c − 2·dot — the
     // same few IEEE ops in both engines ⇒ bit-identical assignment
     val assign = e.crossJoin(broadcast(cents))
@@ -114,6 +122,62 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("vid"), col("cell"), col("cosine"),
         col("rank"))
+  }
+
+  /** Deterministic Lloyd's k-means over the corpus, oracle-mirrorable:
+    * init = the deterministic sample (vec_id < kCentroids), each
+    * iteration assigns every vector to its nearest centroid by the exact
+    * fixed-point squared-L2 and recomputes per-cell means with
+    * [[graft.functions.GraftFunctions.fpVecSum]] (integer sums →
+    * (Σfloor(x·2^40)/2^40)/n — the identical pair of IEEE divisions in
+    * DuckDB), so trained centroids are bit-identical in both engines.
+    * Cells that lose all members keep their previous centroid.
+    *
+    * Scale: one broadcast of k centroids + one corpus pass per iteration
+    * (assignment is map-side; the mean is a partial-agg on an array
+    * buffer — no dimension explode). `localCheckpoint` per iteration
+    * keeps the plan flat (iteration control on the driver, data never
+    * leaves the cluster — same pattern as Dedup.nearDupClusters).
+    * Returns (cid, c_emb: array<double>). */
+  def kmeansCentroids(emb: DataFrame, kCentroids: Int, iters: Int): DataFrame = {
+    val e = withNorm2(emb)
+    // initial quantizer = the deterministic sample, as array<double>
+    var cents = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val cn = cents.withColumn("c_n2", norm2Exact(col("c_emb")))
+      val assign = e.crossJoin(broadcast(cn))
+        .withColumn("dist",
+          col("n2") + col("c_n2") - lit(2.0) * dotExact(col("embedding"), col("c_emb")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
+      val means = e
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .join(assign, "vec_id")
+        .groupBy(col("cell"))
+        .agg(graft.functions.GraftFunctions.fpVecSum(col("emb")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell").as("cid"),
+          transform(col("s"),
+            v => (v.cast("double") / lit(1099511627776.0)) / col("n")).as("m_emb"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("m_emb"), col("c_emb")).as("c_emb"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with a TRAINED coarse quantizer ([[kmeansCentroids]])
+    * instead of the raw sample — better-balanced cells ⇒ fewer wasted
+    * probe candidates for the same nprobe (quantizer quality vs probe
+    * cost; SCALING.md). */
+  def ivfTrainedTopK(emb: DataFrame, queryPred: Column, kCentroids: Int,
+      iters: Int, nprobe: Int, k: Int): DataFrame = {
+    val e = withNorm2(emb)
+    val cents = kmeansCentroids(emb, kCentroids, iters)
+      .withColumn("c_n2", norm2Exact(col("c_emb")))
+    ivfSearch(e, cents, queryPred, nprobe, k)
   }
 
   /** LSH-bucketed ANN top-k: candidates restricted to the query's

@@ -26,6 +26,31 @@ object Vector extends QueryModule {
         ${dkDecSum("CAST(embedding[g.j] AS DOUBLE) * CAST(embedding[g.j] AS DOUBLE)")} AS n2
       FROM embeddings, generate_series(1, 64) g(j) GROUP BY vec_id)"""
 
+  /** One unrolled Lloyd iteration over long-format centroids `prev`
+    * (cid, j, comp) → `next`: fixed-point assignment + per-cell
+    * fixed-point means (2^40 scale, same two IEEE divisions as
+    * Similarity.kmeansCentroids); empty cells keep their centroid. */
+  private def dkKmIter(prev: String, next: String): String = s"""
+      ${prev}n2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2
+        FROM $prev GROUP BY cid),
+      ${prev}d AS (SELECT e.vec_id, c.cid,
+        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
+        FROM embeddings e, $prev c GROUP BY e.vec_id, c.cid),
+      ${prev}a AS (SELECT vec_id, cid AS cell FROM (
+        SELECT d.vec_id, d.cid,
+          ROW_NUMBER() OVER (PARTITION BY d.vec_id
+            ORDER BY (n.n2 + cn.cn2 - 2.0 * d.dot), d.cid) AS rn
+        FROM ${prev}d d JOIN n2 n ON n.vec_id = d.vec_id
+          JOIN ${prev}n2 cn ON cn.cid = d.cid) WHERE rn = 1),
+      $next AS (SELECT c.cid, c.j, COALESCE(m.comp, c.comp) AS comp
+        FROM $prev c LEFT JOIN (
+          SELECT a.cell AS cid, g.j,
+            (CAST(CAST(SUM(CAST(floor(CAST(e.embedding[g.j] AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+              / 1099511627776.0) / COUNT(*) AS comp
+          FROM embeddings e JOIN ${prev}a a ON a.vec_id = e.vec_id,
+            generate_series(1, 64) g(j)
+          GROUP BY a.cell, g.j) m ON m.cid = c.cid AND m.j = c.j)"""
+
   val all: Seq[Q] = Seq(
 
     // ---- exact norms via higher-order functions ----
@@ -193,6 +218,47 @@ object Vector extends QueryModule {
       FROM cos WHERE rn <= 3 ORDER BY qid, rank""")) { (s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 8,
           kCentroids = 8, nprobe = 2, k = 3)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- IVF with a TRAINED quantizer (2 Lloyd iterations) ----
+    // Same inverted-file search as q69, but the coarse quantizer is
+    // refined by two deterministic k-means iterations (fixed-point
+    // assignment + fixed-point means ⇒ bit-identical centroids in both
+    // engines; the mirror unrolls the loop as CTE chains c0→c1→c2).
+    Q("q79_ann_ivf_trained", Some(s"""
+      WITH $dkNorm2,
+      c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
+        FROM embeddings, generate_series(1, 64) g(j) WHERE vec_id < 8),
+      ${dkKmIter("c0", "c1")},
+      ${dkKmIter("c1", "c2")},
+      fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c2 GROUP BY cid),
+      fd AS (SELECT e.vec_id, c.cid,
+        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
+        FROM embeddings e, c2 c GROUP BY e.vec_id, c.cid),
+      fdist AS (SELECT fd.vec_id, fd.cid, (n.n2 + cn.cn2 - 2.0 * fd.dot) AS dist
+        FROM fd JOIN n2 n ON n.vec_id = fd.vec_id JOIN fn2 cn ON cn.cid = fd.cid),
+      fassign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM fdist) WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM fdist WHERE vec_id < 8) WHERE rn <= 2),
+      cand AS (SELECT p.qid, a.vec_id AS vid, a.cell
+        FROM probes p JOIN fassign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      dots AS (SELECT c.qid, c.vid, c.cell,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+          JOIN embeddings e ON e.vec_id = c.vid, generate_series(1, 64) g(j)
+        GROUP BY c.qid, c.vid, c.cell),
+      cos AS (SELECT d.qid, d.vid, d.cell, d.dot/(sqrt(a.n2)*sqrt(b.n2)) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
+      SELECT qid, vid, cell, cosine, CAST(rn AS INT) AS rank
+      FROM cos WHERE rn <= 3 ORDER BY qid, rank""")) { (s, d) =>
+      Similarity.ivfTrainedTopK(Tables.embeddings(s, d), col("vec_id") < 8,
+          kCentroids = 8, iters = 2, nprobe = 2, k = 3)
         .orderBy("qid", "rank")
     },
 

@@ -202,4 +202,34 @@ class OperatorsSpec extends SparkTestBase {
       nprobe = 2, k = 4)
     assert(wide.select("vid").as[Long].collect().toSet === Set(0L, 1L, 11L, 12L))
   }
+
+  test("kmeansCentroids trains deterministic fixed-point means; empty cells persist") {
+    // init centroids: vec_id 0 (near x-axis) and 1 (y-axis). All corpus
+    // mass sits near x, so after one iteration cell 0's centroid is the
+    // mean of {0, 10, 11} and cell 1 keeps only vector 1.
+    val df = Seq(
+      (0L, Array(0.8f, 0.2f)), (1L, Array(0.0f, 1.0f)),
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    def train() = Similarity.kmeansCentroids(df, kCentroids = 2, iters = 2)
+      .orderBy("cid").as[(Long, Seq[Double])].collect()
+    val c = train()
+    assert(c.map(_._1).toSeq === Seq(0L, 1L))
+    // cell 0 moved toward the x-heavy mass: mean x of {0.8, 1.0, 0.9} = 0.9
+    assert(math.abs(c(0)._2.head - 0.9) < 1e-6)
+    // cell 1 kept its lone member exactly (fixed-point mean of one row)
+    assert(math.abs(c(1)._2(1) - 1.0) < 1e-6)
+    // bit-deterministic across runs (the oracle-parity requirement)
+    assert(train().toSeq === c.toSeq)
+
+    // a quantizer whose cell empties out keeps the stale centroid rather
+    // than producing NULL/NaN (the COALESCE path)
+    val lop = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)),
+      (10L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val c2 = Similarity.kmeansCentroids(lop, kCentroids = 2, iters = 2)
+      .orderBy("cid").as[(Long, Seq[Double])].collect()
+    assert(c2.length === 2 && c2.forall(_._2.forall(v => !v.isNaN)))
+  }
 }
