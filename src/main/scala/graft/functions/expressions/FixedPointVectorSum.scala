@@ -46,6 +46,11 @@ case class FixedPointVectorSum(
       "graft_fpvec_sum: NULL array in input — rows must carry complete " +
         "vectors (divide-by-row-count centroid math would silently diverge)")
     val n = v.numElements()
+    // n > 0: an empty array would masquerade as the uninitialized buffer
+    // (length 0), dodge the width check, AND still count in the
+    // divide-by-row-count downstream — the same silent divergence
+    require(n > 0, "graft_fpvec_sum: empty vector in input — rows must " +
+      "carry complete vectors")
     require(buffer.length == 0 || buffer.length == n,
       s"graft_fpvec_sum: ragged vector widths in one group " +
         s"(${buffer.length} vs $n) — mixed dimensionality breaks the " +

@@ -162,18 +162,20 @@ object Multimodal {
               samples(f) = acc / channels
               f += 1
             }
-            // dim windowed RMS energies over the frame span
+            // dim windowed RMS energies over the frame span. Clips shorter
+            // than `dim` frames piecewise-constant-upsample (window = its
+            // nearest sample) — a zero-filled window would be
+            // indistinguishable from genuine silence downstream.
             val out = new Array[Float](dim)
             var w = 0
             while (w < dim) {
               val from = (w.toLong * nFrames / dim).toInt
-              val until = ((w + 1).toLong * nFrames / dim).toInt
-              if (until > from) {
-                var sum = 0.0
-                var i = from
-                while (i < until) { sum += samples(i).toDouble * samples(i); i += 1 }
-                out(w) = math.sqrt(sum / (until - from)).toFloat
-              }
+              val until0 = ((w + 1).toLong * nFrames / dim).toInt
+              val until = if (until0 > from) until0 else from + 1 // from < nFrames always
+              var sum = 0.0
+              var i = from
+              while (i < until) { sum += samples(i).toDouble * samples(i); i += 1 }
+              out(w) = math.sqrt(sum / (until - from)).toFloat
               w += 1
             }
             Some((fmt.getSampleRate.toInt, channels, out))

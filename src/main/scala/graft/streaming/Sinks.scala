@@ -60,41 +60,24 @@ object Sinks {
         val fsPath = new org.apache.hadoop.fs.Path(path)
         val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
-        val hasData = fs.exists(fsPath) && fs.listStatus(fsPath).exists { st =>
+        // one LIST serves both the data probe and layout validation —
+        // on object stores this is a billable per-batch RPC
+        val dataDirs = (if (fs.exists(fsPath)) fs.listStatus(fsPath)
+          else Array.empty[org.apache.hadoop.fs.FileStatus]).filter { st =>
           val n = st.getPath.getName
           st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
         }
-        val merged =
-          if (hasData) {
-            // Marker present → it is authoritative. Marker absent (a store
-            // written before markers existed, or a lost marker) → adopt the
-            // layout iff every data partition parses as part_bucket=k with
-            // k < buckets; anything else is not a graft upsert store laid
-            // out for this bucket count, and overwriting it would strand
-            // keys (or destroy foreign data).
-            val recorded: Int =
-              if (fs.exists(metaPath)) {
-                val in = fs.open(metaPath)
-                try new String(
-                  org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
-                finally in.close()
-              } else {
-                fs.listStatus(fsPath).foreach { st =>
-                  val n = st.getPath.getName
-                  if (st.isDirectory && !n.startsWith("_") && !n.startsWith(".")) {
-                    val k = n.stripPrefix("part_bucket=").toIntOption
-                    require(n.startsWith("part_bucket=") &&
-                      k.exists(v => v >= 0 && v < buckets),
-                      s"$path has data but no _graft_buckets marker and " +
-                        s"partition '$n' does not fit a bucketed layout with " +
-                        s"buckets=$buckets — not adoptable, refusing to overwrite")
-                  }
-                }
-                buckets // adopted; the post-write marker records it
-              }
-            require(recorded == buckets,
-              s"store at $path was written with buckets=$recorded, got $buckets — " +
-                "a different count strands stale keys in unvisited buckets")
+        val recorded: Option[Int] =
+          if (dataDirs.nonEmpty && fs.exists(metaPath)) {
+            val in = fs.open(metaPath)
+            try Some(new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt)
+            finally in.close()
+          } else None
+        val (merged, overwriteMode) =
+          if (dataDirs.nonEmpty && recorded.exists(_ == buckets)) {
+            // Marker matches → incremental path: merge with only the
+            // touched buckets, dynamically overwrite those partitions.
             val cur = spark.read.parquet(path)
               .join(latest.select("part_bucket").distinct(), Seq("part_bucket"),
                 "left_semi")
@@ -104,13 +87,39 @@ object Sinks {
             // store untouched, and the write job never scans files it is
             // deleting. (A transactional table format would subsume this;
             // out of scope with parquet-only deps.)
-            graft.operators.Dedup.keepLatest(cur.unionByName(latest), keys, order)
-              .localCheckpoint(true)
-          } else latest
+            (graft.operators.Dedup.keepLatest(cur.unionByName(latest), keys, order)
+              .localCheckpoint(true), "dynamic")
+          } else if (dataDirs.nonEmpty) {
+            recorded.foreach(r => require(r == buckets,
+              s"store at $path was written with buckets=$r, got $buckets — " +
+                "a different count strands stale keys in unvisited buckets"))
+            // Marker absent (store pre-dates markers, or the marker was
+            // lost). The partition names alone cannot prove WHICH bucket
+            // count laid the store out (part_bucket=0..3 fits buckets=4
+            // and buckets=16, and adopting the wrong count strands stale
+            // keys in buckets the incremental merge never visits), so
+            // adoption = one full re-bucketing rewrite: merge the WHOLE
+            // store, recompute every row's bucket under the current
+            // count, statically overwrite. One-time migration cost; the
+            // rewritten marker makes every later batch incremental.
+            dataDirs.foreach { st =>
+              val n = st.getPath.getName
+              require(n.startsWith("part_bucket=") &&
+                n.stripPrefix("part_bucket=").toIntOption.exists(_ >= 0),
+                s"$path has data but no _graft_buckets marker and " +
+                  s"partition '$n' is not a part_bucket layout — " +
+                  "not adoptable, refusing to overwrite")
+            }
+            val cur = spark.read.parquet(path).drop("part_bucket")
+            val all = cur.unionByName(latest.drop("part_bucket"))
+            (graft.operators.Dedup.keepLatest(all, keys, order)
+              .withColumn("part_bucket", bucket)
+              .localCheckpoint(true), "static")
+          } else (latest, "static")
         merged.write.mode("overwrite")
           // per-write option — scoping this via session conf would leak
           // dynamic-overwrite semantics into concurrent queries
-          .option("partitionOverwriteMode", "dynamic")
+          .option("partitionOverwriteMode", overwriteMode)
           .partitionBy("part_bucket").parquet(path)
         // (re)written after EVERY successful write: the marker describes
         // the data just committed, so a stale marker left beside an

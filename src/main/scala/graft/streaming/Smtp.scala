@@ -35,6 +35,11 @@ class SmtpNotifier(
 
   require(username.isDefined == password.isDefined,
     "AUTH PLAIN needs both username and password (or neither)")
+  // fail at construction on the DRIVER, not per-send inside a retrying
+  // executor task — this is a pure configuration error
+  require(username.isEmpty || startTls ||
+    Set("127.0.0.1", "localhost", "::1", "[::1]").contains(host),
+    "refusing AUTH PLAIN on an unencrypted non-loopback connection")
 
   /** Client-side TLS socket factory for the STARTTLS upgrade. Default =
     * JDK default context (system trust store); tests override with a
@@ -85,6 +90,12 @@ class SmtpNotifier(
           .asInstanceOf[javax.net.ssl.SSLSocket]
         ssl.setUseClientMode(true)
         ssl.setSoTimeout(timeoutMs)
+        // Without endpoint identification the JDK validates the chain but
+        // NOT that the certificate is for `host` — any CA-valid cert
+        // would pass, defeating the MITM protection TLS is here for.
+        val params = ssl.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        ssl.setSSLParameters(params)
         ssl.startHandshake()
         socket = ssl
         in = new BufferedReader(new InputStreamReader(
@@ -94,8 +105,6 @@ class SmtpNotifier(
       }
       (username, password) match {
         case (Some(u), Some(p)) =>
-          require(startTls || host == "127.0.0.1" || host == "localhost",
-            "refusing AUTH PLAIN on an unencrypted non-loopback connection")
           val token = java.util.Base64.getEncoder.encodeToString(
             (s"\u0000$u\u0000$p").getBytes(StandardCharsets.UTF_8))
           cmd(s"AUTH PLAIN $token", 235)

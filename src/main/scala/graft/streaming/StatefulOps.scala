@@ -115,11 +115,7 @@ object StatefulOps {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.5): Dataset[(Long, Long, Double)] = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
     val spark = docs.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    import org.apache.spark.sql.functions._
 
     val seqLongEnc: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
@@ -130,18 +126,8 @@ object StatefulOps {
     implicit val stEnc: Encoder[(Long, Seq[Long])] =
       Encoders.tuple(Encoders.scalaLong, seqLongEnc)
 
-    val sigs = docs.toDF("doc_id", "text")
-      .withColumn("__mh", graft.functions.GraftFunctions.minhashSlots(
-        graft.functions.GraftFunctions.wordShingles(col("text"), shingleSize),
-        numHashes))
-      .filter(col("__mh").isNotNull) // empty docs can never near-dup
-    val bandKeys = array((0 until bands).map { b =>
-      concat_ws("_", lit(b.toString) +:
-        (0 until rows).map(r => element_at(col("__mh"), b * rows + r + 1)): _*)
-    }: _*)
-    val banded = sigs
-      .select(col("doc_id"), col("__mh"), explode(bandKeys).as("bkey"))
-      .select(col("bkey"), col("doc_id"), col("__mh"))
+    val banded = bandedSignatures(docs.toDF("doc_id", "text"),
+        numHashes, bands, shingleSize, carry = Seq("doc_id"))
       .as[(String, Long, Seq[Long])]
 
     implicit val strEnc: Encoder[String] = Encoders.STRING
@@ -155,8 +141,7 @@ object StatefulOps {
           rs.foreach { case (_, id, mh) =>
             rep match {
               case Some((repId, repMh)) if repId != id =>
-                val est = mh.zip(repMh).count { case (a, b) => a == b }.toDouble /
-                  mh.length
+                val est = sigEstimate(mh, repMh)
                 if (est >= threshold) out += ((id, repId, est))
               case None =>
                 rep = Some((id, mh))
@@ -166,6 +151,35 @@ object StatefulOps {
           }
           out.iterator
       }
+  }
+
+  /** Unbiased signature-agreement Jaccard estimator (matching slots / k)
+    * — ONE definition for both streaming near-dup operators. */
+  private[streaming] def sigEstimate(a: Seq[Long], b: Seq[Long]): Double =
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+
+  /** Compiled MinHash signature + band-key explode — the banding scheme
+    * shared verbatim by [[streamingNearDup]] and
+    * [[streamingNearDupBounded]] (and matching the batch q31 operator),
+    * so a banding fix can never land in one and not the other. Output
+    * columns: bkey, carry..., mh. */
+  private def bandedSignatures(df: DataFrame, numHashes: Int, bands: Int,
+      shingleSize: Int, carry: Seq[String]): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.functions._
+    val sigs = df
+      .withColumn("__mh", graft.functions.GraftFunctions.minhashSlots(
+        graft.functions.GraftFunctions.wordShingles(col("text"), shingleSize),
+        numHashes))
+      .filter(col("__mh").isNotNull) // empty docs can never near-dup
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("_", lit(b.toString) +:
+        (0 until rows).map(r => element_at(col("__mh"), b * rows + r + 1)): _*)
+    }: _*)
+    sigs.select(explode(bandKeys).as("bkey") +:
+      (carry.map(col) :+ col("__mh").as("mh")): _*)
   }
 
   /** A banded doc heading into the bounded near-dup processor. */
@@ -202,8 +216,7 @@ object StatefulOps {
         cur match {
           case Some((repId, _, repMh)) =>
             if (repId != r.doc_id) {
-              val est = r.mh.zip(repMh).count { case (a, b) => a == b }.toDouble /
-                r.mh.length
+              val est = sigEstimate(r.mh, repMh)
               if (est >= threshold) out += DupHit(r.doc_id, repId, est, r.ts)
             }
             if (tsMs > lastSeen) lastSeen = tsMs
@@ -260,29 +273,13 @@ object StatefulOps {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.5): Dataset[DupHit] = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
-    val spark = docs.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    import org.apache.spark.sql.functions._
-
     implicit val bandedEnc: Encoder[BandedDoc] = Encoders.product[BandedDoc]
     implicit val hitEnc: Encoder[DupHit] = Encoders.product[DupHit]
     implicit val strEnc: Encoder[String] = Encoders.STRING
 
-    val sigs = docs.toDF("doc_id", "ts", "text")
-      .withWatermark("ts", watermarkDelay)
-      .withColumn("__mh", graft.functions.GraftFunctions.minhashSlots(
-        graft.functions.GraftFunctions.wordShingles(col("text"), shingleSize),
-        numHashes))
-      .filter(col("__mh").isNotNull) // empty docs can never near-dup
-    val bandKeys = array((0 until bands).map { b =>
-      concat_ws("_", lit(b.toString) +:
-        (0 until rows).map(r => element_at(col("__mh"), b * rows + r + 1)): _*)
-    }: _*)
-    sigs
-      .select(explode(bandKeys).as("bkey"), col("doc_id"), col("ts"),
-        col("__mh").as("mh"))
+    bandedSignatures(
+        docs.toDF("doc_id", "ts", "text").withWatermark("ts", watermarkDelay),
+        numHashes, bands, shingleSize, carry = Seq("doc_id", "ts"))
       .as[BandedDoc]
       .groupByKey(_.bkey)
       .transformWithState(new NearDupProcessor(threshold, horizonMs),

@@ -225,23 +225,41 @@ class StreamingSpec extends SparkTestBase {
   test("upsertParquet adopts legacy marker-less stores; marker rewritten per write") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert-legacy").toString
     val ms = newEvents()
-    def run(): Unit = {
+    def run(buckets: Int): Unit = {
       val q = Sinks.upsertParquet(ms.toDF(), s"$dir/store", s"$dir/ckpt",
-        keys = Seq("user_id"), seqCol = "ts")
+        keys = Seq("user_id"), seqCol = "ts", buckets = buckets)
       q.awaitTermination(60000)
     }
-    ms.addData(Event(1, ts(1), 7, "a", 1.0))
-    run()
+    // legacy store laid out with a DIFFERENT bucket count (4): partition
+    // names part_bucket=0..3 also "fit" buckets=16, so name-validation
+    // alone cannot prove the layout — adoption must re-bucket everything
+    // or user 7's old row would be stranded in its buckets=4 partition
+    ms.addData(Event(1, ts(1), 7, "a", 1.0), Event(10, ts(1), 8, "a", 1.0),
+      Event(11, ts(1), 9, "a", 1.0))
+    run(buckets = 4)
     // simulate a store written before markers existed
     val marker = java.nio.file.Paths.get(s"$dir/store/_graft_buckets")
     assert(java.nio.file.Files.deleteIfExists(marker))
     ms.addData(Event(2, ts(2), 7, "b", 2.0))
-    run() // adopts the valid part_bucket layout instead of wedging
+    run(buckets = 16) // adopts via a full re-bucketing rewrite
     val store = spark.read.parquet(s"$dir/store")
-      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
-    assert(store === Map(7L -> 2L))
+      .select("user_id", "event_id").as[(Long, Long)].collect()
+    // exactly ONE row per key — no stale duplicate of user 7 left behind
+    // in the old 4-bucket layout, untouched keys carried over
+    assert(store.sorted.toSeq === Seq((7L, 2L), (8L, 10L), (9L, 11L)))
     // the marker is rewritten after every successful write
     assert(java.nio.file.Files.exists(marker))
+    // ...and a marker MISMATCH (both markers present, different counts)
+    // still refuses rather than remixing
+    val ms3 = newEvents()
+    ms3.addData(Event(3, ts(3), 7, "c", 3.0))
+    val q3 = Sinks.upsertParquet(ms3.toDF(), s"$dir/store", s"$dir/ckpt3",
+      keys = Seq("user_id"), seqCol = "ts", buckets = 8)
+    val remix = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.awaitTermination(60000)
+    }
+    assert(remix.getMessage.contains("strands stale keys") ||
+      Option(remix.getCause).exists(_.getMessage.contains("strands stale keys")))
 
     // foreign (non-bucketed) data is NOT adoptable — refuse, don't overwrite
     val foreign = java.nio.file.Files.createTempDirectory("graft-upsert-foreign").toString
