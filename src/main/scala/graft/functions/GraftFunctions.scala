@@ -52,6 +52,8 @@ object GraftFunctions {
       NgramShingles(e(0), foldedInt(e(1)), word = true)),
     "graft_char_ngrams" -> checked("graft_char_ngrams", 2)(e =>
       NgramShingles(e(0), foldedInt(e(1)), word = false)),
+    "graft_word_ngrams_all" -> checked("graft_word_ngrams_all", 2)(e =>
+      NgramShingles(e(0), foldedInt(e(1)), word = true, distinct = false)),
     "graft_hash64" -> checked("graft_hash64", 2)(e => Md5Hash60(e(0), foldedInt(e(1)))),
     "graft_minhash_slots" -> checked("graft_minhash_slots", 2)(e =>
       MinHashSlots(e(0), foldedInt(e(1)))),
@@ -88,6 +90,11 @@ object GraftFunctions {
     * TextFunctions.charNgrams). */
   def charNgrams(text: Column, n: Int): Column =
     call_function("graft_char_ngrams", text, lit(n))
+
+  /** ALL space-joined n-token shingles in order, duplicates kept
+    * (compiled) — for frequency analysis, not set hashing. */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    call_function("graft_word_ngrams_all", text, lit(n))
 
   /** Portable 60-bit md5-derived hash (compiled; same values as
     * TextFunctions.hash64 and the DuckDB mirror). */

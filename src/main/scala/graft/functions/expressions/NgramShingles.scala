@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`numChars`/`substringSQL`) so multi-byte text matches Spark's
   * `length`/`substr` exactly.
   */
-case class NgramShingles(child: Expression, n: Int, word: Boolean)
+case class NgramShingles(child: Expression, n: Int, word: Boolean,
+    distinct: Boolean = true)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   require(n >= 1, s"n-gram size must be >= 1, got $n")
@@ -44,7 +45,13 @@ case class NgramShingles(child: Expression, n: Int, word: Boolean)
 
   def compute(s: UTF8String): ArrayData = {
     if (s == null) return empty
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // distinct = first-occurrence order (MinHash/LSH set semantics);
+    // non-distinct = every occurrence in order (frequency analysis, e.g.
+    // the q80 repetition filter) — a LinkedHashSet would silently drop
+    // the duplicates the caller is there to count
+    val seen: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String]()
     if (word) {
       val toks = s.split(space, -1)
       if (toks.length < n) return empty

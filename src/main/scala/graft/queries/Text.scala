@@ -442,6 +442,86 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- repetition/symbol quality rules (Gopher/C4-style filters) ----
+    // Three per-doc signals a web-corpus pipeline filters on BEFORE
+    // training: most-frequent-bigram share (boilerplate/template spam),
+    // duplicate-token fraction (keyword stuffing), symbol ratio
+    // (markup/code debris). Exact integer ratios ⇒ IEEE-identical
+    // doubles in both engines. Single-token docs have no bigrams —
+    // LEFT JOIN + 0.0, not dropped.
+    Q("q80_repetition_filter", Some("""
+      WITH sp AS (SELECT doc_id, text, string_split(text,' ') tk FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-1),
+          i -> array_to_string(tk[i:i+1],' '))) AS sh FROM sp),
+      bc AS (SELECT doc_id, sh, COUNT(*) AS c FROM bg GROUP BY doc_id, sh),
+      rep AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_c FROM bc GROUP BY doc_id),
+      base AS (SELECT s.doc_id,
+        COALESCE(CAST(r.top_c AS DOUBLE)/r.total_c, 0.0) AS top_bigram_frac,
+        1.0 - CAST(len(list_distinct(s.tk)) AS DOUBLE)/len(s.tk) AS dup_token_frac,
+        COALESCE(CAST(length(regexp_replace(s.text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+          / NULLIF(length(s.text), 0), 0.0) AS symbol_ratio
+        FROM sp s LEFT JOIN rep r ON r.doc_id = s.doc_id)
+      SELECT doc_id, top_bigram_frac, dup_token_frac, symbol_ratio,
+        (top_bigram_frac <= 0.2 AND dup_token_frac <= 0.5 AND symbol_ratio <= 0.3) AS keep
+      FROM base ORDER BY doc_id""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val sp = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // bigram explode is per-doc-bounded; both groupBys partial-agg
+      // map-side, so the shuffle carries (doc_id, bigram) counts only
+      val rep = sp.select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.wordShinglesAll(col("text"), 2)).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("total_c"))
+      val st = tokenStatsOf(col("text"))
+      sp.join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top_c").cast("double") / col("total_c"), lit(0.0))
+            .as("top_bigram_frac"),
+          (lit(1.0) - st.getField("n_distinct").cast("double")
+            / st.getField("n_tokens")).as("dup_token_frac"),
+          coalesce(length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+            .cast("double") / nullif(length(col("text")), lit(0)), lit(0.0))
+            .as("symbol_ratio"))
+        .withColumn("keep",
+          col("top_bigram_frac") <= 0.2 && col("dup_token_frac") <= 0.5 &&
+          col("symbol_ratio") <= 0.3)
+        .orderBy("doc_id")
+    },
+
+    // ---- corpus composition + exact-dup rate per (source, lang) ----
+    // The pipeline observability report: what a 100 TB crawl is made of
+    // and how duplicated each slice is — drives source weighting and
+    // dedup-policy decisions. One scan; the corpus total rides along as
+    // a broadcast 1-row aggregate (q75's no-driver-count pattern).
+    Q("q81_source_mix", Some("""
+      WITH t AS (SELECT source, lang, md5(text) AS fp,
+        len(string_split(text,' ')) AS nt FROM documents),
+      tot AS (SELECT COUNT(*) AS total FROM t)
+      SELECT source, lang,
+        COUNT(*) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+        CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate,
+        CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM tot) AS doc_share
+      FROM t GROUP BY source, lang ORDER BY source, lang""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val st = tokenStatsOf(col("text"))
+      val t = Tables.documents(s, d).select(col("source"), col("lang"),
+        md5(col("text")).as("fp"), st.getField("n_tokens").cast("long").as("nt"))
+      val tot = t.groupBy().agg(count(lit(1)).as("total"))
+      t.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          (sum("nt").cast("double") / count(lit(1))).as("avg_tokens"),
+          (count(lit(1)) - count_distinct(col("fp"))).as("n_exact_dups"),
+          ((count(lit(1)) - count_distinct(col("fp"))).cast("double")
+            / count(lit(1))).as("dup_rate"))
+        .crossJoin(broadcast(tot))
+        .withColumn("doc_share", col("n_docs").cast("double") / col("total"))
+        .drop("total")
+        .orderBy("source", "lang")
+    },
+
     // ---- order-sensitive rolling-hash document fingerprint ----
     Q("q33_rolling_fingerprint", Some(s"""
       SELECT doc_id,

@@ -105,6 +105,15 @@ class FunctionsSpec extends SparkTestBase {
       GraftFunctions.wordShingles(col("t"), 3).as("cg"))
       .as[(Seq[String], Seq[String])].head()
     assert(nr._1 === Seq.empty && nr._2 === Seq.empty)
+
+    // non-distinct form keeps EVERY occurrence in order (frequency
+    // analysis contract, q80) while the distinct form collapses
+    val all = Seq("a b a b a").toDF("t").select(
+      GraftFunctions.wordShinglesAll(col("t"), 2).as("all"),
+      GraftFunctions.wordShingles(col("t"), 2).as("dst"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(all._1 === Seq("a b", "b a", "a b", "b a"))
+    assert(all._2 === Seq("a b", "b a"))
   }
 
   test("SQL callers get implicit coercion; null elements are skipped in signatures") {
