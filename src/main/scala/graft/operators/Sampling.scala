@@ -41,4 +41,26 @@ object Sampling {
   /** Keep ~pct% of rows, deterministically. */
   def sampleHash(df: DataFrame, idCol: String, pct: Int, seed: Int): DataFrame =
     df.filter(hashBucket(col(idCol), seed) < pct)
+
+  /** Stratified cap-K sampling: within each stratum keep the `cap` rows
+    * with the smallest seeded id-hash (a deterministic uniform draw —
+    * every row's hash is an iid uniform, so rank ≤ cap is an exact
+    * without-replacement sample per stratum, stable under layout/retries
+    * like every hash op here). Adds `rn` (1-based rank within stratum).
+    *
+    * Scale: one shuffle on the stratum key; each window partition sorts
+    * only its stratum. The corpus-balancing use has many strata of
+    * bounded size (source × lang × …), which is exactly the shape that
+    * parallelizes; for a single giant stratum, pre-filter with
+    * [[hashBucket]] < ~2·cap·buckets/|stratum| first so the sort sees a
+    * small superset, then rank (same result — the hash order is global). */
+  def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
+      cap: Int, seed: Int): DataFrame = {
+    require(cap >= 1 && strata.nonEmpty)
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 15),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+  }
 }

@@ -180,6 +180,44 @@ object Similarity {
     ivfSearch(e, cents, queryPred, nprobe, k)
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with the
+    * trained coarse quantizer ([[kmeansCentroids]]), compare vectors only
+    * WITHIN their cluster by exact fixed-point cosine, and drop every
+    * vector that has a lower-id cluster-mate above `threshold` (keep-one =
+    * lowest vec_id — deterministic, retry-stable).
+    *
+    * Scale: the all-pairs comparison is cluster-scoped, never global —
+    * cost is Σ|cell|², bounded by growing kCentroids ~ √n (SCALING.md);
+    * assignment is one broadcast pass, the pair join shuffles on `cell`
+    * once, and the keep-one verdict is a partial-agg min per dropped id.
+    * Returns one row per corpus vector: (vec_id, cell, dup_of, kept)
+    * with dup_of = lowest-id duplicate partner (null when kept). */
+  def semanticDedup(emb: DataFrame, kCentroids: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val e = withNorm2(emb)
+    val cents = kmeansCentroids(emb, kCentroids, iters)
+      .withColumn("c_n2", norm2Exact(col("c_emb")))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("n2") + col("c_n2") - lit(2.0) * dotExact(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
+    val ev = e.join(assign, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"), col("n2"))
+    val a = ev.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+    val b = ev.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    val drops = a.join(b, Seq("cell")).filter(col("a") < col("b"))
+      .withColumn("cosine",
+        cosineFrom(dotExact(col("emb_a"), col("emb_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
+    assign.join(drops, col("vec_id") === col("b"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates restricted to the query's
     * random-hyperplane bucket. Returns (qid, vid, bucket, cosine, rank). */
   def lshTopK(emb: DataFrame, queryPred: Column, planes: Int, dim: Int, k: Int): DataFrame = {

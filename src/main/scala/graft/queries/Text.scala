@@ -298,6 +298,27 @@ object Text extends QueryModule {
         .orderBy("lang", "split")
     },
 
+    // ---- stratified cap-K sampling (corpus balancing) ----
+    // Down-weight over-represented (source, lang) slices by keeping at
+    // most 5 docs per stratum, chosen by smallest seeded id-hash — an
+    // exact without-replacement uniform draw that is deterministic across
+    // layout, retries and engines (the q74 rationale, per-stratum). One
+    // shuffle on the stratum key; each window sorts only its stratum.
+    Q("q83_stratified_sample", Some(s"""
+      WITH t AS (SELECT source, lang, doc_id,
+        ${dkHash("CAST(doc_id AS VARCHAR)", 7)} AS h FROM documents),
+      r AS (SELECT source, lang, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY h, doc_id) AS rn
+        FROM t)
+      SELECT source, lang, doc_id, CAST(rn AS INT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY source, lang, rn""")) { (s, d) =>
+      graft.operators.Sampling.stratifiedCap(
+          Tables.documents(s, d).select("source", "lang", "doc_id"),
+          strata = Seq("source", "lang"), idCol = "doc_id", cap = 5, seed = 7)
+        .select(col("source"), col("lang"), col("doc_id"), col("rn"))
+        .orderBy("source", "lang", "rn")
+    },
+
     // ---- benchmark decontamination (shingle-overlap flagging) ----
     // The standard eval-contamination check: flag corpus docs sharing ≥ 2
     // distinct 3-token shingles with any benchmark doc (stand-in

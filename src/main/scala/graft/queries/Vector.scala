@@ -262,6 +262,48 @@ object Vector extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // ---- SemDeDup-style semantic dedup (cluster-then-dedup) ----
+    // The embedding analogue of near-dup text dedup: a trained coarse
+    // quantizer (1 Lloyd iteration) partitions the corpus into cells;
+    // all-pairs cosine runs WITHIN cells only (Σ|cell|², bounded by
+    // k ~ √n — never global n²); every vector with a lower-id cell-mate
+    // at cosine ≥ 0.3 is dropped, keep-one = lowest vec_id. The mirror
+    // reuses the unrolled fixed-point k-means CTE (c0→c1), so cells,
+    // cosines and verdicts are bit-identical.
+    Q("q82_semantic_dedup", Some(s"""
+      WITH $dkNorm2,
+      c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
+        FROM embeddings, generate_series(1, 64) g(j) WHERE vec_id < 8),
+      ${dkKmIter("c0", "c1")},
+      fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c1 GROUP BY cid),
+      fd AS (SELECT e.vec_id, c.cid,
+        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
+        FROM embeddings e, c1 c GROUP BY e.vec_id, c.cid),
+      fassign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT fd.vec_id, fd.cid,
+          ROW_NUMBER() OVER (PARTITION BY fd.vec_id
+            ORDER BY (n.n2 + cn.cn2 - 2.0 * fd.dot), fd.cid) AS rn
+        FROM fd JOIN n2 n ON n.vec_id = fd.vec_id
+          JOIN fn2 cn ON cn.cid = fd.cid) WHERE rn = 1),
+      cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+        FROM fassign x JOIN fassign y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      dots AS (SELECT c.a, c.b,
+        ${dkDecSum("CAST(ea.embedding[g.j] AS DOUBLE) * CAST(eb.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+          JOIN embeddings eb ON eb.vec_id = c.b, generate_series(1, 64) g(j)
+        GROUP BY c.a, c.b),
+      drops AS (SELECT d.b, MIN(d.a) AS dup_of
+        FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
+        WHERE d.dot/(sqrt(na.n2)*sqrt(nb.n2)) >= 0.3 GROUP BY d.b)
+      SELECT f.vec_id, f.cell, dr.dup_of, dr.dup_of IS NULL AS kept
+      FROM fassign f LEFT JOIN drops dr ON dr.b = f.vec_id
+      ORDER BY f.vec_id""")) { (s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d),
+          kCentroids = 8, iters = 1, threshold = 0.3)
+        .orderBy("vec_id")
+    },
+
     // ---- per-label centroids (embedding aggregation) ----
     // The centroid vector is serialized at the SELECT boundary as
     // comma-joined fixed-point integers (floor(comp·2^20)): the driver's

@@ -232,4 +232,49 @@ class OperatorsSpec extends SparkTestBase {
       .orderBy("cid").as[(Long, Seq[Double])].collect()
     assert(c2.length === 2 && c2.forall(_._2.forall(v => !v.isNaN)))
   }
+
+  test("semanticDedup drops within-cluster near-identicals, keeps lowest id") {
+    // two tight clusters (x-axis, y-axis) + one isolated vector near x
+    // but below the cosine threshold
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (10L, Array(0.99f, 0.01f)), (11L, Array(0.98f, 0.02f)),
+      (12L, Array(0.01f, 0.99f)),
+      (20L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.semanticDedup(df, kCentroids = 2, iters = 1,
+      threshold = 0.95)
+    val rows = res.select("vec_id", "dup_of", "kept")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(rows.length === 6)                       // one verdict per vector
+    val byId = rows.map(r => r._1 -> r).toMap
+    // cluster-mates of 0 above 0.95 cosine drop to the lowest id (0)
+    assert(byId(10L) === ((10L, Some(0L), false)))
+    assert(byId(11L) === ((11L, Some(0L), false)))
+    assert(byId(12L) === ((12L, Some(1L), false)))
+    // keep-one representatives and the isolated vector survive
+    assert(byId(0L)._3 && byId(1L)._3 && byId(20L)._3)
+    // dropped rows always point at a lower id in the same cell
+    val cells = res.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    rows.filter(!_._3).foreach { case (v, dup, _) =>
+      assert(dup.get < v && cells(dup.get) === cells(v))
+    }
+  }
+
+  test("stratifiedCap caps every stratum and is layout-stable") {
+    val df = (1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("grp", "id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.stratifiedCap(d, Seq("grp"), "id", cap = 3,
+        seed = 7).select("grp", "id", "rn").as[(String, Long, Int)]
+        .collect().toSeq.sorted
+    val once = run(df)
+    assert(once.count(_._1 == "a") === 3 && once.count(_._1 == "b") === 3)
+    assert(once.forall(_._3 <= 3))
+    // same draw regardless of physical layout (the q74 determinism rule)
+    assert(run(df.repartition(7)) === once)
+    // a stratum smaller than the cap keeps everything
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("grp", "id")
+    assert(run(tiny).length === 3)
+  }
 }
