@@ -33,7 +33,8 @@ case class NgramShingles(child: Expression, n: Int, word: Boolean,
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String =
-    if (word) "graft_word_shingles" else "graft_char_ngrams"
+    if (word) { if (distinct) "graft_word_shingles" else "graft_word_ngrams_all" }
+    else "graft_char_ngrams"
 
   // NULL input maps to an empty array (exactly like the HOF form, where
   // the `when` condition evaluates to NULL and falls through to the

@@ -195,36 +195,8 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       shingler: Column => Column = null): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val rows = numHashes / bands
-    // compiled shingling (NgramShingles) — the interpreted HOF form
-    // dominated executor time (see the expression's scaladoc)
-    val mkSet: Column => Column =
-      if (shingler != null) shingler
-      else (graft.functions.GraftFunctions.wordShingles(_: Column, shingleSize))
-
-    val sh = df.select(col(idCol).as("doc_id"), mkSet(col(textCol)).as("sh"))
-
-    // One scan → one compiled projection (MinHashSlots): signatures are
-    // map-only — no explode shuffle, no aggregation. Docs with empty
-    // shingle sets get NULL slots; concat_ws skips NULLs so their band
-    // key is "" — filtered below (they can never verify, and one giant
-    // ""-bucket of short docs would be O(m²) candidates).
-    val sigs = sh.select(col("doc_id"), col("sh"),
-      graft.functions.GraftFunctions.minhashSlots(col("sh"), numHashes).as("__mh"))
-      .select(col("doc_id") :: col("sh") ::
-        (0 until numHashes).map(i =>
-          element_at(col("__mh"), i + 1).as(s"mh$i")).toList: _*)
-
-    val bandKeys = array((0 until bands).map { b =>
-      concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-    }: _*)
-    val banded = sigs.select(
-      (col("doc_id") +: col("sh") +: (0 until numHashes).map(i => col(s"mh$i"))) :+
-        posexplode(bandKeys).as(Seq("band", "bkey")): _*)
-      .filter(length(col("bkey")) > 0)
-
+    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands,
+      shingleSize, shingler)
     val payload = (side: String, pfx: String) =>
       col(s"$side.sh").as(s"sh_$pfx") +:
         (0 until numHashes).map(i => col(s"$side.mh$i").as(s"${pfx}_mh$i"))
@@ -243,5 +215,87 @@ object Dedup {
         inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
       .filter(col("jaccard") >= threshold)
       .drop("sh_a", "sh_b")
+  }
+
+  /** The shared scan→shingle→signature→band pipeline: one scan → compiled
+    * shingling (NgramShingles) → compiled signature (MinHashSlots), all
+    * map-only — no explode shuffle, no aggregation. Docs with empty
+    * shingle sets get NULL slots; concat_ws skips NULLs so their band key
+    * is "" — filtered here (they can never verify, and one giant
+    * ""-bucket of short docs would be O(m²) candidates). Returns
+    * (doc_id, sh, mh0..mh{k-1}, band, bkey). */
+  private def bandedSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      shingler: Column => Column): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val rows = numHashes / bands
+    // compiled shingling (NgramShingles) — the interpreted HOF form
+    // dominated executor time (see the expression's scaladoc)
+    val mkSet: Column => Column =
+      if (shingler != null) shingler
+      else (graft.functions.GraftFunctions.wordShingles(_: Column, shingleSize))
+
+    val sh = df.select(col(idCol).as("doc_id"), mkSet(col(textCol)).as("sh"))
+    val sigs = sh.select(col("doc_id"), col("sh"),
+      graft.functions.GraftFunctions.minhashSlots(col("sh"), numHashes).as("__mh"))
+      .select(col("doc_id") :: col("sh") ::
+        (0 until numHashes).map(i =>
+          element_at(col("__mh"), i + 1).as(s"mh$i")).toList: _*)
+
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+    }: _*)
+    sigs.select(
+      (col("doc_id") +: col("sh") +: (0 until numHashes).map(i => col(s"mh$i"))) :+
+        posexplode(bandKeys).as(Seq("band", "bkey")): _*)
+      .filter(length(col("bkey")) > 0)
+  }
+
+  /** Incremental (cross-batch) near-duplicate detection: which `newDf`
+    * docs near-duplicate something already in `oldDf`? The production
+    * ingest shape — every fresh crawl batch is deduped against the
+    * existing corpus, never by re-running the global self-join. Band keys
+    * are shared with [[minhashLshPairs]] (same hash family), so the
+    * old×new join compares only same-bucket docs; at scale the old side's
+    * signatures are staged once (a signature table) and each new batch
+    * joins against them. Id spaces must be disjoint by contract (same-id
+    * self-pairs are excluded defensively).
+    *
+    * Returns one row per flagged new doc: (doc_id, dup_of = lowest-id old
+    * partner at jaccard ≥ threshold, best_jaccard = highest such
+    * jaccard). */
+  def incrementalNearDups(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      shingler: Column => Column = null): DataFrame = {
+    val bo = bandedSignatures(oldDf, idCol, textCol, numHashes, bands,
+      shingleSize, shingler)
+    val bn = bandedSignatures(newDf, idCol, textCol, numHashes, bands,
+      shingleSize, shingler)
+    val cand = bn.as("x").join(bo.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("old_id"),
+        col("x.sh").as("sh_n"), col("y.sh").as("sh_o"))
+      .dropDuplicates("doc_id", "old_id")
+    val inter = size(array_intersect(col("sh_n"), col("sh_o")))
+    cand
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("sh_n")) + size(col("sh_o")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(min(col("old_id")).as("dup_of"), max(col("jaccard")).as("best_jaccard"))
   }
 }

@@ -15,17 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The seeded 60-bit md5 hash every sampling op derives from — ONE
+    * definition (the same value as graft_hash64 and the oracle's dkHash)
+    * so bucket assignment and rank order can never drift apart. Built
+    * from plain `functions._` (conv/substring/md5) so the Column works on
+    * ANY session — no function registration required; sampling is one
+    * hash per row, where the compiled expression's advantage is
+    * immaterial. */
+  def seededHash(id: Column, seed: Int): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 15),
+      16, 10).cast("long")
+
   /** Uniform bucket in [0, buckets) from the id's seeded md5-hash.
-    * Modulo bias is ≤ buckets/2^60 — negligible. Built from plain
-    * `functions._` (the conv/substring md5 composition, same value as
-    * graft_hash64) so the Column works on ANY session — no function
-    * registration required; sampling is one hash per row, where the
-    * compiled expression's advantage is immaterial. */
+    * Modulo bias is ≤ buckets/2^60 — negligible. */
   def hashBucket(id: Column, seed: Int, buckets: Int = 100): Column = {
     require(buckets >= 1)
-    val h = conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 15),
-      16, 10).cast("long")
-    pmod(h, lit(buckets.toLong))
+    pmod(seededHash(id, seed), lit(buckets.toLong))
   }
 
   /** train/val/test assignment by hash percentile: [0,train) → "train",
@@ -51,16 +56,23 @@ object Sampling {
     * Scale: one shuffle on the stratum key; each window partition sorts
     * only its stratum. The corpus-balancing use has many strata of
     * bounded size (source × lang × …), which is exactly the shape that
-    * parallelizes; for a single giant stratum, pre-filter with
-    * [[hashBucket]] < ~2·cap·buckets/|stratum| first so the sort sees a
-    * small superset, then rank (same result — the hash order is global). */
+    * parallelizes; for a single giant stratum, pre-filter on the RAW hash
+    * — `seededHash(id, seed) < (2·cap/|stratum|) · 2^60` — so the sort
+    * sees a small superset that provably contains the cap smallest
+    * hashes (a prefix of the global hash order), then rank. A
+    * [[hashBucket]] pre-filter would NOT work: pmod is not monotone in
+    * the hash, so bucket membership keeps a random slice, not the
+    * smallest-hash rows. */
   def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
       cap: Int, seed: Int): DataFrame = {
     require(cap >= 1 && strata.nonEmpty)
-    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 15),
-      16, 10).cast("long")
+    // fail fast: silently replacing a caller's `rn` (e.g. another ranking
+    // step's output) would hand downstream code the wrong column
+    require(!df.columns.contains("rn"),
+      "stratifiedCap emits a 'rn' column; input already has one — rename it first")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strata.map(col): _*).orderBy(h.asc, col(idCol).asc)
+      .partitionBy(strata.map(col): _*)
+      .orderBy(seededHash(col(idCol), seed).asc, col(idCol).asc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
   }
 }

@@ -94,15 +94,23 @@ object Similarity {
   /** IVF search against a given quantizer frame `cents` (cid, c_emb,
     * c_n2) — shared by the sampled ([[ivfTopK]]) and trained
     * ([[ivfTrainedTopK]]) quantizers. */
-  private def ivfSearch(e: DataFrame, cents: DataFrame, queryPred: Column,
-      nprobe: Int, k: Int): DataFrame = {
-    // squared L2 from exact fixed-point parts: n2v + n2c − 2·dot — the
-    // same few IEEE ops in both engines ⇒ bit-identical assignment
-    val assign = e.crossJoin(broadcast(cents))
+  /** Nearest-centroid assignment, the ONE definition shared by IVF
+    * search, k-means training and semantic dedup: squared L2 from exact
+    * fixed-point parts (n2v + n2c − 2·dot — the same few IEEE ops in both
+    * engines) with the (dist, cid) tie-break mirroring the oracle's
+    * ROW_NUMBER ordering ⇒ bit-identical cells everywhere. `e` needs
+    * (vec_id, embedding, n2), `cents` needs (cid, c_emb, c_n2); returns
+    * (vec_id, cell). One broadcast pass + a partial-agg argmin. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
       .withColumn("dist",
         col("n2") + col("c_n2") - lit(2.0) * dotExact(col("embedding"), col("c_emb")))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
+
+  private def ivfSearch(e: DataFrame, cents: DataFrame, queryPred: Column,
+      nprobe: Int, k: Int): DataFrame = {
+    val assign = assignCells(e, cents)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"))
@@ -146,12 +154,8 @@ object Similarity {
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("c_emb"))
     for (_ <- 1 to iters) {
-      val cn = cents.withColumn("c_n2", norm2Exact(col("c_emb")))
-      val assign = e.crossJoin(broadcast(cn))
-        .withColumn("dist",
-          col("n2") + col("c_n2") - lit(2.0) * dotExact(col("embedding"), col("c_emb")))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
+      val assign = assignCells(e,
+        cents.withColumn("c_n2", norm2Exact(col("c_emb"))))
       val means = e
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .join(assign, "vec_id")
@@ -195,13 +199,8 @@ object Similarity {
   def semanticDedup(emb: DataFrame, kCentroids: Int, iters: Int,
       threshold: Double): DataFrame = {
     val e = withNorm2(emb)
-    val cents = kmeansCentroids(emb, kCentroids, iters)
-      .withColumn("c_n2", norm2Exact(col("c_emb")))
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        col("n2") + col("c_n2") - lit(2.0) * dotExact(col("embedding"), col("c_emb")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
+    val assign = assignCells(e, kmeansCentroids(emb, kCentroids, iters)
+      .withColumn("c_n2", norm2Exact(col("c_emb"))))
     val ev = e.join(assign, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"), col("n2"))
     val a = ev.select(col("cell"), col("vec_id").as("a"),

@@ -512,8 +512,12 @@ object Text extends QueryModule {
     // ---- corpus composition + exact-dup rate per (source, lang) ----
     // The pipeline observability report: what a 100 TB crawl is made of
     // and how duplicated each slice is — drives source weighting and
-    // dedup-policy decisions. One scan; the corpus total rides along as
-    // a broadcast 1-row aggregate (q75's no-driver-count pattern).
+    // dedup-policy decisions. ONE corpus scan: the total is a global
+    // window over the already-grouped result (cardinality = sources ×
+    // langs, so the single-partition window sees dozens of rows, never
+    // the corpus — a second aggregate branch would re-scan the corpus,
+    // since the distinct-fp rewrite prunes differently per consumer and
+    // defeats exchange reuse).
     Q("q81_source_mix", Some("""
       WITH t AS (SELECT source, lang, md5(text) AS fp,
         len(string_split(text,' ')) AS nt FROM documents),
@@ -530,17 +534,71 @@ object Text extends QueryModule {
       val st = tokenStatsOf(col("text"))
       val t = Tables.documents(s, d).select(col("source"), col("lang"),
         md5(col("text")).as("fp"), st.getField("n_tokens").cast("long").as("nt"))
-      val tot = t.groupBy().agg(count(lit(1)).as("total"))
       t.groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
           (sum("nt").cast("double") / count(lit(1))).as("avg_tokens"),
           (count(lit(1)) - count_distinct(col("fp"))).as("n_exact_dups"),
           ((count(lit(1)) - count_distinct(col("fp"))).cast("double")
             / count(lit(1))).as("dup_rate"))
-        .crossJoin(broadcast(tot))
-        .withColumn("doc_share", col("n_docs").cast("double") / col("total"))
-        .drop("total")
+        .withColumn("doc_share", col("n_docs").cast("double")
+          / sum(col("n_docs")).over(Window.partitionBy()))
         .orderBy("source", "lang")
+    },
+
+    // ---- near-dup provenance (intra- vs cross-slice duplication) ----
+    // Joins the verified LSH pair list back to both docs' (source, lang):
+    // whether duplication is concentrated inside a source (re-crawl) or
+    // spread across sources/langs (syndication, translated boilerplate)
+    // decides which slice gets deduped vs dropped. Scale: the pair list
+    // is output-sized (≪ corpus), so the two provenance joins shuffle
+    // pairs + a narrow (doc_id, source, lang) projection — never corpus
+    // × corpus.
+    Q("q84_near_dup_provenance", Some(s"""
+      WITH $dkLshPairs,
+      m AS (SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5)
+      SELECT m.a, m.b, m.jaccard,
+        da.source AS source_a, db.source AS source_b,
+        da.lang AS lang_a, db.lang AS lang_b,
+        (da.source <> db.source) AS cross_source,
+        (da.lang <> db.lang) AS cross_lang
+      FROM m JOIN documents da ON da.doc_id = m.a
+        JOIN documents db ON db.doc_id = m.b
+      ORDER BY m.a, m.b""")) { (s, d) =>
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+      val meta = Tables.documents(s, d).select("doc_id", "source", "lang")
+      pairs
+        .join(meta.select(col("doc_id").as("a"), col("source").as("source_a"),
+          col("lang").as("lang_a")), Seq("a"))
+        .join(meta.select(col("doc_id").as("b"), col("source").as("source_b"),
+          col("lang").as("lang_b")), Seq("b"))
+        .select(col("a"), col("b"), col("jaccard"),
+          col("source_a"), col("source_b"), col("lang_a"), col("lang_b"),
+          (col("source_a") =!= col("source_b")).as("cross_source"),
+          (col("lang_a") =!= col("lang_b")).as("cross_lang"))
+        .orderBy("a", "b")
+    },
+
+    // ---- incremental (cross-batch) near-dup: new crawl vs corpus ----
+    // The ingest-time shape: dedup each fresh batch (doc_id >= 250, the
+    // stand-in "new crawl") against the existing corpus (doc_id < 250)
+    // WITHOUT re-running the global self-join — band keys shared with
+    // q31 make it a bucket join; at 100 TB the old side is a staged
+    // signature table and per-batch cost is new-batch-sized. Oracle:
+    // the q31 CTE chain already enumerates every banded pair with
+    // a < b, and batches split on doc_id, so cross-batch pairs are
+    // exactly the (a < 250 ≤ b) rows.
+    Q("q85_incremental_dedup", Some(s"""
+      WITH $dkLshPairs
+      SELECT b AS doc_id, MIN(a) AS dup_of, MAX(jaccard) AS best_jaccard
+      FROM j WHERE jaccard >= 0.5 AND a < 250 AND b >= 250
+      GROUP BY b ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", numHashes = 8, bands = 4, shingleSize = 3,
+          threshold = 0.5)
+        .orderBy("doc_id")
     },
 
     // ---- order-sensitive rolling-hash document fingerprint ----

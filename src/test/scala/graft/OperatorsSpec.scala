@@ -261,6 +261,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalNearDups flags new docs against the old batch only") {
+    val mk = (id: Long, t: String) => (id, t)
+    val old_ = Seq(
+      mk(1L, "spark query join table scan filter sort merge"),
+      mk(2L, "completely different tokens here nothing shared zz yy")
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      mk(10L, "spark query join table scan filter sort merge"), // dup of 1
+      mk(11L, "spark query join table scan filter sort batch"), // near-dup of 1
+      mk(12L, "unrelated words qq ww ee rr tt uu ii oo"),       // novel
+      // near-dup of 10 but NOT of anything old — must not be flagged
+      mk(13L, "unrelated words qq ww ee rr tt uu ii pp")
+    ).toDF("doc_id", "text")
+    val res = Dedup.incrementalNearDups(old_, neu, "doc_id", "text",
+        numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+      .select("doc_id", "dup_of", "best_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(res.keySet === Set(10L, 11L))
+    assert(res(10L)._1 === 1L && res(10L)._2 === 1.0)
+    assert(res(11L)._1 === 1L && res(11L)._2 < 1.0)
+  }
+
   test("stratifiedCap caps every stratum and is layout-stable") {
     val df = (1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i))
       .toDF("grp", "id")
