@@ -37,11 +37,14 @@ final case class FrameSample(media_id: Long, frame_index: Int, offset: Int,
   * feature vector. `kind = "audio"` rows decode for REAL too
   * ([[decodeAudio]], JDK `javax.sound.sampled` — WAV/AIFF/AU PCM):
   * true sample rate + channel count and a windowed-RMS-energy feature
-  * vector. Only video remains a STUB ([[decodeStub]], labeled): this
-  * container has no video libraries, so features are deterministic
-  * pseudo-features of the bytes. Swapping a real video codec changes
-  * only that function body — the distributed shape (schema in,
-  * partition-parallel map, schema out) is final.
+  * vector. `kind = "video"` decodes for REAL when the payload is an
+  * uncompressed AVI ([[decodeVideo]], hand-parsed RIFF container —
+  * true dimensions from `avih` + per-frame mean-luminance features from
+  * BI_RGB frame chunks); compressed video falls back to the labeled
+  * STUB ([[decodeStub]]) because this container ships no codec
+  * libraries. Swapping a full codec changes only that function body —
+  * the distributed shape (schema in, partition-parallel map, schema
+  * out) is final.
   */
 object Multimodal {
 
@@ -186,6 +189,104 @@ object Multimodal {
 
   @inline private def bytes2f(v: Int, scale: Int): Float = v.toFloat / scale
 
+  @inline private def u32le(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  @inline private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  @inline private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Real video decode for uncompressed AVI (RIFF container parsed with
+    * plain JDK byte ops — no codec library): (width, height, features)
+    * where features is `dim` mean-luminance values over frames sampled
+    * across the clip (each in [0,1]; piecewise-constant when the clip has
+    * fewer than `dim` frames, mirroring the audio decoder). Dimensions
+    * come from the `avih` main header; pixels from `00db`-style BI_RGB
+    * 24-bit frame chunks in the `movi` list (bottom-up rows, 4-byte
+    * padded), sampled on a ≤64×64 grid per frame like the image decoder.
+    * Compressed streams (any nonzero biCompression) return None — the
+    * container has no codec libraries, so those stay on the labeled stub
+    * path. */
+  private[multimodal] def decodeVideo(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+    try {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return None
+      var width = 0
+      var height = 0
+      var bitCount = -1
+      var compression = -1L
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+
+      // chunk walk: (fourcc, size, payload); LISTs recurse, chunks are
+      // even-padded per the RIFF spec
+      def walk(from: Int, until: Int): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          val id = fourcc(bytes, p)
+          val sz = u32le(bytes, p + 4).toInt
+          val payload = p + 8
+          if (sz < 0 || payload + sz > until) return // truncated/corrupt
+          if (id == "LIST" && sz >= 4) {
+            walk(payload + 4, payload + sz) // skip the list-type fourcc
+          } else if (id == "avih" && sz >= 40) {
+            width = u32le(bytes, payload + 32).toInt
+            height = u32le(bytes, payload + 36).toInt
+          } else if (id == "strf" && sz >= 20 && compression == -1L) {
+            // first stream-format header wins (the video stream's
+            // BITMAPINFOHEADER; audio streams follow in later strl lists)
+            bitCount = u16le(bytes, payload + 14)
+            compression = u32le(bytes, payload + 16)
+          } else if (id.length == 4 && id.endsWith("db")) {
+            frames += ((payload, sz)) // uncompressed DIB frame chunk
+          }
+          p = payload + sz + (sz & 1)
+        }
+      }
+      walk(12, bytes.length)
+
+      if (width <= 0 || height <= 0 || compression != 0L || bitCount != 24 ||
+        frames.isEmpty) return None
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      val usable = frames.filter(_._2 >= rowSize * height)
+      if (usable.isEmpty) return None
+
+      def meanLum(off: Int): Float = {
+        val stepX = math.max((width + 63) / 64, 1)
+        val stepY = math.max((height + 63) / 64, 1)
+        var sum = 0.0
+        var n = 0
+        var y = 0
+        while (y < height) {
+          val row = off + (height - 1 - y) * rowSize // bottom-up rows
+          var x = 0
+          while (x < width) {
+            val p = row + x * 3 // BGR order
+            val bch = bytes(p) & 0xff
+            val g = bytes(p + 1) & 0xff
+            val r = bytes(p + 2) & 0xff
+            sum += (299 * r + 587 * g + 114 * bch) / (1000.0 * 255.0)
+            n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        if (n == 0) 0f else (sum / n).toFloat
+      }
+
+      val out = new Array[Float](dim)
+      val cache = scala.collection.mutable.HashMap.empty[Int, Float]
+      var w = 0
+      while (w < dim) {
+        val fi = (w.toLong * usable.length / dim).toInt
+        out(w) = cache.getOrElseUpdate(fi, meanLum(usable(fi)._1))
+        w += 1
+      }
+      Some((width, height, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Feature extraction: partition-parallel decode of opaque media bytes.
     * Image and audio rows decode for real (dimensions + RGB histogram /
     * sample-rate + channels + RMS windows); video and undecodable
@@ -196,6 +297,7 @@ object Multimodal {
         val decoded = m.kind match {
           case "image" => decodeImage(m.content, dim)
           case "audio" => decodeAudio(m.content, dim)
+          case "video" => decodeVideo(m.content, dim)
           case _       => None
         }
         decoded match {

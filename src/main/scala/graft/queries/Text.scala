@@ -601,6 +601,54 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- duplicated-span statistics (ExactSubstr-style, hashed) ----
+    // The substring-level member of the dedup family: which docs carry
+    // 8-token spans that also appear in OTHER docs (boilerplate sentences
+    // survive doc-level dedup). Spans are hashed to int64 (compiled
+    // md5-derived hash64), so the global span groupBy shuffles narrow
+    // (hash, doc_id) pairs, never span text. The span-frequency table is
+    // the op's real product — production stages it once and each
+    // consumer joins it (suffix-array ExactSubstr is the single-node
+    // analogue; hashed-span grouping is its shuffle-native form).
+    Q("q86_dup_spans", Some(s"""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(tk) >= 8 THEN
+          list_distinct(list_transform(generate_series(1, len(tk)-7),
+            i -> array_to_string(tk[i:i+7],' ')))
+        ELSE [] END AS sh FROM sp),
+      ex AS (SELECT sh.doc_id, ${dkHash("s.s", 11)} AS h
+        FROM sh, unnest(sh.sh) s(s)),
+      common AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) > 1),
+      flag AS (SELECT e.doc_id, COUNT(*) AS n_dup
+        FROM ex e JOIN common USING (h) GROUP BY e.doc_id)
+      SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_spans,
+        COALESCE(f.n_dup, 0) AS n_dup_spans,
+        CASE WHEN len(s.sh) = 0 THEN 0.0
+          ELSE CAST(COALESCE(f.n_dup, 0) AS DOUBLE) / len(s.sh) END
+          AS dup_span_frac
+      FROM sh s LEFT JOIN flag f ON f.doc_id = s.doc_id
+      ORDER BY s.doc_id""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.GraftFunctions.wordShingles(col("text"), 8).as("sh"))
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.hash64c(col("s"), 11).as("h"))
+      // per-doc spans are distinct, so COUNT(*) per hash = doc frequency
+      val common = ex.groupBy("h").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1).select("h")
+      val flag = ex.join(common, "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
+        .join(flag, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+          when(col("n_spans") === 0, lit(0.0))
+            .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double")
+              / col("n_spans")).as("dup_span_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- order-sensitive rolling-hash document fingerprint ----
     Q("q33_rolling_fingerprint", Some(s"""
       SELECT doc_id,

@@ -154,6 +154,51 @@ class RegistrySourcesSpec extends SparkTestBase {
     assert(f(1).features.length === 4)
   }
 
+  test("multimodal video codec decodes an uncompressed AVI: dims + luminance") {
+    // hand-built minimal RIFF/AVI: 4×2 BI_RGB 24-bit, 2 frames —
+    // frame 0 all black, frame 1 all white
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tpe: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("US-ASCII") ++ payload)
+    val (w, h) = (4, 2)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(2), 0, avih, 16, 4)  // dwTotalFrames
+    System.arraycopy(le32(w), 0, avih, 32, 4)  // dwWidth
+    System.arraycopy(le32(h), 0, avih, 36, 4)  // dwHeight
+    val strh = "vids".getBytes("US-ASCII") ++ new Array[Byte](52)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ new Array[Byte](20)           // biCompression = 0 (BI_RGB)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      chunk("00db", Array.fill(rowSize * h)(0.toByte)) ++
+        chunk("00db", Array.fill(rowSize * h)(255.toByte)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    val media = Seq(
+      MediaRow(1, "video", avi, 0, 0),
+      MediaRow(2, "video", Array.tabulate(64)(_.toByte), 0, 0) // not an AVI
+    ).toDS().repartition(2)
+    val f = Multimodal.extractFeatures(media, dim = 4).collect().sortBy(_.media_id)
+    // real decode: true dimensions from the avih header
+    assert((f(0).decoded_width, f(0).decoded_height) === (w, h))
+    // dim=4 over 2 frames: windows [0,0,1,1] → luminance [0,0,1,1]
+    val Array(l0, l1, l2, l3) = f(0).features
+    assert(l0 === 0.0f && l1 === 0.0f)
+    assert(math.abs(l2 - 1.0f) < 1e-3 && math.abs(l3 - 1.0f) < 1e-3)
+    // non-AVI bytes labeled "video" fall back to the stub with -1 dims
+    assert((f(1).decoded_width, f(1).decoded_height) === (-1, -1))
+  }
+
   test("multimodal frame sampling fans out frames with offsets") {
     val media = Seq(MediaRow(1, "video", Array.tabulate(100)(_.toByte), 0, 0)).toDS()
     val frames = Multimodal.sampleFrames(media, stride = 25, frameSize = 10).collect()
