@@ -649,6 +649,38 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- token-commonness / rare-token statistics (LM-proxy score) ----
+    // The statistical cousin of the heuristic quality score (q25): how
+    // generic is each doc's vocabulary against the corpus? mean document
+    // frequency of its distinct tokens + the fraction that appear in no
+    // other doc (df = 1). All-integer aggregates + one final division —
+    // no logs, so both engines match bit-for-bit (a true LM perplexity
+    // needs ln(); its portable stand-in is this df profile). Scale: the
+    // df table is vocabulary-sized (broadcast in production); the shuffle
+    // carries (token-hash, doc_id) pairs like q86.
+    Q("q87_token_commonness", Some(s"""
+      WITH tok AS (SELECT doc_id,
+        unnest(list_distinct(string_split(text,' '))) AS t FROM documents),
+      df AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
+      j AS (SELECT tok.doc_id, df.df FROM tok JOIN df ON df.t = tok.t)
+      SELECT doc_id, COUNT(*) AS n_distinct_tokens,
+        CAST(SUM(df) AS BIGINT) AS sum_df,
+        CAST(CAST(SUM(df) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_df,
+        CAST(COUNT(*) FILTER (df = 1) AS DOUBLE) / COUNT(*) AS rare_frac
+      FROM j GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      tok.join(df, "t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_tokens"),
+          sum("df").as("sum_df"),
+          (sum("df").cast("double") / count(lit(1))).as("mean_df"),
+          (count(when(col("df") === 1, 1)).cast("double") / count(lit(1)))
+            .as("rare_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- order-sensitive rolling-hash document fingerprint ----
     Q("q33_rolling_fingerprint", Some(s"""
       SELECT doc_id,

@@ -65,6 +65,45 @@ object StatefulOps {
       }
   }
 
+  /** JVM twin of Sampling.seededHash (first 15 hex chars of
+    * md5("<id>:<seed>") as a long) — same value as the Column form, so a
+    * streaming reservoir converges to the exact batch draw. */
+  private[streaming] def seededHashJvm(id: Long, seed: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$seed".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Streaming analogue of Sampling.stratifiedCap: per-stratum bounded
+    * reservoir of the `cap` smallest seeded id-hashes, maintained as
+    * keyed state. Emits the stratum's full current sample (ids in rank
+    * order) whenever it changes — Update-mode semantics; downstream
+    * replaces per stratum. Because membership is hash-ranked rather than
+    * arrival-ranked, the converged streaming sample is IDENTICAL to the
+    * batch [[graft.operators.Sampling.stratifiedCap]] over the same rows:
+    * batching, arrival order and retries cannot change the draw. State
+    * is O(cap) (hash, id) pairs per stratum — bounded regardless of
+    * stream length. */
+  def streamingStratifiedSample(rows: Dataset[(String, Long)], cap: Int,
+      seed: Int): Dataset[(String, Seq[Long])] = {
+    require(cap >= 1)
+    val sp = rows.sparkSession
+    import sp.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long)], (String, Seq[Long])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (stratum: String, it: Iterator[(String, Long)],
+            state: GroupState[Seq[(Long, Long)]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty)
+          val merged = (prev.iterator ++ it.map { case (_, id) =>
+              (seededHashJvm(id, seed), id)
+            }).toSeq.distinct.sorted.take(cap)
+          if (merged == prev) Iterator.empty
+          else { state.update(merged); Iterator.single((stratum, merged.map(_._2))) }
+      }
+  }
+
   /** Keep-latest as a transformWithState processor — the current
     * (Spark 4) stateful API; state lives in the RocksDB store, which
     * transformWithState requires, giving the disk-backed 100 TB state
