@@ -218,11 +218,16 @@ object Multimodal {
       var height = 0
       var bitCount = -1
       var compression = -1L
+      var inVideoStream = false // last strh seen was fccType "vids"
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
 
       // chunk walk: (fourcc, size, payload); LISTs recurse, chunks are
-      // even-padded per the RIFF spec
-      def walk(from: Int, until: Int): Unit = {
+      // even-padded per the RIFF spec. A legal AVI nests 3-4 LIST levels;
+      // the depth cap keeps crafted deep-nest payloads from overflowing
+      // the stack (StackOverflowError would escape the NonFatal catch and
+      // kill the task instead of degrading to the stub).
+      def walk(from: Int, until: Int, depth: Int): Unit = {
+        if (depth > 16) return
         var p = from
         while (p + 8 <= until) {
           val id = fourcc(bytes, p)
@@ -230,22 +235,26 @@ object Multimodal {
           val payload = p + 8
           if (sz < 0 || payload + sz > until) return // truncated/corrupt
           if (id == "LIST" && sz >= 4) {
-            walk(payload + 4, payload + sz) // skip the list-type fourcc
+            walk(payload + 4, payload + sz, depth + 1) // skip the list-type fourcc
           } else if (id == "avih" && sz >= 40) {
             width = u32le(bytes, payload + 32).toInt
             height = u32le(bytes, payload + 36).toInt
-          } else if (id == "strf" && sz >= 20 && compression == -1L) {
-            // first stream-format header wins (the video stream's
-            // BITMAPINFOHEADER; audio streams follow in later strl lists)
-            bitCount = u16le(bytes, payload + 14)
+          } else if (id == "strh" && sz >= 4) {
+            // remember which stream the next strf describes — an AVI may
+            // order its audio strl before the video strl, and reading a
+            // WAVEFORMATEX as BITMAPINFOHEADER would mislabel the file
+            inVideoStream = fourcc(bytes, payload) == "vids"
+          } else if (id == "strf" && sz >= 20 && inVideoStream &&
+            compression == -1L) {
+            bitCount = u16le(bytes, payload + 14)   // BITMAPINFOHEADER
             compression = u32le(bytes, payload + 16)
-          } else if (id.length == 4 && id.endsWith("db")) {
+          } else if (id.endsWith("db")) {
             frames += ((payload, sz)) // uncompressed DIB frame chunk
           }
           p = payload + sz + (sz & 1)
         }
       }
-      walk(12, bytes.length)
+      walk(12, bytes.length, 0)
 
       if (width <= 0 || height <= 0 || compression != 0L || bitCount != 24 ||
         frames.isEmpty) return None
@@ -288,8 +297,9 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Feature extraction: partition-parallel decode of opaque media bytes.
-    * Image and audio rows decode for real (dimensions + RGB histogram /
-    * sample-rate + channels + RMS windows); video and undecodable
+    * Image, audio and uncompressed-AVI video rows decode for real
+    * (dimensions + RGB histogram / sample-rate + channels + RMS windows /
+    * avih dims + frame luminance); compressed video and undecodable
     * payloads take the labeled stub path with -1 dims. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] =
     media.mapPartitions { rows =>

@@ -656,8 +656,10 @@ object Text extends QueryModule {
     // other doc (df = 1). All-integer aggregates + one final division —
     // no logs, so both engines match bit-for-bit (a true LM perplexity
     // needs ln(); its portable stand-in is this df profile). Scale: the
-    // df table is vocabulary-sized (broadcast in production); the shuffle
-    // carries (token-hash, doc_id) pairs like q86.
+    // df table is vocabulary-sized (broadcast in production). The shuffle
+    // here carries (token, doc_id) pairs — token strings, not hashes;
+    // tokens are short and vocabulary-bounded, but a corpus of long rare
+    // tokens would hash them first exactly as q86 hashes its spans.
     Q("q87_token_commonness", Some(s"""
       WITH tok AS (SELECT doc_id,
         unnest(list_distinct(string_split(text,' '))) AS t FROM documents),

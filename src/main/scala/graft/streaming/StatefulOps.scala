@@ -65,15 +65,14 @@ object StatefulOps {
       }
   }
 
-  /** JVM twin of Sampling.seededHash (first 15 hex chars of
-    * md5("<id>:<seed>") as a long) — same value as the Column form, so a
-    * streaming reservoir converges to the exact batch draw. */
-  private[streaming] def seededHashJvm(id: Long, seed: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$id:$seed".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
-  }
+  /** JVM twin of Sampling.seededHash — delegates to the ONE md5→60-bit
+    * derivation ([[graft.functions.expressions.Md5Hash60.hash60]],
+    * thread-local digest, no hex-string detour) so the streaming
+    * reservoir's draw can never drift from the batch Column form. */
+  private[streaming] def seededHashJvm(id: Long, seed: Int): Long =
+    graft.functions.expressions.Md5Hash60.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString),
+      s":$seed".getBytes("UTF-8"))
 
   /** Streaming analogue of Sampling.stratifiedCap: per-stratum bounded
     * reservoir of the `cap` smallest seeded id-hashes, maintained as

@@ -184,11 +184,26 @@ class RegistrySourcesSpec extends SparkTestBase {
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
 
+    // same movie with an AUDIO strl ahead of the video one: the decoder
+    // must not read the WAVEFORMATEX as a BITMAPINFOHEADER
+    val strhAud = "auds".getBytes("US-ASCII") ++ new Array[Byte](52)
+    val strfWave = le16(85) ++ le16(2) ++ le32(44100) ++ le32(0) ++
+      le16(4) ++ le16(0) ++ le16(12) ++ new Array[Byte](12) // 20+ bytes
+    val hdrl2 = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strhAud) ++ chunk("strf", strfWave)) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val body2 = "AVI ".getBytes("US-ASCII") ++ hdrl2 ++ movi
+    val avi2 = "RIFF".getBytes("US-ASCII") ++ le32(body2.length) ++ body2
+
     val media = Seq(
       MediaRow(1, "video", avi, 0, 0),
-      MediaRow(2, "video", Array.tabulate(64)(_.toByte), 0, 0) // not an AVI
+      MediaRow(2, "video", Array.tabulate(64)(_.toByte), 0, 0), // not an AVI
+      MediaRow(3, "video", avi2, 0, 0)
     ).toDS().repartition(2)
     val f = Multimodal.extractFeatures(media, dim = 4).collect().sortBy(_.media_id)
+    // audio-first stream order still decodes the video stream for real
+    assert((f(2).decoded_width, f(2).decoded_height) === (w, h))
+    assert(f(2).features.toSeq === f(0).features.toSeq)
     // real decode: true dimensions from the avih header
     assert((f(0).decoded_width, f(0).decoded_height) === (w, h))
     // dim=4 over 2 frames: windows [0,0,1,1] → luminance [0,0,1,1]

@@ -52,20 +52,22 @@ class StreamingSpec extends SparkTestBase {
   test("streaming stratified reservoir converges to the batch draw (U6 x T4)") {
     implicit val ctx = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    // capture the LATEST emission per stratum explicitly (foreachBatch in
+    // batch order) — collect() order over a memory sink is not a
+    // guaranteed emission order
+    val last = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
     val q = StatefulOps.streamingStratifiedSample(ms.toDS(), cap = 3, seed = 7)
-      .toDF("stratum", "ids").writeStream
-      .format("memory").queryName("reservoir").outputMode("update").start()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[(String, Seq[Long])], _: Long) =>
+        df.collect().foreach { case (k, ids) => last.put(k, ids) }
+      }
+      .outputMode("update").start()
     try {
       // two batches, arrival order scrambled across them
       ms.addData(("a", 5L), ("a", 12L), ("b", 3L), ("a", 40L), ("a", 7L))
       q.processAllAvailable()
       ms.addData(("a", 1L), ("a", 33L), ("b", 8L), ("a", 5L)) // 5 re-arrives
       q.processAllAvailable()
-      // latest emission per stratum = the converged reservoir
-      val last = spark.table("reservoir").as[(String, Seq[Long])].collect()
-        .zipWithIndex.groupBy(_._1._1).map { case (k, rs) =>
-          k -> rs.maxBy(_._2)._1._2
-        }
       // must equal the batch stratifiedCap over the union of all rows
       val all = Seq(("a", 5L), ("a", 12L), ("b", 3L), ("a", 40L), ("a", 7L),
         ("a", 1L), ("a", 33L), ("b", 8L)).toDF("stratum", "id")
@@ -74,8 +76,8 @@ class StreamingSpec extends SparkTestBase {
         .orderBy("stratum", "rn").select("stratum", "id")
         .as[(String, Long)].collect().toSeq
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-      assert(last("a") === batch("a") && last("b") === batch("b"))
-      assert(last("a").length === 3 && last("b").length === 2)
+      assert(last.get("a") === batch("a") && last.get("b") === batch("b"))
+      assert(last.get("a").length === 3 && last.get("b").length === 2)
     } finally q.stop()
   }
 
