@@ -158,6 +158,21 @@ class ScaleSpec extends SparkTestBase {
     assert(tokSharded === tokGlobal)
   }
 
+  test("semantic dedup (q82) pair join is cell-keyed, never a global cross join") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q82_semantic_dedup")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // the centroid broadcasts are the ONLY nested-loop joins (k rows
+    // each): one per Lloyd iteration, one for final assignment — whose
+    // subtree appears twice because both the pair join and the verdict
+    // join consume it (4 = 2 iterations' worth of headroom); the
+    // vector-pair comparison must be an equi-join on `cell`
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 4, s"unexpected nested-loop joins ($nested):\n$plan")
+    assert(plan.contains("cell"), "pair join not keyed on cell")
+    assert(!plan.contains("CartesianProduct"), "global cartesian in q82")
+  }
+
   test("event-date partitioned layout prunes partitions on time-range scans (S9)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Seq(
