@@ -257,6 +257,44 @@ object Dedup {
       .filter(length(col("bkey")) > 0)
   }
 
+  /** Build a corpus-membership Bloom filter over a fingerprint column:
+    * returns a ONE-row frame `(bm: array<bigint>)` — the `mBits`-wide
+    * bitmap packed as longs (see [[graft.functions.BloomFilterAggregator]]
+    * for the hash family and the 100 TB sizing rule). The result is
+    * sketch-sized however large `df` is; stage it to a table once per
+    * corpus snapshot and let every ingest batch probe it. */
+  def bloomBitmap(df: DataFrame, fingerprint: Column, mBits: Int = 1 << 17,
+      numHashes: Int = 3, seedBase: Int = 101): DataFrame =
+    df.select(fingerprint.cast("string").as("__fp"))
+      .agg(udaf(new graft.functions.BloomFilterAggregator(mBits, numHashes, seedBase))
+        .apply(col("__fp")).as("bm"))
+
+  /** Probe a [[bloomBitmap]]: flags each `batch` row whose fingerprint the
+    * filter may contain. Adds `n_probe_hits` (how many of the `numHashes`
+    * probed bits are set, INT) and `bloom_flagged` (all set — possible
+    * member). Guaranteed no false negatives; false positives at the rate
+    * the filter was sized for, so the flag is a PRE-filter: route flagged
+    * rows to the exact check, drop the (vast) unflagged rest without ever
+    * joining them. The probe is map-only — the one-row bitmap is
+    * broadcast, each probe is a compiled md5 + two shifts against the
+    * in-memory array, and the batch never shuffles. */
+  def bloomFlags(batch: DataFrame, bloom: DataFrame, fingerprint: Column,
+      mBits: Int = 1 << 17, numHashes: Int = 3, seedBase: Int = 101): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val hits = (0 until numHashes).map { j =>
+      val pos = pmod(graft.functions.GraftFunctions.hash64c(
+        fingerprint.cast("string"), seedBase + j), lit(mBits.toLong))
+      call_function("shiftright",
+          element_at(col("bm"), (pos / 64).cast("int") + 1),
+          pmod(pos, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)).cast("int")
+    }
+    batch.crossJoin(broadcast(bloom))
+      .withColumn("n_probe_hits", hits.reduce(_ + _))
+      .withColumn("bloom_flagged", col("n_probe_hits") === numHashes)
+      .drop("bm")
+  }
+
   /** Incremental (cross-batch) near-duplicate detection: which `newDf`
     * docs near-duplicate something already in `oldDf`? The production
     * ingest shape — every fresh crawl batch is deduped against the

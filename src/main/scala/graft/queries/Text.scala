@@ -601,6 +601,47 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- Bloom-filter membership pre-filter (sketch-based dedup) ----
+    // The cheap half of incremental exact dedup: a fixed-size bitmap
+    // built once over the corpus (one pass, OR-merged partials) is
+    // broadcast to every ingest batch, and each new doc probes k bits —
+    // map-only, no join against the corpus at all. Flagged rows (a few %
+    // false positives + every true duplicate) go on to the exact check;
+    // the rest are admitted immediately. The oracle reproduces the filter
+    // exactly: bit p is set ⟺ some corpus fingerprint hashes to p, so a
+    // distinct-position set + left join IS the bitmap. Output carries the
+    // ground truth column too — the no-false-negative invariant
+    // (is_exact_dup ⇒ bloom_flagged) is inside the hashed compare.
+    Q("q88_bloom_prefilter", Some(s"""
+      WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id < 250),
+      batch AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 250),
+      pos AS (SELECT DISTINCT p FROM (
+        ${(0 until 3).map(j =>
+          s"SELECT ${dkHash("fp", 101 + j)} % 131072 AS p FROM corpus")
+          .mkString("\n        UNION ALL ")})),
+      bp AS (
+        ${(0 until 3).map(j =>
+          s"SELECT doc_id, ${dkHash("fp", 101 + j)} % 131072 AS p FROM batch")
+          .mkString("\n        UNION ALL ")}),
+      hits AS (SELECT bp.doc_id, COUNT(pos.p) AS nh
+        FROM bp LEFT JOIN pos ON pos.p = bp.p GROUP BY bp.doc_id)
+      SELECT h.doc_id, CAST(h.nh AS INT) AS n_probe_hits,
+        h.nh = 3 AS bloom_flagged,
+        b.fp IN (SELECT fp FROM corpus) AS is_exact_dup
+      FROM hits h JOIN batch b ON b.doc_id = h.doc_id
+      ORDER BY h.doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 250).select(md5(col("text")).as("fp"))
+      val batch = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val bloom = Dedup.bloomBitmap(corpus, col("fp"))
+      Dedup.bloomFlags(batch, bloom, col("fp"))
+        .join(corpus.distinct().withColumn("__in", lit(true)), Seq("fp"), "left")
+        .select(col("doc_id"), col("n_probe_hits"), col("bloom_flagged"),
+          coalesce(col("__in"), lit(false)).as("is_exact_dup"))
+        .orderBy("doc_id")
+    },
+
     // ---- duplicated-span statistics (ExactSubstr-style, hashed) ----
     // The substring-level member of the dedup family: which docs carry
     // 8-token spans that also appear in OTHER docs (boilerplate sentences

@@ -300,4 +300,35 @@ class OperatorsSpec extends SparkTestBase {
     val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("grp", "id")
     assert(run(tiny).length === 3)
   }
+
+  test("bloomBitmap/bloomFlags: no false negatives, bounded false positives") {
+    val corpus = (0 until 200).map(i => s"member-$i").toDF("fp")
+    val bloom = Dedup.bloomBitmap(corpus, col("fp"))
+
+    // every member probes to all-set bits — structural no-false-negative
+    val members = Dedup.bloomFlags(corpus.select(col("fp")), bloom, col("fp"))
+    assert(members.filter(!col("bloom_flagged")).isEmpty)
+
+    // non-members: fp rate for k=3, m=2^17, n=200 is ~0 — allow a sliver
+    val outside = (0 until 1000).map(i => s"stranger-$i").toDF("fp")
+    val flaggedOut = Dedup.bloomFlags(outside, bloom, col("fp"))
+      .filter(col("bloom_flagged")).count()
+    assert(flaggedOut <= 2, s"bloom false-positive count $flaggedOut out of 1000")
+
+    // NULL fingerprints set nothing and probe to NULL flags (not matches)
+    val withNull = spark.sql("SELECT CAST(NULL AS STRING) AS fp")
+    val nb = Dedup.bloomBitmap(withNull, col("fp"))
+      .as[Seq[Long]].head()
+    assert(nb.forall(_ == 0L), "NULL fingerprint must not set bits")
+
+    // merge is an OR: two half-corpus filters OR'd == the full filter
+    val agg = new graft.functions.BloomFilterAggregator(1 << 17, 3, 101)
+    val half1 = (0 until 100).map(i => s"member-$i")
+      .foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    val half2 = (100 until 200).map(i => s"member-$i")
+      .foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    val full = (0 until 200).map(i => s"member-$i")
+      .foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    assert(agg.merge(half1, half2).toSeq === full.toSeq)
+  }
 }
