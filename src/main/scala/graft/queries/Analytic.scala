@@ -145,6 +145,50 @@ object Analytic extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // ---- exact-rank winsorize thresholds (robust outlier trim) ----
+    // Per-source p01/p99 document-length cut points by EXACT rank — the
+    // curation step that drops truncated fragments and merged-page
+    // monsters before training. Rank math is all-integer (ceil(q·n) via
+    // `div`), so both engines pick the identical element — no
+    // interpolation, no double percentile arithmetic to keep portable.
+    // Shape: one shuffle on source + a per-source window sort; exact
+    // per-group rank selection serializes per source, which is the
+    // deliberate trade at report granularity (sources are few) — the
+    // row-scale path is q68's bounded-sketch approx_percentile.
+    Q("q89_winsorize_bounds", Some("""
+      WITH rk AS (SELECT source, n_chars,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents),
+      thr AS (SELECT source, MAX(n) AS n_docs,
+          MAX(CASE WHEN rn = (n + 99) // 100 THEN n_chars END) AS p01,
+          MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99
+        FROM rk GROUP BY source)
+      SELECT t.source, t.n_docs, t.p01, t.p99,
+        COUNT(CASE WHEN r.n_chars < t.p01 THEN 1 END) AS n_below,
+        COUNT(CASE WHEN r.n_chars > t.p99 THEN 1 END) AS n_above
+      FROM rk r JOIN thr t ON t.source = r.source
+      GROUP BY t.source, t.n_docs, t.p01, t.p99
+      ORDER BY t.source""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bySource = Window.partitionBy("source")
+      val ranked = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+        .withColumn("rn", row_number()
+          .over(bySource.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(bySource))
+      ranked
+        .withColumn("p01", max(when(col("rn") === expr("(n + 99) div 100"),
+          col("n_chars"))).over(bySource))
+        .withColumn("p99", max(when(col("rn") === expr("(99 * n + 99) div 100"),
+          col("n_chars"))).over(bySource))
+        .groupBy("source")
+        .agg(max(col("n")).as("n_docs"), max(col("p01")).as("p01"),
+          max(col("p99")).as("p99"),
+          count(when(col("n_chars") < col("p01"), 1)).as("n_below"),
+          count(when(col("n_chars") > col("p99"), 1)).as("n_above"))
+        .orderBy("source")
+    },
+
     // ---- array aggregation: distinct sorted event types per user ----
     // The array is built (collect_set + array_sort) and then serialized at
     // the SELECT boundary: the driver's compare gate sorts output columns

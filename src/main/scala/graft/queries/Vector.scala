@@ -304,6 +304,77 @@ object Vector extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // ---- ANN quality evaluation: recall@k of LSH vs exact top-k ----
+    // The "measure, don't guess" knob for every ANN parameter (planes,
+    // nprobe, k): run the approximate index and the brute-force oracle
+    // over the SAME query set and report per-query overlap. At corpus
+    // scale this is how plane/probe counts get tuned — the eval runs on a
+    // small query SAMPLE (broadcast), so the exact side is one bounded
+    // corpus pass, not an all-pairs join. Both pipelines are
+    // deterministic fixed-point, so recall itself is oracle-exact.
+    Q("q90_ann_recall", Some(s"""
+      WITH $dkNorm2,
+      edots AS (SELECT q.vec_id AS qid, e.vec_id AS vid,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM embeddings q JOIN embeddings e ON q.vec_id < 8 AND e.vec_id <> q.vec_id,
+          generate_series(1, 64) g(j)
+        GROUP BY q.vec_id, e.vec_id),
+      ecos AS (SELECT d.qid, d.vid,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM edots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid),
+      ex AS (SELECT qid, vid FROM ecos WHERE rn <= 3),
+      w AS (SELECT p.p, j.j,
+        (CAST(CAST(('0x'||substr(md5('plane:'||p.p||':'||j.j),1,15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0) * 2.0 - 1.0 AS w
+        FROM generate_series(0, 3) p(p), generate_series(1, 64) j(j)),
+      pd AS (SELECT e.vec_id, w.p,
+        ${dkDecSum("CAST(e.embedding[w.j] AS DOUBLE) * w.w")} AS d
+        FROM embeddings e, w GROUP BY e.vec_id, w.p),
+      sig AS (SELECT vec_id,
+        CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM pd GROUP BY vec_id),
+      cand AS (SELECT q.vec_id AS qid, e.vec_id AS vid
+        FROM sig q JOIN sig e
+          ON q.vec_id < 8 AND e.bucket = q.bucket AND e.vec_id <> q.vec_id),
+      adots AS (SELECT c.qid, c.vid,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+          JOIN embeddings e ON e.vec_id = c.vid, generate_series(1, 64) g(j)
+        GROUP BY c.qid, c.vid),
+      acos AS (SELECT d.qid, d.vid,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM adots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid),
+      ann AS (SELECT qid, vid FROM acos WHERE rn <= 3),
+      qs AS (SELECT DISTINCT qid FROM ex)
+      SELECT q.qid, COALESCE(na.n, 0) AS n_ann, COALESCE(nh.n, 0) AS n_hits,
+        CAST(COALESCE(nh.n, 0) AS DOUBLE) / 3.0 AS recall
+      FROM qs q
+      LEFT JOIN (SELECT qid, COUNT(*) AS n FROM ann GROUP BY qid) na
+        ON na.qid = q.qid
+      LEFT JOIN (SELECT e.qid, COUNT(*) AS n FROM ex e
+        JOIN ann a ON a.qid = e.qid AND a.vid = e.vid GROUP BY e.qid) nh
+        ON nh.qid = q.qid
+      ORDER BY q.qid""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 8, k = 3)
+        .select("qid", "vid")
+      val ann = Similarity.lshTopK(emb, col("vec_id") < 8,
+          planes = 4, dim = 64, k = 3)
+        .select("qid", "vid")
+      val nAnn = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+      val nHits = exact.join(ann, Seq("qid", "vid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      exact.select("qid").distinct()
+        .join(nAnn, Seq("qid"), "left").join(nHits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 3.0).as("recall"))
+        .orderBy("qid")
+    },
+
     // ---- per-label centroids (embedding aggregation) ----
     // The centroid vector is serialized at the SELECT boundary as
     // comma-joined fixed-point integers (floor(comp·2^20)): the driver's
