@@ -49,6 +49,31 @@ object StatefulOps {
           else { state.update(newest); Iterator.single(newest) }
       }
 
+  /** Watermarked stream-stream interval join (T3 × J3 — the attribution
+    * shape): each left event pairs with right events sharing `key` whose
+    * `ts` lies in [left.ts - before, left.ts + after]. Right columns come
+    * back `r_`-prefixed.
+    *
+    * Both sides carry the SAME watermark and the join condition bounds
+    * event-time distance in both directions, so Spark derives a state
+    * eviction horizon for both inputs — buffered rows expire once the
+    * watermark passes their last possible match, keeping join state
+    * O(traffic × interval), not O(stream). `joinType` may be "leftOuter"
+    * (unmatched left rows emit with NULL right columns once the watermark
+    * proves no match can arrive); outer emission is watermark-delayed by
+    * construction. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      watermark: String, before: String, after: String,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.columns.foldLeft(right)((d, c) =>
+        d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, org.apache.spark.sql.functions.expr(
+      s"$key = r_$key AND r_ts BETWEEN ts - INTERVAL $before " +
+        s"AND ts + INTERVAL $after"), joinType)
+  }
+
   /** Running per-user aggregate (count + sum) maintained as keyed state. */
   def runningUserTotals(events: Dataset[Event]): Dataset[(Long, Long, Double)] = {
     implicit val enc: Encoder[(Long, Long, Double)] =

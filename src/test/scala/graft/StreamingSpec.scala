@@ -192,6 +192,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the time bound (T3 x J3)") {
+    val clicks = newEvents()
+    val buys = newEvents()
+    val q = StatefulOps.intervalJoin(clicks.toDF(), buys.toDF(),
+        key = "user_id", watermark = "30 minutes",
+        before = "0 minutes", after = "10 minutes")
+      .select("event_id", "r_event_id")
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts(1), 7, "click", 0.0),
+        Event(2, ts(1), 9, "click", 0.0))
+      buys.addData(
+        Event(101, ts(5), 7, "purchase", 10.0),  // within 10 min of click 1
+        Event(102, ts(25), 7, "purchase", 5.0),  // too late for click 1
+        Event(103, ts(5), 8, "purchase", 2.0))   // no clicking user
+      q.processAllAvailable()
+      val rows = spark.table("ivj").as[(Long, Long)].collect().toSet
+      assert(rows === Set((1L, 101L)))
+    } finally q.stop()
+  }
+
+  test("interval join leftOuter emits unmatched lefts after the watermark") {
+    val clicks = newEvents()
+    val buys = newEvents()
+    val q = StatefulOps.intervalJoin(clicks.toDF(), buys.toDF(),
+        key = "user_id", watermark = "5 minutes",
+        before = "0 minutes", after = "10 minutes", joinType = "leftOuter")
+      .select(col("event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("ivjo").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts(1), 7, "click", 0.0),
+        Event(2, ts(10), 9, "click", 0.0)) // will never match anything
+      buys.addData(Event(101, ts(5), 7, "purchase", 10.0))
+      q.processAllAvailable()
+      // click 2's last possible match is ts(20); watermark must pass
+      // 20 + 5min delay before its NULL row may emit — advance both
+      // streams to ts(50), then run one more batch to flush evictions
+      clicks.addData(Event(3, ts(50), 11, "click", 0.0))
+      buys.addData(Event(102, ts(50), 8, "purchase", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Event(4, ts(55), 11, "click", 0.0))
+      buys.addData(Event(103, ts(55), 8, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ivjo").as[(Long, java.lang.Long)].collect().toSet
+      // click 1 matched; click 2's horizon passed with no partner → NULL right
+      assert(rows.contains((1L, java.lang.Long.valueOf(101L))))
+      assert(rows.contains((2L, null: java.lang.Long)))
+    } finally q.stop()
+  }
+
   test("stream-static dimension join enriches events in-flight") {
     val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
     val ms = newEvents()
