@@ -724,6 +724,60 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- BPE-style merge candidates: corpus-wide bigram counts ----
+    // The first step of BPE/WordPiece vocabulary training: count every
+    // ADJACENT token pair with multiplicity (occurrences, not document
+    // frequency — q86/q87 cover the distinct-set side) and rank the
+    // top merge candidates. Compiled all-ngrams projection (no
+    // interpreted HOF), one explode → one count shuffle with map-side
+    // partial agg; top-K is TakeOrdered, never a global sort.
+    Q("q91_bpe_merge_candidates", Some("""
+      WITH bg AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1),
+          i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+        FROM (SELECT string_split(text, ' ') AS tk FROM documents))
+      SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+      ORDER BY n DESC, bigram LIMIT 50""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(explode(graft.functions.GraftFunctions.wordShinglesAll(
+          col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(50)
+    },
+
+    // ---- vocabulary coverage / OOV-rate scoring ----
+    // Close the vocab loop: induce a top-N token vocabulary from the
+    // corpus (count → TakeOrdered top-N, deterministic count-then-token
+    // tiebreak), then score every document's out-of-vocabulary token
+    // fraction against it — the filter that catches
+    // wrong-domain/garbage docs a per-doc heuristic can't see. The vocab
+    // is vocabulary-sized (tiny) → broadcast; the per-doc pass is one
+    // explode + broadcast-join + count, no corpus self-shuffle.
+    Q("q92_vocab_coverage", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      cnt AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+      vocab AS (SELECT t FROM cnt ORDER BY n DESC, t LIMIT 10)
+      SELECT tok.doc_id, COUNT(*) AS n_tokens,
+        COUNT(CASE WHEN v.t IS NULL THEN 1 END) AS n_oov,
+        CAST(COUNT(CASE WHEN v.t IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+          AS oov_frac
+      FROM tok LEFT JOIN vocab v ON v.t = tok.t
+      GROUP BY tok.doc_id ORDER BY tok.doc_id""")) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t")).limit(10)
+        .select(col("t"), lit(true).as("__v"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("__v").isNull, 1)).as("n_oov"),
+          (count(when(col("__v").isNull, 1)).cast("double") / count(lit(1)))
+            .as("oov_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- order-sensitive rolling-hash document fingerprint ----
     Q("q33_rolling_fingerprint", Some(s"""
       SELECT doc_id,
