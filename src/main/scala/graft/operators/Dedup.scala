@@ -257,42 +257,60 @@ object Dedup {
       .filter(length(col("bkey")) > 0)
   }
 
+  /** A built Bloom filter: the one-row bitmap frame plus the parameters
+    * it was built with. Probing goes through [[bloomFlags]], which reads
+    * m/k/seed from here — carrying them structurally makes a build/probe
+    * parameter mismatch (which would silently produce false negatives,
+    * the one failure mode a Bloom pre-filter must never have)
+    * unrepresentable. */
+  final case class BloomSketch(bitmap: DataFrame, mBits: Int, numHashes: Int,
+      seedBase: Int)
+
   /** Build a corpus-membership Bloom filter over a fingerprint column:
-    * returns a ONE-row frame `(bm: array<bigint>)` — the `mBits`-wide
-    * bitmap packed as longs (see [[graft.functions.BloomFilterAggregator]]
-    * for the hash family and the 100 TB sizing rule). The result is
+    * a ONE-row bitmap frame (`mBits` bits packed as longs — see
+    * [[graft.functions.BloomFilterAggregator]] for the hash family and
+    * the 100 TB sizing rule) bundled with its parameters. The result is
     * sketch-sized however large `df` is; stage it to a table once per
     * corpus snapshot and let every ingest batch probe it. */
   def bloomBitmap(df: DataFrame, fingerprint: Column, mBits: Int = 1 << 17,
-      numHashes: Int = 3, seedBase: Int = 101): DataFrame =
-    df.select(fingerprint.cast("string").as("__fp"))
-      .agg(udaf(new graft.functions.BloomFilterAggregator(mBits, numHashes, seedBase))
-        .apply(col("__fp")).as("bm"))
+      numHashes: Int = 3, seedBase: Int = 101): BloomSketch =
+    BloomSketch(
+      df.select(fingerprint.cast("string").as("__fp"))
+        .agg(udaf(new graft.functions.BloomFilterAggregator(mBits, numHashes, seedBase))
+          .apply(col("__fp")).as("__graft_bm")),
+      mBits, numHashes, seedBase)
 
-  /** Probe a [[bloomBitmap]]: flags each `batch` row whose fingerprint the
-    * filter may contain. Adds `n_probe_hits` (how many of the `numHashes`
-    * probed bits are set, INT) and `bloom_flagged` (all set — possible
-    * member). Guaranteed no false negatives; false positives at the rate
-    * the filter was sized for, so the flag is a PRE-filter: route flagged
-    * rows to the exact check, drop the (vast) unflagged rest without ever
-    * joining them. The probe is map-only — the one-row bitmap is
-    * broadcast, each probe is a compiled md5 + two shifts against the
-    * in-memory array, and the batch never shuffles. */
-  def bloomFlags(batch: DataFrame, bloom: DataFrame, fingerprint: Column,
-      mBits: Int = 1 << 17, numHashes: Int = 3, seedBase: Int = 101): DataFrame = {
+  /** Probe a [[BloomSketch]]: flags each `batch` row whose fingerprint
+    * the filter may contain. Adds `n_probe_hits` (how many of the
+    * `numHashes` probed bits are set, INT) and `bloom_flagged` (all set —
+    * possible member). Guaranteed no false negatives; false positives at
+    * the rate the filter was sized for, so the flag is a PRE-filter:
+    * route flagged rows to the exact check, drop the (vast) unflagged
+    * rest without ever joining them. NULL fingerprints probe to
+    * (0, false) — they set nothing at build time either. The probe is
+    * map-only — the one-row bitmap is broadcast, each probe is a compiled
+    * md5 + two shifts against the in-memory array, and the batch never
+    * shuffles. */
+  def bloomFlags(batch: DataFrame, sketch: BloomSketch,
+      fingerprint: Column): DataFrame = {
+    Seq("n_probe_hits", "bloom_flagged", "__graft_bm").foreach(c =>
+      require(!batch.columns.contains(c),
+        s"bloomFlags writes column '$c' — rename the batch's own '$c' first"))
     graft.functions.GraftFunctions.register(batch.sparkSession)
-    val hits = (0 until numHashes).map { j =>
+    val hits = (0 until sketch.numHashes).map { j =>
       val pos = pmod(graft.functions.GraftFunctions.hash64c(
-        fingerprint.cast("string"), seedBase + j), lit(mBits.toLong))
+        fingerprint.cast("string"), sketch.seedBase + j), lit(sketch.mBits.toLong))
       call_function("shiftright",
-          element_at(col("bm"), (pos / 64).cast("int") + 1),
+          element_at(col("__graft_bm"), (pos / 64).cast("int") + 1),
           pmod(pos, lit(64L)).cast("int"))
         .bitwiseAND(lit(1L)).cast("int")
     }
-    batch.crossJoin(broadcast(bloom))
-      .withColumn("n_probe_hits", hits.reduce(_ + _))
-      .withColumn("bloom_flagged", col("n_probe_hits") === numHashes)
-      .drop("bm")
+    batch.crossJoin(broadcast(sketch.bitmap))
+      // NULL fingerprint → NULL probes; the filter holds no bit for it,
+      // so it is a definite non-member: (0, false), same as the oracle
+      .withColumn("n_probe_hits", coalesce(hits.reduce(_ + _), lit(0)))
+      .withColumn("bloom_flagged", col("n_probe_hits") === sketch.numHashes)
+      .drop("__graft_bm")
   }
 
   /** Incremental (cross-batch) near-duplicate detection: which `newDf`

@@ -357,21 +357,34 @@ object Vector extends QueryModule {
         JOIN ann a ON a.qid = e.qid AND a.vid = e.vid GROUP BY e.qid) nh
         ON nh.qid = q.qid
       ORDER BY q.qid""")) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 8, k = 3)
-        .select("qid", "vid")
-      val ann = Similarity.lshTopK(emb, col("vec_id") < 8,
-          planes = 4, dim = 64, k = 3)
-        .select("qid", "vid")
-      val nAnn = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
-      val nHits = exact.join(ann, Seq("qid", "vid"))
-        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-      exact.select("qid").distinct()
-        .join(nAnn, Seq("qid"), "left").join(nHits, Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") / 3.0).as("recall"))
+      // ONE corpus scan: score every (query, vector) pair once (this is
+      // exactly the exact side's work), then rank twice over the same
+      // frame — globally for the exact top-k, within the same-bucket
+      // subset for the ANN top-k. Calling bruteForceTopK + lshTopK
+      // separately would scan and norm the corpus twice (diamond
+      // subtrees never reuse); here the LSH side costs one extra narrow
+      // window, nothing corpus-sized.
+      import org.apache.spark.sql.expressions.Window
+      val e = Similarity.withNorm2(Tables.embeddings(s, d))
+        .withColumn("bucket", lshBucket(col("embedding"), 4, 64))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("n2").as("q_n2"), col("bucket").as("q_bucket"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cosine", cosineFrom(
+          dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
+        .withColumn("inb", col("bucket") === col("q_bucket"))
+      val ranked = scored
+        .withColumn("e_rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(desc("cosine"), asc("vec_id"))))
+        .withColumn("a_rank", when(col("inb"),
+          row_number().over(Window.partitionBy("qid", "inb")
+            .orderBy(desc("cosine"), asc("vec_id")))))
+      ranked.groupBy("qid")
+        .agg(count(when(col("a_rank") <= 3, 1)).as("n_ann"),
+          count(when(col("a_rank") <= 3 && col("e_rank") <= 3, 1)).as("n_hits"))
+        .select(col("qid"), col("n_ann"), col("n_hits"),
+          (col("n_hits").cast("double") / 3.0).as("recall"))
         .orderBy("qid")
     },
 

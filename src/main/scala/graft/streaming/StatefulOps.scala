@@ -51,8 +51,9 @@ object StatefulOps {
 
   /** Watermarked stream-stream interval join (T3 × J3 — the attribution
     * shape): each left event pairs with right events sharing `key` whose
-    * `ts` lies in [left.ts - before, left.ts + after]. Right columns come
-    * back `r_`-prefixed.
+    * event time (`tsCol`, default `ts`, same name both sides) lies in
+    * [left.ts - before, left.ts + after]. Right columns come back
+    * `r_`-prefixed.
     *
     * Both sides carry the SAME watermark and the join condition bounds
     * event-time distance in both directions, so Spark derives a state
@@ -64,14 +65,31 @@ object StatefulOps {
     * construction. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       watermark: String, before: String, after: String,
-      joinType: String = "inner"): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-    val r = right.columns.foldLeft(right)((d, c) =>
-        d.withColumnRenamed(c, s"r_$c"))
-      .withWatermark("r_ts", watermark)
+      joinType: String = "inner", tsCol: String = "ts"): DataFrame = {
+    // key/tsCol/before/after are spliced into a SQL expression — validate
+    // them up front so a typo fails loudly here, not deep in the parser
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    val dur = "\\d+\\s+(millisecond|second|minute|hour|day)s?"
+    require(key.matches(ident), s"key must be a plain identifier, got '$key'")
+    require(tsCol.matches(ident), s"tsCol must be a plain identifier, got '$tsCol'")
+    Seq(before, after).foreach(b => require(b.trim.matches(dur),
+      s"interval bound must look like '10 minutes', got '$b'"))
+    Seq(key, tsCol).foreach { c =>
+      require(left.columns.contains(c), s"left stream lacks column '$c'")
+      require(right.columns.contains(c), s"right stream lacks column '$c'")
+    }
+    val clash = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
+    require(clash.isEmpty,
+      s"left columns ${clash.mkString(", ")} collide with the r_-prefixed right side")
+    val l = left.withWatermark(tsCol, watermark)
+    // one aliasing projection — withColumnRenamed in a loop mis-renames
+    // when a right column already starts with r_
+    val r = right.select(right.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).as(s"r_$c")): _*)
+      .withWatermark(s"r_$tsCol", watermark)
     l.join(r, org.apache.spark.sql.functions.expr(
-      s"$key = r_$key AND r_ts BETWEEN ts - INTERVAL $before " +
-        s"AND ts + INTERVAL $after"), joinType)
+      s"$key = r_$key AND r_$tsCol BETWEEN $tsCol - INTERVAL ${before.trim} " +
+        s"AND $tsCol + INTERVAL ${after.trim}"), joinType)
   }
 
   /** Running per-user aggregate (count + sum) maintained as keyed state. */

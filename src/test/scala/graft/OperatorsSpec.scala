@@ -315,11 +315,20 @@ class OperatorsSpec extends SparkTestBase {
       .filter(col("bloom_flagged")).count()
     assert(flaggedOut <= 2, s"bloom false-positive count $flaggedOut out of 1000")
 
-    // NULL fingerprints set nothing and probe to NULL flags (not matches)
+    // NULL fingerprints set nothing and probe to (0, false), not NULL
     val withNull = spark.sql("SELECT CAST(NULL AS STRING) AS fp")
-    val nb = Dedup.bloomBitmap(withNull, col("fp"))
-      .as[Seq[Long]].head()
+    val nullSketch = Dedup.bloomBitmap(withNull, col("fp"))
+    val nb = nullSketch.bitmap.as[Seq[Long]].head()
     assert(nb.forall(_ == 0L), "NULL fingerprint must not set bits")
+    val nullProbe = Dedup.bloomFlags(withNull, bloom, col("fp"))
+      .select("n_probe_hits", "bloom_flagged").as[(Int, Boolean)].head()
+    assert(nullProbe === ((0, false)))
+
+    // reserved output columns collide loudly, not silently
+    intercept[IllegalArgumentException] {
+      Dedup.bloomFlags(corpus.withColumn("bloom_flagged", lit(true)),
+        bloom, col("fp"))
+    }
 
     // merge is an OR: two half-corpus filters OR'd == the full filter
     val agg = new graft.functions.BloomFilterAggregator(1 << 17, 3, 101)
