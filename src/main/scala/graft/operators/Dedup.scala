@@ -147,6 +147,27 @@ object Dedup {
     labels
   }
 
+  /** Keep-one-per-cluster with an explicit keep POLICY: given
+    * [[nearDupClusters]] labels `(id, cluster)` and per-id metadata, each
+    * cluster's survivor is the member minimizing (priority, id) — e.g.
+    * prefer curated sources over crawl when collapsing duplicates, with
+    * the id tie-break keeping the choice deterministic and retry-stable.
+    * Returns one row per clustered id: (id, cluster, keeper, kept).
+    *
+    * One metadata equi-join + a window `min_by` per cluster — clusters
+    * are pair-list-sized (only docs with near-dups), far below corpus
+    * size, and the window needs no sort (unbounded frame). */
+  def keepOneByPriority(clusters: DataFrame, meta: DataFrame, idCol: String,
+      priority: Column): DataFrame = {
+    val joined = clusters.join(
+      meta.select(col(idCol).as("id"), priority.as("__prio")), Seq("id"))
+    joined
+      .withColumn("keeper", min_by(col("id"), struct(col("__prio"), col("id")))
+        .over(Window.partitionBy("cluster")))
+      .select(col("id"), col("cluster"), col("keeper"),
+        (col("id") === col("keeper")).as("kept"))
+  }
+
   /** MinHash+LSH near-duplicate pairs over a text column.
     *
     * shingle(n) → k-wide MinHash signature → `bands` bands of k/bands rows

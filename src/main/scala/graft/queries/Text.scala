@@ -230,6 +230,46 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- policy keep-one: curated sources win duplicate clusters ----
+    // q71 keeps min-id per cluster; real curation keeps the BEST copy —
+    // here "curated" sources (src0–src4) outrank the rest, id breaks
+    // ties. Same CC labels, one metadata join + windowed min_by on
+    // (priority, id); the policy is a Column, so any ranking (quality
+    // score, length, recency) slots in unchanged.
+    Q("q93_priority_keep_one", Some(s"""
+      WITH RECURSIVE $dkLshPairs,
+      p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+      edges AS (SELECT a AS src, b AS dst FROM p
+                UNION ALL SELECT b, a FROM p),
+      walk(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst),
+      lab AS (SELECT id, MIN(lab) AS cluster FROM walk GROUP BY id),
+      m AS (SELECT l.id, l.cluster,
+          CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+            THEN 0 ELSE 1 END AS prio
+        FROM lab l JOIN documents d ON d.doc_id = l.id),
+      k AS (SELECT cluster, id AS keeper FROM (
+        SELECT cluster, id,
+          ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY prio, id) AS rn
+        FROM m) WHERE rn = 1)
+      SELECT m.id AS doc_id, m.cluster, k.keeper, (m.id = k.keeper) AS kept
+      FROM m JOIN k ON k.cluster = m.cluster
+      ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+      val curated = Seq("src0", "src1", "src2", "src3", "src4")
+      Dedup.keepOneByPriority(
+          Dedup.nearDupClusters(pairs),
+          docs.select("doc_id", "source"), "doc_id",
+          when(col("source").isin(curated: _*), 0).otherwise(1))
+        .select(col("id").as("doc_id"), col("cluster"), col("keeper"),
+          col("kept"))
+        .orderBy("doc_id")
+    },
+
     // ---- end-to-end training-data pipeline (capstone) ----
     // lang-ID filter → quality gate → PII redaction → exact dedup
     // (keep min id per content hash) → near-dup drop. The near-dup

@@ -301,6 +301,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(run(tiny).length === 3)
   }
 
+  test("keepOneByPriority keeps the best-priority member, id breaks ties") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val meta = Seq((1L, "crawl"), (2L, "curated"), (3L, "curated"),
+      (10L, "crawl"), (11L, "crawl")).toDF("doc_id", "src")
+    val out = Dedup.keepOneByPriority(clusters, meta, "doc_id",
+        when(col("src") === "curated", 0).otherwise(1))
+      .select("id", "keeper", "kept").as[(Long, Long, Boolean)]
+      .collect().toSet
+    // cluster 1: curated 2 beats curated 3 (id tie-break) beats crawl 1
+    // cluster 10: all crawl → min id 10
+    assert(out === Set((1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("bloomBitmap/bloomFlags: no false negatives, bounded false positives") {
     val corpus = (0 until 200).map(i => s"member-$i").toDF("fp")
     val bloom = Dedup.bloomBitmap(corpus, col("fp"))
