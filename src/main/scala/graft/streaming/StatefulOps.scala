@@ -146,6 +146,57 @@ object StatefulOps {
       }
   }
 
+  /** Approximate streaming dedup with BOUNDED state — the streaming twin
+    * of the batch Bloom pre-filter ([[graft.operators.Dedup.bloomFlags]]).
+    * Exact streaming dedup (`dropDuplicates` without a watermark) grows
+    * state with every distinct key forever; here each of `shards` keyed
+    * states holds a fixed `mBits`-bit bitmap, so TOTAL state is
+    * shards·mBits/8 bytes however long the stream runs. Same md5-derived
+    * hash family as the batch filter.
+    *
+    * Emits (id, fingerprint) rows the filter has definitely not seen.
+    * The trade (documented, inherent): no false re-emission — a seen
+    * fingerprint is never emitted again — but a small false-DROP rate for
+    * genuinely new rows that grows as inserts approach capacity
+    * (≈ (1 − e^(−k·n/m))^k per probe); size mBits for the expected
+    * distinct volume or downstream-reconcile periodically. Sharding by
+    * fingerprint hash spreads both state and per-batch work across
+    * executors. */
+  def streamingBloomDedup(rows: Dataset[(String, String)], shards: Int = 32,
+      mBits: Int = 1 << 17, numHashes: Int = 3, seedBase: Int = 101):
+      Dataset[(String, String)] = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val sp = rows.sparkSession
+    import sp.implicits._
+    val agg = new graft.functions.BloomFilterAggregator(mBits, numHashes, seedBase)
+    val shardOf = (fp: String) =>
+      (graft.functions.expressions.Md5Hash60.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(fp),
+        ":shard".getBytes("UTF-8")) % shards).toInt
+    rows.groupByKey { case (_, fp) => shardOf(fp) }
+      .flatMapGroupsWithState[Array[Long], (String, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
+          val bm = state.getOption.getOrElse(agg.zero)
+          val out = it.filter { case (_, fp) =>
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(fp)
+            var j = 0
+            var allSet = true
+            while (j < numHashes) {
+              val pos = (graft.functions.expressions.Md5Hash60.hash60(u,
+                s":${seedBase + j}".getBytes("UTF-8")) % mBits).toInt
+              if ((bm(pos >> 6) >>> (pos & 63) & 1L) == 0L) allSet = false
+              j += 1
+            }
+            // unseen → record it and emit; seen (or colliding) → drop
+            if (!allSet) agg.reduce(bm, fp)
+            !allSet
+          }.toVector
+          state.update(bm)
+          out.iterator
+      }
+  }
+
   /** Keep-latest as a transformWithState processor — the current
     * (Spark 4) stateful API; state lives in the RocksDB store, which
     * transformWithState requires, giving the disk-backed 100 TB state

@@ -192,6 +192,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming bloom dedup drops seen fingerprints across batches, bounded state (T5)") {
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = StatefulOps.streamingBloomDedup(ms.toDS(), shards = 4)
+      .writeStream.format("memory").queryName("bloomdd").outputMode("update").start()
+    try {
+      ms.addData(("a", "f1"), ("b", "f2"), ("c", "f1")) // c dups a in-batch
+      q.processAllAvailable()
+      ms.addData(("d", "f2"), ("e", "f3"))              // d dups b cross-batch
+      q.processAllAvailable()
+      val ids = spark.table("bloomdd").as[(String, String)]
+        .collect().map(_._1).toSet
+      assert(ids === Set("a", "b", "e"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the time bound (T3 x J3)") {
     val clicks = newEvents()
     val buys = newEvents()
