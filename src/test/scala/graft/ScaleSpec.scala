@@ -190,4 +190,30 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("isnotnull(event_date"))
   }
+
+  test("clusteredWrite produces disjoint per-file ranges (file-skipping layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+    graft.sources.Layout.clusteredWrite(li, s"$dir/t", Seq("l_shipdate"), 8)
+
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    // each file covers a contiguous slice of the l_shipdate order; equal
+    // keys never split, so ranges sorted by min must be strictly disjoint
+    val ranges = files.map { f =>
+      spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("l_shipdate").cast("string")),
+          max(col("l_shipdate").cast("string")))
+        .as[(String, String)].head()
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (nextMin, _)) =>
+        assert(nextMin > prevMax, s"file ranges overlap: $prevMax vs $nextMin")
+      case _ =>
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(s"$dir/t").count() === li.count())
+  }
 }
