@@ -185,6 +185,24 @@ object Text extends QueryModule {
         .orderBy("fingerprint")
     },
 
+    // ---- canonical (bag-of-words) fingerprint dedup ----
+    // Normalize-before-fingerprint: the fingerprint is md5 of the SORTED
+    // token stream (multiset — multiplicity kept), so documents that
+    // differ only in token order collapse into one cluster. The general
+    // pattern: any canonicalization (case-fold, punctuation strip,
+    // unicode NFC) runs as a per-row projection in front of the same
+    // one-shuffle exactClusters; this bag form is the strongest
+    // order-insensitive member. Same plan shape as q29.
+    Q("q94_bag_fingerprint_dedup", Some("""
+      SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+          AS fingerprint,
+        COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1 ORDER BY fingerprint""")) { (s, d) =>
+      Dedup.exactClusters(Tables.documents(s, d), "doc_id",
+          md5(array_join(array_sort(tokens(col("text"))), " ")))
+        .orderBy("fingerprint")
+    },
+
     // ---- MinHash signatures (8 seeds over 3-shingles) ----
     Q("q30_minhash_sig", Some(s"""
       WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
