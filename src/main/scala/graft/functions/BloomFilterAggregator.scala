@@ -40,16 +40,43 @@ class BloomFilterAggregator(mBits: Int, numHashes: Int, seedBase: Int)
 
   override def zero: Array[Long] = new Array[Long](mBits / 64)
 
-  override def reduce(buf: Array[Long], fp: String): Array[Long] = {
-    if (fp == null) return buf
-    val u = UTF8String.fromString(fp)
+  /** The ONE insert/probe position derivation (hash60 is non-negative, so
+    * `%` == pmod — same value as the compiled-column probe in
+    * [[graft.operators.Dedup.bloomFlags]]). Every consumer — batch build,
+    * streaming probe+insert — goes through here; a second inline copy
+    * could silently drift and produce systematic false drops. */
+  def positions(fp: UTF8String): Array[Int] = {
+    val out = new Array[Int](numHashes)
     var j = 0
     while (j < numHashes) {
-      // hash60 is non-negative (top 60 bits of the digest), so % == pmod
-      val pos = (expressions.Md5Hash60.hash60(u, suffixes(j)) % mBits).toInt
-      buf(pos >> 6) |= 1L << (pos & 63)
+      out(j) = (expressions.Md5Hash60.hash60(fp, suffixes(j)) % mBits).toInt
       j += 1
     }
+    out
+  }
+
+  /** Probe `bm` at the given [[positions]] result. */
+  def allSet(bm: Array[Long], pos: Array[Int]): Boolean = {
+    var j = 0
+    while (j < pos.length) {
+      if ((bm(pos(j) >> 6) >>> (pos(j) & 63) & 1L) == 0L) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Set the bits of a [[positions]] result in `bm`. */
+  def setAll(bm: Array[Long], pos: Array[Int]): Unit = {
+    var j = 0
+    while (j < pos.length) {
+      bm(pos(j) >> 6) |= 1L << (pos(j) & 63)
+      j += 1
+    }
+  }
+
+  override def reduce(buf: Array[Long], fp: String): Array[Long] = {
+    if (fp == null) return buf
+    setAll(buf, positions(UTF8String.fromString(fp)))
     buf
   }
 

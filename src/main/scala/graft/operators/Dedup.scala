@@ -156,11 +156,24 @@ object Dedup {
     *
     * One metadata equi-join + a window `min_by` per cluster — clusters
     * are pair-list-sized (only docs with near-dups), far below corpus
-    * size, and the window needs no sort (unbounded frame). */
+    * size, and the window needs no sort (unbounded frame).
+    *
+    * Metadata must cover every clustered id exactly once: a missing row
+    * would silently erase that id's verdict (an inner join drops it —
+    * a downstream "delete where not kept" then loses the doc without
+    * trace) and a duplicate row would multiply output rows, so both fail
+    * loudly inside the plan instead. */
   def keepOneByPriority(clusters: DataFrame, meta: DataFrame, idCol: String,
       priority: Column): DataFrame = {
-    val joined = clusters.join(
-      meta.select(col(idCol).as("id"), priority.as("__prio")), Seq("id"))
+    val m = meta.select(col(idCol).as("id"), priority.as("__prio"))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("id")))
+    val joined = clusters.join(m, Seq("id"), "left")
+      .withColumn("__prio",
+        when(col("__cnt").isNull, raise_error(concat(
+          lit("keepOneByPriority: no metadata row for id "), col("id"))))
+        .when(col("__cnt") > 1, raise_error(concat(
+          lit("keepOneByPriority: duplicate metadata rows for id "), col("id"))))
+        .otherwise(col("__prio")))
     joined
       .withColumn("keeper", min_by(col("id"), struct(col("__prio"), col("id")))
         .over(Window.partitionBy("cluster")))

@@ -22,7 +22,10 @@ object Layout {
     * `numFiles` sizes output files: target ~128 MB–1 GB each at scale —
     * row-group stats only help when files are big enough to be worth
     * skipping. The range shuffle samples the cluster columns to pick
-    * balanced boundaries, so skew in them does not skew file sizes. */
+    * balanced boundaries — but only up to per-key mass: equal keys never
+    * split, so one value holding a large share of rows produces one
+    * correspondingly oversized file. For such hot keys add a finer
+    * trailing cluster column (or a hash-salt column) to subdivide. */
   def clusteredWrite(df: DataFrame, path: String, clusterCols: Seq[String],
       numFiles: Int): Unit = {
     require(clusterCols.nonEmpty, "clusteredWrite needs at least one cluster column")

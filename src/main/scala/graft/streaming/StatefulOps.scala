@@ -162,6 +162,8 @@ object StatefulOps {
     * distinct volume or downstream-reconcile periodically. Sharding by
     * fingerprint hash spreads both state and per-batch work across
     * executors. */
+  private val shardSuffix: Array[Byte] = ":shard".getBytes("UTF-8")
+
   def streamingBloomDedup(rows: Dataset[(String, String)], shards: Int = 32,
       mBits: Int = 1 << 17, numHashes: Int = 3, seedBase: Int = 101):
       Dataset[(String, String)] = {
@@ -169,28 +171,30 @@ object StatefulOps {
     val sp = rows.sparkSession
     import sp.implicits._
     val agg = new graft.functions.BloomFilterAggregator(mBits, numHashes, seedBase)
+    // NULL fingerprints bypass the filter entirely — emitted, never
+    // recorded — matching the batch policy (the aggregator sets nothing
+    // for NULL; bloomFlags probes it to (0, false))
     val shardOf = (fp: String) =>
-      (graft.functions.expressions.Md5Hash60.hash60(
+      if (fp == null) 0
+      else (graft.functions.expressions.Md5Hash60.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(fp),
-        ":shard".getBytes("UTF-8")) % shards).toInt
+        shardSuffix) % shards).toInt
     rows.groupByKey { case (_, fp) => shardOf(fp) }
       .flatMapGroupsWithState[Array[Long], (String, String)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
           val bm = state.getOption.getOrElse(agg.zero)
           val out = it.filter { case (_, fp) =>
-            val u = org.apache.spark.unsafe.types.UTF8String.fromString(fp)
-            var j = 0
-            var allSet = true
-            while (j < numHashes) {
-              val pos = (graft.functions.expressions.Md5Hash60.hash60(u,
-                s":${seedBase + j}".getBytes("UTF-8")) % mBits).toInt
-              if ((bm(pos >> 6) >>> (pos & 63) & 1L) == 0L) allSet = false
-              j += 1
+            if (fp == null) true
+            else {
+              // positions computed ONCE, shared by probe and insert — the
+              // same derivation the batch build uses (agg.positions)
+              val pos = agg.positions(
+                org.apache.spark.unsafe.types.UTF8String.fromString(fp))
+              val seen = agg.allSet(bm, pos)
+              if (!seen) agg.setAll(bm, pos)
+              !seen
             }
-            // unseen → record it and emit; seen (or colliding) → drop
-            if (!allSet) agg.reduce(bm, fp)
-            !allSet
           }.toVector
           state.update(bm)
           out.iterator

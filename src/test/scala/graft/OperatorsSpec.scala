@@ -314,6 +314,14 @@ class OperatorsSpec extends SparkTestBase {
     // cluster 10: all crawl → min id 10
     assert(out === Set((1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
       (10L, 10L, true), (11L, 10L, false)))
+
+    // a clustered id with no metadata row must fail loudly, not vanish
+    val missing = intercept[Exception] {
+      Dedup.keepOneByPriority(clusters, meta.filter(col("doc_id") =!= 1L),
+        "doc_id", when(col("src") === "curated", 0).otherwise(1)).collect()
+    }
+    assert(missing.getMessage.contains("no metadata row") ||
+      Option(missing.getCause).exists(_.getMessage.contains("no metadata row")))
   }
 
   test("bloomBitmap/bloomFlags: no false negatives, bounded false positives") {

@@ -202,9 +202,13 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       ms.addData(("d", "f2"), ("e", "f3"))              // d dups b cross-batch
       q.processAllAvailable()
+      // NULL fingerprints bypass the filter (batch-policy parity): both
+      // emitted, neither recorded
+      ms.addData(("n1", null), ("n2", null))
+      q.processAllAvailable()
       val ids = spark.table("bloomdd").as[(String, String)]
         .collect().map(_._1).toSet
-      assert(ids === Set("a", "b", "e"))
+      assert(ids === Set("a", "b", "e", "n1", "n2"))
     } finally q.stop()
   }
 
