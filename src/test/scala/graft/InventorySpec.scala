@@ -31,4 +31,17 @@ class InventorySpec extends SparkTestBase {
   test("entry returns rows (driver t1 smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no query plans a CartesianProduct (suite-wide anti-pattern net)") {
+    // every crossJoin in the engine broadcasts a tiny frame (centroids,
+    // 1-row counts/sketches) and must plan as BroadcastNestedLoopJoin —
+    // a CartesianProduct anywhere means a corpus×corpus blowup at scale.
+    // Planning only; nothing executes.
+    val d = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
 }
