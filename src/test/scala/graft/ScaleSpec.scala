@@ -191,6 +191,21 @@ class ScaleSpec extends SparkTestBase {
       plan.contains("isnotnull(event_date"))
   }
 
+  test("bloom probe is map-only: broadcast bitmap, no batch-side shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 250).select(md5(col("text")).as("fp"))
+    val batch = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val sketch = graft.operators.Dedup.bloomBitmap(corpus, col("fp"))
+    val plan = graft.operators.Dedup.bloomFlags(batch, sketch, col("fp"))
+      .queryExecution.executedPlan.toString
+    // the one-row bitmap joins by broadcast; the batch side must reach the
+    // probe projection with NO hash exchange — the whole point of the
+    // pre-filter is that the batch never shuffles
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
+
   test("clusteredWrite produces disjoint per-file ranges (file-skipping layout)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
