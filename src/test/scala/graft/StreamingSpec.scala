@@ -234,6 +234,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("interval join validates spliced arguments eagerly") {
+    val df = newEvents().toDF()
+    val badDur = intercept[IllegalArgumentException] {
+      StatefulOps.intervalJoin(df, df, "user_id", "30 minutes",
+        "0 minutes", "10minutes") // missing space
+    }
+    assert(badDur.getMessage.contains("interval bound"))
+    val badKey = intercept[IllegalArgumentException] {
+      StatefulOps.intervalJoin(df, df, "user_id; DROP", "30 minutes",
+        "0 minutes", "10 minutes")
+    }
+    assert(badKey.getMessage.contains("identifier"))
+    val noCol = intercept[IllegalArgumentException] {
+      StatefulOps.intervalJoin(df, df, "nope", "30 minutes",
+        "0 minutes", "10 minutes")
+    }
+    assert(noCol.getMessage.contains("lacks column"))
+  }
+
   test("interval join leftOuter emits unmatched lefts after the watermark") {
     val clicks = newEvents()
     val buys = newEvents()
