@@ -17,9 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * [[graft.functions.GraftFunctions.builders]] — ONE table shared with
   * the in-process registration path, so the two can never drift. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), b))
     }
+    // portable md5 composition → compiled Md5Hash60 (same Long, no hex
+    // detour); see graft.plans.CompileHashRewrite
+    ext.injectOptimizerRule(_ => graft.plans.CompileHashRewrite)
+  }
 }

@@ -70,6 +70,10 @@ object GraftFunctions {
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+    // post-session twin of GraftExtensions' injectOptimizerRule (idempotent)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.CompileHashRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CompileHashRewrite
   }
 
   /** Fixed-point (2^58) scaled dot product of two double-array columns

@@ -43,6 +43,15 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(agg === Seq(
         math.floor(1.0 * 1099511627776.0).toLong + math.floor(3.0 * 1099511627776.0).toLong,
         math.floor(2.0 * 1099511627776.0).toLong + math.floor(4.0 * 1099511627776.0).toLong))
+
+      // the injected optimizer rule rewrites the portable md5 composition
+      // (parquet source — a local relation would fold at optimize time)
+      val plan = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr(
+          "CAST(conv(substring(md5(concat(text, ':3')), 1, 15), 16, 10) AS BIGINT) AS h")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_hash64"), plan)
     } finally spark.stop()
   }
 }

@@ -275,6 +275,29 @@ class FunctionsSpec extends SparkTestBase {
       Option(nullArr.getCause).exists(_.getMessage.contains("NULL array")))
   }
 
+  test("optimizer rewrites the portable md5 composition to the compiled hash") {
+    graft.functions.GraftFunctions.register(spark)
+    // parquet source — a local relation would constant-fold the whole
+    // projection at optimize time and hide the rewrite from the plan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // the PORTABLE spelling (built-ins only — what a SQL user would write)
+    val portable = conv(substring(md5(concat(col("text"), lit(":7"))), 1, 15),
+      16, 10).cast("long")
+    val df = docs.select(portable.as("h")).orderBy("h")
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_hash64"),
+      df.queryExecution.optimizedPlan.toString)
+    // same Longs as the compiled expression called directly
+    val compiled = docs.select(graft.functions.GraftFunctions
+      .hash64c(col("text"), 7).as("h")).orderBy("h")
+    assert(df.as[Long].collect().toSeq === compiled.as[Long].collect().toSeq)
+    // a non-literal suffix must NOT rewrite (seed is not constant)
+    val dyn = docs.select(conv(substring(md5(concat(col("text"), col("lang"))),
+      1, 15), 16, 10).cast("long").as("h"))
+    assert(!dyn.queryExecution.optimizedPlan.toString.contains("graft_hash64"))
+    assert(dyn.limit(3).collect().length === 3)
+  }
+
   test("MinHashAggregator matches a two-pass elementwise-min computation") {
     val hashes = Seq(11L, 22L, 33L, 44L, 55L)
     val agg = new MinHashAggregator(8)
