@@ -165,11 +165,15 @@ object Dedup {
     * loudly inside the plan instead. */
   def keepOneByPriority(clusters: DataFrame, meta: DataFrame, idCol: String,
       priority: Column): DataFrame = {
-    val m = meta.select(col(idCol).as("id"), priority.as("__prio"))
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("id")))
+    // validation counts run over the JOINED (cluster-sized) frame, not
+    // over meta — windowing the full metadata table would shuffle the
+    // corpus and forbid broadcasting the small side
+    val m = meta.select(col(idCol).as("id"), priority.as("__prio"),
+      lit(true).as("__m"))
     val joined = clusters.join(m, Seq("id"), "left")
+      .withColumn("__cnt", count(col("__m")).over(Window.partitionBy("id")))
       .withColumn("__prio",
-        when(col("__cnt").isNull, raise_error(concat(
+        when(col("__cnt") === 0, raise_error(concat(
           lit("keepOneByPriority: no metadata row for id "), col("id"))))
         .when(col("__cnt") > 1, raise_error(concat(
           lit("keepOneByPriority: duplicate metadata rows for id "), col("id"))))

@@ -47,7 +47,12 @@ object CompileHashRewrite extends Rule[LogicalPlan] {
                   case Concat(Seq(v, Literal(s: UTF8String, StringType)))
                       if v.dataType == StringType =>
                     s.toString match {
-                      case SeedTail(d) => Some((v, d.toInt))
+                      // only CANONICAL int seeds: ':007' or an
+                      // Int-overflowing tail must not rewrite — Md5Hash60
+                      // would re-render the suffix as ':7' (different
+                      // hash) or the toInt would throw in the optimizer
+                      case SeedTail(d) =>
+                        d.toIntOption.filter(_.toString == d).map((v, _))
                       case _ => None
                     }
                   case _ => None

@@ -146,6 +146,8 @@ object StatefulOps {
       }
   }
 
+  private val shardSuffix: Array[Byte] = ":shard".getBytes("UTF-8")
+
   /** Approximate streaming dedup with BOUNDED state — the streaming twin
     * of the batch Bloom pre-filter ([[graft.operators.Dedup.bloomFlags]]).
     * Exact streaming dedup (`dropDuplicates` without a watermark) grows
@@ -162,8 +164,6 @@ object StatefulOps {
     * distinct volume or downstream-reconcile periodically. Sharding by
     * fingerprint hash spreads both state and per-batch work across
     * executors. */
-  private val shardSuffix: Array[Byte] = ":shard".getBytes("UTF-8")
-
   def streamingBloomDedup(rows: Dataset[(String, String)], shards: Int = 32,
       mBits: Int = 1 << 17, numHashes: Int = 3, seedBase: Int = 101):
       Dataset[(String, String)] = {

@@ -296,6 +296,14 @@ class FunctionsSpec extends SparkTestBase {
       1, 15), 16, 10).cast("long").as("h"))
     assert(!dyn.queryExecution.optimizedPlan.toString.contains("graft_hash64"))
     assert(dyn.limit(3).collect().length === 3)
+    // non-canonical (':007') and Int-overflowing seeds must not rewrite —
+    // Md5Hash60 would hash a re-rendered ':7' suffix (different values)
+    Seq(":007", ":-0", ":12345678901").foreach { sfx =>
+      val odd = docs.select(conv(substring(md5(concat(col("text"), lit(sfx))),
+        1, 15), 16, 10).cast("long").as("h"))
+      assert(!odd.queryExecution.optimizedPlan.toString.contains("graft_hash64"),
+        s"suffix '$sfx' must not rewrite")
+    }
   }
 
   test("MinHashAggregator matches a two-pass elementwise-min computation") {

@@ -316,12 +316,22 @@ class OperatorsSpec extends SparkTestBase {
       (10L, 10L, true), (11L, 10L, false)))
 
     // a clustered id with no metadata row must fail loudly, not vanish
+    def msgOf(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     val missing = intercept[Exception] {
       Dedup.keepOneByPriority(clusters, meta.filter(col("doc_id") =!= 1L),
         "doc_id", when(col("src") === "curated", 0).otherwise(1)).collect()
     }
-    assert(missing.getMessage.contains("no metadata row") ||
-      Option(missing.getCause).exists(_.getMessage.contains("no metadata row")))
+    assert(msgOf(missing).contains("no metadata row"))
+
+    // ...and a duplicated metadata row must fail loudly, not multiply rows
+    val dup = intercept[Exception] {
+      Dedup.keepOneByPriority(clusters,
+        meta.union(Seq((2L, "curated")).toDF("doc_id", "src")),
+        "doc_id", when(col("src") === "curated", 0).otherwise(1)).collect()
+    }
+    assert(msgOf(dup).contains("duplicate metadata rows"))
   }
 
   test("bloomBitmap/bloomFlags: no false negatives, bounded false positives") {
