@@ -356,6 +356,40 @@ object Text extends QueryModule {
         .orderBy("lang", "split")
     },
 
+    // ---- split-leakage audit: near-dup pairs crossing the hash split ----
+    // The check that must run AFTER splitting and BEFORE training: a
+    // train doc near-duplicating a test doc leaks the eval. Composes the
+    // q31 LSH pair list with the q74 split assignment (same md5 hash,
+    // seed 42) and counts pairs per (split_a, split_b) cell — nonzero
+    // off-diagonal cells are leaks, and the standard remedies (drop the
+    // train member, or split by cluster instead of doc) both start from
+    // exactly this pair list. Scale: pair-list-sized joins against a
+    // per-doc projection; nothing corpus².
+    Q("q95_split_leakage", Some(s"""
+      WITH $dkLshPairs,
+      spl AS (SELECT doc_id,
+        CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 42)} % 100 < 80 THEN 'train'
+             WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 42)} % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split FROM documents),
+      p AS (SELECT a, b FROM j WHERE jaccard >= 0.5)
+      SELECT sa.split AS split_a, sb.split AS split_b,
+        COUNT(*) AS n_pairs, (sa.split <> sb.split) AS leak
+      FROM p JOIN spl sa ON sa.doc_id = p.a JOIN spl sb ON sb.doc_id = p.b
+      GROUP BY 1, 2 ORDER BY split_a, split_b""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+      val sp = Tables.documents(s, d).select(col("doc_id"),
+        graft.operators.Sampling.assignSplit(col("doc_id"), seed = 42).as("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("a"), col("split").as("split_a")), Seq("a"))
+        .join(sp.select(col("doc_id").as("b"), col("split").as("split_b")), Seq("b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leak", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    },
+
     // ---- stratified cap-K sampling (corpus balancing) ----
     // Down-weight over-represented (source, lang) slices by keeping at
     // most 5 docs per stratum, chosen by smallest seeded id-hash — an
