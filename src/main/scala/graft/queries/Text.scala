@@ -390,6 +390,58 @@ object Text extends QueryModule {
         .orderBy("split_a", "split_b")
     },
 
+    // ---- cluster-aware split: the q95 leak remedy ----
+    // Assign splits by near-dup CLUSTER representative instead of doc id:
+    // coalesce(cluster, doc_id) keys the hash split, so every member of a
+    // duplicate cluster lands in the same split and LSH pairs can never
+    // cross train/test by construction. `n_moved` counts docs whose split
+    // changed vs the doc-keyed q74 assignment — the real, non-vacuous
+    // measure of how much leakage the remedy removed. Scale: the cluster
+    // frame is pair-list-sized; everything else is the q74 projection.
+    Q("q96_cluster_split", Some(s"""
+      WITH RECURSIVE $dkLshPairs,
+      p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+      edges AS (SELECT a AS src, b AS dst FROM p
+                UNION ALL SELECT b, a FROM p),
+      walk(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst),
+      lab AS (SELECT id, MIN(lab) AS cluster FROM walk GROUP BY id),
+      rep AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS rep
+        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+      spl AS (SELECT doc_id,
+        CASE WHEN ${dkHash("CAST(rep AS VARCHAR)", 42)} % 100 < 80 THEN 'train'
+             WHEN ${dkHash("CAST(rep AS VARCHAR)", 42)} % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 42)} % 100 < 80 THEN 'train'
+             WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 42)} % 100 < 90 THEN 'val'
+             ELSE 'test' END AS doc_split
+        FROM rep)
+      SELECT split, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN split <> doc_split THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved
+      FROM spl GROUP BY split ORDER BY split""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+      val clusters = Dedup.nearDupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("rep"))
+        .select(
+          graft.operators.Sampling.assignSplit(col("rep"), seed = 42).as("split"),
+          graft.operators.Sampling.assignSplit(col("doc_id"), seed = 42)
+            .as("doc_split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("split") =!= col("doc_split"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .orderBy("split")
+    },
+
     // ---- stratified cap-K sampling (corpus balancing) ----
     // Down-weight over-represented (source, lang) slices by keeping at
     // most 5 docs per stratum, chosen by smallest seeded id-hash — an
