@@ -388,6 +388,67 @@ object Vector extends QueryModule {
         .orderBy("qid")
     },
 
+    // ---- hybrid (text × embedding) curation capstone ----
+    // The multimodal sibling of q72: a document survives only if the
+    // TEXT gates pass (marker-token lang-ID 'en', heuristic quality
+    // ≥ 0.5) AND the EMBEDDING side keeps it (SemDeDup verdict over the
+    // aligned embeddings table, doc_id = vec_id). One id-equi-join
+    // stitches the modalities; both sub-pipelines keep their own scale
+    // shapes (per-row text projections; cluster-scoped cosine). This is
+    // the production curation chain: cheap text heuristics prune first,
+    // semantic dedup arbitrates what survives.
+    Q("q97_hybrid_curation", Some(s"""
+      WITH $dkNorm2,
+      c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
+        FROM embeddings, generate_series(1, 64) g(j) WHERE vec_id < 8),
+      ${dkKmIter("c0", "c1")},
+      fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c1 GROUP BY cid),
+      fd AS (SELECT e.vec_id, c.cid,
+        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
+        FROM embeddings e, c1 c GROUP BY e.vec_id, c.cid),
+      fassign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT fd.vec_id, fd.cid,
+          ROW_NUMBER() OVER (PARTITION BY fd.vec_id
+            ORDER BY (n.n2 + cn.cn2 - 2.0 * fd.dot), fd.cid) AS rn
+        FROM fd JOIN n2 n ON n.vec_id = fd.vec_id
+          JOIN fn2 cn ON cn.cid = fd.cid) WHERE rn = 1),
+      cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+        FROM fassign x JOIN fassign y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      dots AS (SELECT c.a, c.b,
+        ${dkDecSum("CAST(ea.embedding[g.j] AS DOUBLE) * CAST(eb.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+          JOIN embeddings eb ON eb.vec_id = c.b, generate_series(1, 64) g(j)
+        GROUP BY c.a, c.b),
+      drops AS (SELECT d.b FROM dots d
+        JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
+        WHERE d.dot/(sqrt(na.n2)*sqrt(nb.n2)) >= 0.3 GROUP BY d.b),
+      f AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
+        FROM documents
+        WHERE len(list_filter(string_split(text,' '),
+                t -> t IN ('the','a','of','and','is'))) > 0
+          AND least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)*0.5
+            + (1.0 - CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE)
+                / len(string_split(text,' ')))*0.3
+            + least(1.0, (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                / len(string_split(text,' ')))/8.0)*0.2 >= 0.5)
+      SELECT f.doc_id, CAST(f.n_tokens AS INT) AS n_tokens, fa.cell
+      FROM f JOIN fassign fa ON fa.vec_id = f.doc_id
+      WHERE f.doc_id NOT IN (SELECT b FROM drops)
+      ORDER BY f.doc_id""")) { (s, d) =>
+      import graft.functions.TextFunctions
+      val f = Tables.documents(s, d)
+        .filter(TextFunctions.langId(col("text")) === "en" &&
+          TextFunctions.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val sem = Similarity.semanticDedup(Tables.embeddings(s, d),
+          kCentroids = 8, iters = 1, threshold = 0.3)
+        .select(col("vec_id").as("doc_id"), col("cell"), col("kept"))
+      f.join(sem, Seq("doc_id")).filter(col("kept"))
+        .select(col("doc_id"), col("n_tokens"), col("cell"))
+        .orderBy("doc_id")
+    },
+
     // ---- per-label centroids (embedding aggregation) ----
     // The centroid vector is serialized at the SELECT boundary as
     // comma-joined fixed-point integers (floor(comp·2^20)): the driver's
