@@ -51,6 +51,54 @@ object Windows extends QueryModule {
       FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""")) { (s, d) =>
       EventWindows.sessions(Tables.events(s, d), "5 minutes")
         .orderBy("user_id", "s_start")
+    },
+
+    // ---- ordered event funnel (view → click → purchase) ----
+    // Classic event-stream analytics the windows above don't express:
+    // how many users progress through an ORDERED stage sequence, each
+    // stage strictly after the previous one's first occurrence. Three
+    // per-user min aggregations chained by user_id equi-joins — each
+    // stage's frame is user-count-sized with map-side partial mins, and
+    // the strictly-after comparisons run on µs timestamps in BOTH
+    // engines (the oracle CASTs DuckDB's ns parquet reads down, so tie
+    // semantics can never diverge).
+    Q("q98_event_funnel", Some("""
+      WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events),
+      a AS (SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM ev GROUP BY user_id),
+      b AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM ev e JOIN a ON a.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > a.t_view
+        GROUP BY e.user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM ev e JOIN b ON b.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > b.t_click
+        GROUP BY e.user_id)
+      SELECT stage, n_users FROM (
+        SELECT 'f1_view' AS stage, COUNT(*) AS n_users FROM a
+          WHERE t_view IS NOT NULL
+        UNION ALL SELECT 'f2_click_after_view', COUNT(*) FROM b
+        UNION ALL SELECT 'f3_purchase_after_click', COUNT(*) FROM c)
+      ORDER BY stage""")) { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val a = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val b = ev.filter(col("event_type") === "click").join(a, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      a.filter(col("t_view").isNotNull)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit("f1_view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("f3_purchase_after_click").as("stage"), col("n_users")))
+        .unionByName(b.agg(count(lit(1)).as("n_users"))
+          .select(lit("f2_click_after_view").as("stage"), col("n_users")))
+        .orderBy("stage")
     }
   )
 }
