@@ -99,6 +99,57 @@ object Windows extends QueryModule {
         .unionByName(b.agg(count(lit(1)).as("n_users"))
           .select(lit("f2_click_after_view").as("stage"), col("n_users")))
         .orderBy("stage")
+    },
+
+    // ---- cohort retention (first-seen date × activity offset) ----
+    // The other staple of event analytics: group users by first-seen
+    // DATE, count distinct active users at each day offset. Two grouped
+    // aggregations joined on user_id — the cohort frame is user-count-
+    // sized; the distinct count shuffles (cohort, offset, user) triples
+    // with map-side partial distinct.
+    Q("q99_cohort_retention", Some("""
+      WITH ev AS (SELECT user_id,
+          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      f AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id)
+      SELECT f.cohort,
+        CAST(datediff('day', f.cohort, ev.d) AS INT) AS day_offset,
+        COUNT(DISTINCT ev.user_id) AS n_active
+      FROM ev JOIN f ON f.user_id = ev.user_id
+      GROUP BY 1, 2 ORDER BY cohort, day_offset""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val f = ev.groupBy("user_id").agg(min("d").as("cohort"))
+      ev.join(f, "user_id")
+        .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort", "day_offset")
+    },
+
+    // ---- user journey paths (first-5-event prefix frequencies) ----
+    // Path analysis: each user's ordered event-type prefix as a '>'
+    // string, counted across users. The (ts, event_id) tie-break pins
+    // the order in both engines; the in-row sort/transform touches ≤5
+    // elements per user — immaterial, unlike per-shingle HOF work.
+    Q("q100_user_paths", Some("""
+      WITH o AS (SELECT user_id, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events),
+      p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM o WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+      ORDER BY n_users DESC, path""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), asc("path"))
     }
   )
 }
