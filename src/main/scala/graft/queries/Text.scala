@@ -49,6 +49,26 @@ object Text extends QueryModule {
 
   private lazy val dkLshPairs = dkLshPairsFrom("documents")
 
+  /** DuckDB: connected-component labels over the LSH pair list —
+    * p(a, b) → lab(id, cluster = min id). Requires the dkLshPairs chain
+    * (relation `j`) in scope and a RECURSIVE WITH; the ONE chain shared
+    * by q71, q93 and q96 so a parity fix reaches every consumer. */
+  private val dkClusters = """p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+      edges AS (SELECT a AS src, b AS dst FROM p
+                UNION ALL SELECT b, a FROM p),
+      walk(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst),
+      lab AS (SELECT id, MIN(lab) AS cluster FROM walk GROUP BY id)"""
+
+  /** DuckDB mirror of Sampling.assignSplit(id, seed = 42) — shared by
+    * q95 and q96. */
+  private def dkSplit(idExpr: String): String =
+    s"""CASE WHEN ${dkHash(s"CAST($idExpr AS VARCHAR)", 42)} % 100 < 80 THEN 'train'
+             WHEN ${dkHash(s"CAST($idExpr AS VARCHAR)", 42)} % 100 < 90 THEN 'val'
+             ELSE 'test' END"""
+
   /** The sharded packing plan (q78) — also driven directly by the plan-
     * shape spec, which asserts no single-partition exchange survives. */
   def sqlPackingSharded(s: org.apache.spark.sql.SparkSession, d: String,
@@ -231,15 +251,9 @@ object Text extends QueryModule {
     // to the Spark side's min-label propagation fixpoint.
     Q("q71_near_dup_clusters", Some(s"""
       WITH RECURSIVE $dkLshPairs,
-      p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
-      edges AS (SELECT a AS src, b AS dst FROM p
-                UNION ALL SELECT b, a FROM p),
-      walk(id, lab) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst)
-      SELECT id AS doc_id, MIN(lab) AS cluster, (MIN(lab) = id) AS keep
-      FROM walk GROUP BY id ORDER BY doc_id""")) { (s, d) =>
+      $dkClusters
+      SELECT id AS doc_id, cluster, (cluster = id) AS keep
+      FROM lab ORDER BY doc_id""")) { (s, d) =>
       val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
       Dedup.nearDupClusters(pairs)
@@ -256,14 +270,7 @@ object Text extends QueryModule {
     // score, length, recency) slots in unchanged.
     Q("q93_priority_keep_one", Some(s"""
       WITH RECURSIVE $dkLshPairs,
-      p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
-      edges AS (SELECT a AS src, b AS dst FROM p
-                UNION ALL SELECT b, a FROM p),
-      walk(id, lab) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst),
-      lab AS (SELECT id, MIN(lab) AS cluster FROM walk GROUP BY id),
+      $dkClusters,
       m AS (SELECT l.id, l.cluster,
           CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
             THEN 0 ELSE 1 END AS prio
@@ -367,16 +374,12 @@ object Text extends QueryModule {
     // per-doc projection; nothing corpus².
     Q("q95_split_leakage", Some(s"""
       WITH $dkLshPairs,
-      spl AS (SELECT doc_id,
-        CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 42)} % 100 < 80 THEN 'train'
-             WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 42)} % 100 < 90 THEN 'val'
-             ELSE 'test' END AS split FROM documents),
+      spl AS (SELECT doc_id, ${dkSplit("doc_id")} AS split FROM documents),
       p AS (SELECT a, b FROM j WHERE jaccard >= 0.5)
       SELECT sa.split AS split_a, sb.split AS split_b,
         COUNT(*) AS n_pairs, (sa.split <> sb.split) AS leak
       FROM p JOIN spl sa ON sa.doc_id = p.a JOIN spl sb ON sb.doc_id = p.b
       GROUP BY 1, 2 ORDER BY split_a, split_b""")) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
       val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
       val sp = Tables.documents(s, d).select(col("doc_id"),
@@ -400,29 +403,16 @@ object Text extends QueryModule {
     // frame is pair-list-sized; everything else is the q74 projection.
     Q("q96_cluster_split", Some(s"""
       WITH RECURSIVE $dkLshPairs,
-      p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
-      edges AS (SELECT a AS src, b AS dst FROM p
-                UNION ALL SELECT b, a FROM p),
-      walk(id, lab) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst),
-      lab AS (SELECT id, MIN(lab) AS cluster FROM walk GROUP BY id),
+      $dkClusters,
       rep AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS rep
         FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
-      spl AS (SELECT doc_id,
-        CASE WHEN ${dkHash("CAST(rep AS VARCHAR)", 42)} % 100 < 80 THEN 'train'
-             WHEN ${dkHash("CAST(rep AS VARCHAR)", 42)} % 100 < 90 THEN 'val'
-             ELSE 'test' END AS split,
-        CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 42)} % 100 < 80 THEN 'train'
-             WHEN ${dkHash("CAST(doc_id AS VARCHAR)", 42)} % 100 < 90 THEN 'val'
-             ELSE 'test' END AS doc_split
+      spl AS (SELECT doc_id, ${dkSplit("rep")} AS split,
+        ${dkSplit("doc_id")} AS doc_split
         FROM rep)
       SELECT split, COUNT(*) AS n_docs,
         CAST(SUM(CASE WHEN split <> doc_split THEN 1 ELSE 0 END) AS BIGINT)
           AS n_moved
       FROM spl GROUP BY split ORDER BY split""")) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)

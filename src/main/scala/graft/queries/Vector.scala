@@ -26,6 +26,36 @@ object Vector extends QueryModule {
         ${dkDecSum("CAST(embedding[g.j] AS DOUBLE) * CAST(embedding[g.j] AS DOUBLE)")} AS n2
       FROM embeddings, generate_series(1, 64) g(j) GROUP BY vec_id)"""
 
+  /** The ONE SemDeDup CTE chain (1 Lloyd iteration quantizer → cell
+    * assignment → within-cell cosine → drops(b, dup_of)) shared by q82
+    * and q97 — a parity fix applied here reaches every consumer.
+    * Requires dkNorm2 in scope; threshold 0.3, k = 8 sampled seeds. */
+  private lazy val dkSemDedup = s"""
+      c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
+        FROM embeddings, generate_series(1, 64) g(j) WHERE vec_id < 8),
+      ${dkKmIter("c0", "c1")},
+      fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c1 GROUP BY cid),
+      fd AS (SELECT e.vec_id, c.cid,
+        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
+        FROM embeddings e, c1 c GROUP BY e.vec_id, c.cid),
+      fassign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT fd.vec_id, fd.cid,
+          ROW_NUMBER() OVER (PARTITION BY fd.vec_id
+            ORDER BY (n.n2 + cn.cn2 - 2.0 * fd.dot), fd.cid) AS rn
+        FROM fd JOIN n2 n ON n.vec_id = fd.vec_id
+          JOIN fn2 cn ON cn.cid = fd.cid) WHERE rn = 1),
+      cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+        FROM fassign x JOIN fassign y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      dots AS (SELECT c.a, c.b,
+        ${dkDecSum("CAST(ea.embedding[g.j] AS DOUBLE) * CAST(eb.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+          JOIN embeddings eb ON eb.vec_id = c.b, generate_series(1, 64) g(j)
+        GROUP BY c.a, c.b),
+      drops AS (SELECT d.b, MIN(d.a) AS dup_of
+        FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
+        WHERE d.dot/(sqrt(na.n2)*sqrt(nb.n2)) >= 0.3 GROUP BY d.b)"""
+
   /** One unrolled Lloyd iteration over long-format centroids `prev`
     * (cid, j, comp) → `next`: fixed-point assignment + per-cell
     * fixed-point means (2^40 scale, same two IEEE divisions as
@@ -272,30 +302,7 @@ object Vector extends QueryModule {
     // cosines and verdicts are bit-identical.
     Q("q82_semantic_dedup", Some(s"""
       WITH $dkNorm2,
-      c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
-        FROM embeddings, generate_series(1, 64) g(j) WHERE vec_id < 8),
-      ${dkKmIter("c0", "c1")},
-      fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c1 GROUP BY cid),
-      fd AS (SELECT e.vec_id, c.cid,
-        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
-        FROM embeddings e, c1 c GROUP BY e.vec_id, c.cid),
-      fassign AS (SELECT vec_id, cid AS cell FROM (
-        SELECT fd.vec_id, fd.cid,
-          ROW_NUMBER() OVER (PARTITION BY fd.vec_id
-            ORDER BY (n.n2 + cn.cn2 - 2.0 * fd.dot), fd.cid) AS rn
-        FROM fd JOIN n2 n ON n.vec_id = fd.vec_id
-          JOIN fn2 cn ON cn.cid = fd.cid) WHERE rn = 1),
-      cand AS (SELECT x.vec_id AS a, y.vec_id AS b
-        FROM fassign x JOIN fassign y
-          ON x.cell = y.cell AND x.vec_id < y.vec_id),
-      dots AS (SELECT c.a, c.b,
-        ${dkDecSum("CAST(ea.embedding[g.j] AS DOUBLE) * CAST(eb.embedding[g.j] AS DOUBLE)")} AS dot
-        FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
-          JOIN embeddings eb ON eb.vec_id = c.b, generate_series(1, 64) g(j)
-        GROUP BY c.a, c.b),
-      drops AS (SELECT d.b, MIN(d.a) AS dup_of
-        FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
-        WHERE d.dot/(sqrt(na.n2)*sqrt(nb.n2)) >= 0.3 GROUP BY d.b)
+      $dkSemDedup
       SELECT f.vec_id, f.cell, dr.dup_of, dr.dup_of IS NULL AS kept
       FROM fassign f LEFT JOIN drops dr ON dr.b = f.vec_id
       ORDER BY f.vec_id""")) { (s, d) =>
@@ -399,30 +406,7 @@ object Vector extends QueryModule {
     // semantic dedup arbitrates what survives.
     Q("q97_hybrid_curation", Some(s"""
       WITH $dkNorm2,
-      c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
-        FROM embeddings, generate_series(1, 64) g(j) WHERE vec_id < 8),
-      ${dkKmIter("c0", "c1")},
-      fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c1 GROUP BY cid),
-      fd AS (SELECT e.vec_id, c.cid,
-        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
-        FROM embeddings e, c1 c GROUP BY e.vec_id, c.cid),
-      fassign AS (SELECT vec_id, cid AS cell FROM (
-        SELECT fd.vec_id, fd.cid,
-          ROW_NUMBER() OVER (PARTITION BY fd.vec_id
-            ORDER BY (n.n2 + cn.cn2 - 2.0 * fd.dot), fd.cid) AS rn
-        FROM fd JOIN n2 n ON n.vec_id = fd.vec_id
-          JOIN fn2 cn ON cn.cid = fd.cid) WHERE rn = 1),
-      cand AS (SELECT x.vec_id AS a, y.vec_id AS b
-        FROM fassign x JOIN fassign y
-          ON x.cell = y.cell AND x.vec_id < y.vec_id),
-      dots AS (SELECT c.a, c.b,
-        ${dkDecSum("CAST(ea.embedding[g.j] AS DOUBLE) * CAST(eb.embedding[g.j] AS DOUBLE)")} AS dot
-        FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
-          JOIN embeddings eb ON eb.vec_id = c.b, generate_series(1, 64) g(j)
-        GROUP BY c.a, c.b),
-      drops AS (SELECT d.b FROM dots d
-        JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
-        WHERE d.dot/(sqrt(na.n2)*sqrt(nb.n2)) >= 0.3 GROUP BY d.b),
+      $dkSemDedup,
       f AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
         FROM documents
         WHERE len(list_filter(string_split(text,' '),
@@ -444,7 +428,14 @@ object Vector extends QueryModule {
       val sem = Similarity.semanticDedup(Tables.embeddings(s, d),
           kCentroids = 8, iters = 1, threshold = 0.3)
         .select(col("vec_id").as("doc_id"), col("cell"), col("kept"))
-      f.join(sem, Seq("doc_id")).filter(col("kept"))
+      // left join + in-plan failure: a text-passing doc with NO embedding
+      // row means the modalities drifted out of alignment — fail loudly
+      // instead of silently shrinking the curated corpus (q93 precedent)
+      f.join(sem, Seq("doc_id"), "left")
+        .withColumn("kept", when(col("cell").isNull, raise_error(concat(
+            lit("q97: no embedding row for doc_id "), col("doc_id"))))
+          .otherwise(col("kept")))
+        .filter(col("kept"))
         .select(col("doc_id"), col("n_tokens"), col("cell"))
         .orderBy("doc_id")
     },
