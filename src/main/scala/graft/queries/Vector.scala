@@ -428,14 +428,15 @@ object Vector extends QueryModule {
       val sem = Similarity.semanticDedup(Tables.embeddings(s, d),
           kCentroids = 8, iters = 1, threshold = 0.3)
         .select(col("vec_id").as("doc_id"), col("cell"), col("kept"))
-      // left join + in-plan failure: a text-passing doc with NO embedding
-      // row means the modalities drifted out of alignment — fail loudly
-      // instead of silently shrinking the curated corpus (q93 precedent)
-      f.join(sem, Seq("doc_id"), "left")
-        .withColumn("kept", when(col("cell").isNull, raise_error(concat(
-            lit("q97: no embedding row for doc_id "), col("doc_id"))))
-          .otherwise(col("kept")))
-        .filter(col("kept"))
+      // INNER join is the contract, not an accident: the embeddings table
+      // covers a subset of documents by design (at sf0.1 only ids < 2000
+      // carry vectors), and this query curates exactly the embedded
+      // slice — both modalities must vouch for a doc. A raise-on-missing
+      // here (tried; reverted) mistakes that subset contract for drift
+      // and fails on legitimate corpora; an alignment AUDIT is a separate
+      // one-line anti-join the caller runs when full coverage is the
+      // expectation.
+      f.join(sem, Seq("doc_id")).filter(col("kept"))
         .select(col("doc_id"), col("n_tokens"), col("cell"))
         .orderBy("doc_id")
     },
