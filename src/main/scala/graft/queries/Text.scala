@@ -323,21 +323,8 @@ object Text extends QueryModule {
         CAST(len(string_split(k.text,' ')) AS INT) AS n_tokens
       FROM kept k WHERE k.doc_id NOT IN (SELECT b FROM p)
       ORDER BY k.doc_id""")) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val f = docs.filter(langId(col("text")) === "en" &&
-        qualityScore(col("text")) >= 0.5)
-      val r = f.select(col("doc_id"),
-        graft.functions.TextFunctions.redact(col("text")).as("text"))
-      // keep min doc_id per content hash in ONE pass (firstWins window):
-      // a groupBy + semi-join back onto r would create a plan diamond
-      // re-running the filter→redact subtree on both branches
-      val kept = graft.operators.Dedup.firstWins(
-          r.withColumn("__fp", md5(col("text"))), Seq("__fp"), Seq(col("doc_id")))
-        .drop("__fp")
-      val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
-        numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
-      kept.join(pairs.select(col("b").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
+      // the whole chain is the public operator — this query gates it
+      graft.operators.Curation.curate(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
     },
