@@ -301,6 +301,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(run(tiny).length === 3)
   }
 
+  test("Curation.curate gates language, quality, dedup and near-dups in one call") {
+    val good = "the quick analysis of the data is " +
+      ("thorough and careful review of results " * 12).trim
+    val df = Seq(
+      (1L, good),                         // passes all gates
+      (2L, good),                         // exact duplicate of 1 → dropped
+      (3L, good + " extended"),           // near-duplicate of 1 → dropped
+      (4L, "xyz abc qrs tuv")             // no marker tokens → lang gate drops
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Curation.curate(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+    // redaction applied to survivors
+    val masked = graft.operators.Curation.curate(
+        Seq((1L, good + " contact 1234567")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("text").as[String].head()
+    assert(masked.contains("[ID]") && !masked.contains("1234567"))
+  }
+
   test("keepOneByPriority keeps the best-priority member, id breaks ties") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("id", "cluster")
