@@ -63,6 +63,56 @@ object Sampling {
     * [[hashBucket]] pre-filter would NOT work: pmod is not monotone in
     * the hash, so bucket membership keeps a random slice, not the
     * smallest-hash rows. */
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every row by how
+    * much more likely its hashed-n-gram feature bag is under the TARGET
+    * slice's feature distribution than under the full corpus's. Rows
+    * whose vocabulary looks like the target get weight > 1 — resampling
+    * by this weight shifts the corpus mix toward the target domain
+    * without training a model.
+    *
+    * `featureCol` is an array<string> feature bag WITH multiplicity
+    * (e.g. word bigrams); each feature is hashed into one of `buckets`
+    * buckets with the seeded md5 hash, and per-bucket occurrence counts
+    * are estimated over the target slice and the whole corpus. The row's
+    * weight is the count-normalized ratio
+    *   (Σ_f tgt_cnt(f) / tot_tgt) / (Σ_f raw_cnt(f) / tot_raw)
+    * computed all-integer until ONE final double division — deterministic
+    * under any partitioning and exactly oracle-mirrorable.
+    *
+    * Scale: the two count tables are bucket-bounded (≤ `buckets` rows) so
+    * they BROADCAST; the corpus is scanned once, the only wide exchange
+    * is the (id, bucket) re-aggregation back to rows. tot_* ride along as
+    * a broadcast crossJoin of one row. Returns
+    * (idCol, n_feats, sum_tgt_cnt, sum_raw_cnt, importance). */
+  def importanceWeights(df: DataFrame, idCol: String, featureCol: Column,
+      targetPred: Column, seed: Int, buckets: Int = 8192): DataFrame = {
+    require(buckets >= 1)
+    val base = df.select(col(idCol), featureCol.as("__f"), targetPred.as("__t"))
+    val feats = base.select(col(idCol), col("__t"),
+        explode(col("__f")).as("__feat"))
+      .select(col(idCol), col("__t"),
+        pmod(seededHash(col("__feat"), seed), lit(buckets.toLong)).as("h"))
+    val rawCnt = feats.groupBy("h").agg(count(lit(1)).as("raw_cnt"))
+    val tgtCnt = feats.filter(col("__t")).groupBy("h")
+      .agg(count(lit(1)).as("tgt_cnt"))
+    val tot = feats.agg(count(lit(1)).as("tot_raw"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("tot_tgt"))
+    feats
+      .join(broadcast(rawCnt), "h")
+      .join(broadcast(tgtCnt), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("tgt_cnt"), lit(0L))).as("sum_tgt_cnt"),
+        sum(col("raw_cnt")).as("sum_raw_cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("n_feats"), col("sum_tgt_cnt"),
+        col("sum_raw_cnt"),
+        ((col("sum_tgt_cnt") * col("tot_raw")).cast("double")
+          / (col("sum_raw_cnt") * col("tot_tgt")).cast("double"))
+          .as("importance"))
+  }
+
   def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
       cap: Int, seed: Int): DataFrame = {
     require(cap >= 1 && strata.nonEmpty)

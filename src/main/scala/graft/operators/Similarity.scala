@@ -42,6 +42,71 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("vid"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query row,
+    * the top-k highest-cosine corpus vectors with a DIFFERENT label —
+    * near-misses in embedding space that cross a class boundary, the
+    * pairs a contrastive loss learns most from. Input needs
+    * (vec_id, embedding, label).
+    *
+    * Scale: identical shape to [[bruteForceTopK]] — the query set
+    * broadcasts, the corpus is scanned once map-side (the label
+    * inequality is evaluated inside the broadcast join, so disallowed
+    * same-label candidates never reach the top-k window), and the only
+    * exchange is the per-query top-k. When the query set outgrows a
+    * broadcast, cell-scope it through the IVF quantizer exactly like
+    * [[ivfTopK]]. Returns (qid, q_label, vid, neg_label, cosine, rank). */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = withNorm2(emb)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") =!= col("q_label"))
+      .withColumn("cosine",
+        cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("q_label"), col("vec_id").as("vid"),
+        col("label").as("neg_label"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-space outlier detection: each vector's exact squared-L2
+    * distance to its own label's centroid, ranked within the label —
+    * the top `topN` farthest members are the mislabeled/garbage
+    * candidates a curation pass reviews or drops. Input needs
+    * (vec_id, embedding, label).
+    *
+    * The centroid is the same fixed-point mean as [[kmeansCentroids]]
+    * (Σfloor(x·2^40)/2^40)/n — bit-identical in any IEEE engine), the
+    * distance the same n2 + c_n2 − 2·dot composition as [[ivfTopK]]'s
+    * assignment, so verdicts are deterministic and oracle-mirrorable.
+    *
+    * Scale: one partial-agg pass builds label-count-many centroids (array
+    * buffer, no dimension explode), the tiny centroid frame broadcasts
+    * back, distances are map-side, and the rank window partitions by
+    * label — no corpus self-join anywhere. Labels with huge membership
+    * parallelize the distance scan and only sort within the label.
+    * Returns (label, vec_id, dist2, rank) for the topN per label. */
+  def labelCentroidOutliers(emb: DataFrame, topN: Int): DataFrame = {
+    require(topN >= 1)
+    val e = withNorm2(emb)
+    val cents = e.groupBy(col("label"))
+      .agg(graft.functions.GraftFunctions.fpVecSum(
+          col("embedding").cast("array<double>")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), transform(col("s"),
+        v => (v.cast("double") / lit(1099511627776.0)) / col("n")).as("c_emb"))
+      .withColumn("c_n2", norm2Exact(col("c_emb")))
+    val w = Window.partitionBy(col("label")).orderBy(desc("dist2"), asc("vec_id"))
+    e.join(broadcast(cents), Seq("label"))
+      .withColumn("dist2",
+        col("n2") + col("c_n2") - lit(2.0) * dotExact(col("embedding"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("label"), col("vec_id"), col("dist2"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from shared
     * random-hyperplane buckets (the scale path — no n² comparison), exact
     * fixed-point cosine verification. Returns (a, b, cosine), a < b. */

@@ -910,6 +910,160 @@ object Text extends QueryModule {
       Tables.documents(s, d)
         .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // ---- DSIR-style importance weights (target-domain resampling) ----
+    // Score every doc by how target-like its hashed-bigram bag is
+    // (Sampling.importanceWeights; target = lang 'en'). The two
+    // per-bucket count tables are bucket-bounded (8192) → broadcast;
+    // all-integer sums until one final double division, so weights are
+    // partitioning-independent and bit-identical to the oracle.
+    Q("q102_dsir_weights", Some(s"""
+      WITH sp AS (SELECT doc_id, lang, string_split(text,' ') tk FROM documents),
+      f AS (SELECT t.doc_id, t.lang, ${dkHash("s.s", 7)} % 8192 AS h
+        FROM (SELECT doc_id, lang, list_transform(generate_series(1, len(tk)-1),
+            i -> array_to_string(tk[i:i+1],' ')) AS sh FROM sp) t,
+          unnest(t.sh) s(s)),
+      raw AS (SELECT h, COUNT(*) AS raw_cnt FROM f GROUP BY h),
+      tgt AS (SELECT h, COUNT(*) AS tgt_cnt FROM f WHERE lang = 'en' GROUP BY h),
+      tot AS (SELECT COUNT(*) AS tot_raw,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tot_tgt
+        FROM f)
+      SELECT f.doc_id, COUNT(*) AS n_feats,
+        CAST(SUM(COALESCE(tgt.tgt_cnt, 0)) AS BIGINT) AS sum_tgt_cnt,
+        CAST(SUM(raw.raw_cnt) AS BIGINT) AS sum_raw_cnt,
+        CAST(CAST(SUM(COALESCE(tgt.tgt_cnt, 0)) AS BIGINT)
+             * (SELECT tot_raw FROM tot) AS DOUBLE)
+          / CAST(CAST(SUM(raw.raw_cnt) AS BIGINT)
+             * (SELECT tot_tgt FROM tot) AS DOUBLE) AS importance
+      FROM f JOIN raw ON raw.h = f.h LEFT JOIN tgt ON tgt.h = f.h
+      GROUP BY f.doc_id ORDER BY f.doc_id""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      graft.operators.Sampling.importanceWeights(
+          Tables.documents(s, d), "doc_id",
+          graft.functions.GraftFunctions.wordShinglesAll(col("text"), 2),
+          col("lang") === "en", seed = 7, buckets = 8192)
+        .orderBy("doc_id")
+    },
+
+    // ---- temperature-weighted domain mixing rates (α = 0.5) ----
+    // The mixing step after the composition report (q81): per-source
+    // resampling weights n_tokens^0.5 — sqrt flattens the source
+    // distribution so head domains stop dominating (the standard
+    // multilingual/multi-domain temperature trick; α=0.5 because IEEE
+    // sqrt is correctly rounded, so both engines agree bit-for-bit
+    // where a pow() would drift). Weights are floor-scaled to 2^20
+    // fixed point BEFORE the cross-source total, so the normalizing
+    // sum is an order-independent integer — no float reduction order
+    // to disagree on. The window runs over the source-count-sized
+    // aggregate (like q81's doc_share), never the corpus.
+    Q("q104_domain_mix", Some("""
+      WITH s AS (SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs, n_tokens,
+          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS wi
+        FROM s)
+      SELECT source, n_docs, n_tokens,
+        CAST(wi AS DOUBLE) / 1048576.0 AS weight,
+        CAST(wi AS DOUBLE) / CAST(CAST(SUM(wi) OVER () AS BIGINT) AS DOUBLE)
+          AS mix_frac,
+        (CAST(wi AS DOUBLE) / CAST(CAST(SUM(wi) OVER () AS BIGINT) AS DOUBLE))
+          * CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE)
+          / CAST(n_docs AS DOUBLE) AS upsample_factor
+      FROM w ORDER BY source""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val st = tokenStatsOf(col("text"))
+      val base = Tables.documents(s, d)
+        .select(col("source"), st.getField("n_tokens").cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .withColumn("wi",
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1048576.0)).cast("long"))
+      val all = Window.partitionBy()
+      val totW = sum(col("wi")).over(all).cast("double")
+      val totD = sum(col("n_docs")).over(all).cast("double")
+      base.select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("wi").cast("double") / lit(1048576.0)).as("weight"),
+          (col("wi").cast("double") / totW).as("mix_frac"),
+          ((col("wi").cast("double") / totW) * totD
+            / col("n_docs").cast("double")).as("upsample_factor"))
+        .orderBy("source")
+    },
+
+    // ---- sequence-length histogram + truncation-loss profile ----
+    // The packing-planning statistic: token-count histogram in width-10
+    // buckets, cumulative doc coverage, and the token mass a max_len=64
+    // truncation would discard per bucket — how a context-length choice
+    // trades docs kept vs tokens lost (pairs with q76 chunking / q78
+    // packing, which act on the lengths this query profiles). Integer
+    // counts end-to-end; the cumulative window runs over the ~10-row
+    // bucket aggregate, not the corpus.
+    Q("q105_length_histogram", Some("""
+      WITH t AS (SELECT len(string_split(text,' ')) AS nt FROM documents),
+      b AS (SELECT CAST(nt // 10 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+          CAST(SUM(nt) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN nt > 64 THEN nt - 64 ELSE 0 END) AS BIGINT)
+            AS tokens_truncated
+        FROM t GROUP BY 1)
+      SELECT bucket, n_docs, n_tokens, tokens_truncated,
+        CAST(SUM(n_docs) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        CAST(CAST(SUM(n_docs) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+          / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE) AS cum_doc_frac,
+        CAST(tokens_truncated AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS trunc_frac
+      FROM b ORDER BY bucket""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val st = tokenStatsOf(col("text"))
+      // floor(nt/10) is exact for integer nt: the correctly-rounded
+      // double quotient is ≥0.1 away from the next integer unless nt is
+      // a multiple of 10, where it is exact.
+      val b = Tables.documents(s, d)
+        .select(st.getField("n_tokens").cast("long").as("nt"))
+        .groupBy(floor(col("nt") / lit(10)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum(when(col("nt") > 64, col("nt") - 64).otherwise(0L))
+            .as("tokens_truncated"))
+      val cum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      b.select(col("bucket"), col("n_docs"), col("n_tokens"),
+          col("tokens_truncated"),
+          sum(col("n_docs")).over(cum).as("cum_docs"),
+          (sum(col("n_docs")).over(cum).cast("double")
+            / sum(col("n_docs")).over(all).cast("double")).as("cum_doc_frac"),
+          (col("tokens_truncated").cast("double")
+            / col("n_tokens").cast("double")).as("trunc_frac"))
+        .orderBy("bucket")
+    },
+
+    // ---- language-label audit (declared vs predicted confusion) ----
+    // Cross-check the corpus's declared `lang` metadata against the
+    // engine's n-gram language-ID (q26's compiled predictor): the
+    // (declared, predicted) confusion counts with per-declared-lang
+    // shares. `mismatch` marks cells where the en/not-en verdicts
+    // disagree — mislabeled slices that would poison a lang-filtered
+    // training mix. One scan + a lang-cardinality-sized aggregate.
+    Q("q106_lang_audit", Some("""
+      WITH p AS (SELECT lang, CASE WHEN len(list_filter(string_split(text,' '),
+          t -> t IN ('the','a','of','and','is'))) > 0
+        THEN 'en' ELSE 'und' END AS pred
+        FROM documents)
+      SELECT lang, pred, COUNT(*) AS n,
+        CAST(COUNT(*) AS DOUBLE)
+          / CAST(CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE)
+          AS frac_of_lang,
+        (lang = 'en') <> (pred = 'en') AS mismatch
+      FROM p GROUP BY lang, pred ORDER BY lang, pred""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .withColumn("pred", langId(col("text")))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .withColumn("frac_of_lang", col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy("lang")).cast("double"))
+        .withColumn("mismatch", (col("lang") === "en") =!= (col("pred") === "en"))
+        .orderBy("lang", "pred")
     }
   )
 }

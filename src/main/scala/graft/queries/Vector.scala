@@ -473,6 +473,61 @@ object Vector extends QueryModule {
             floor(((v.cast("double") / 1099511627776.0) / col("n")) * 1048576.0)
               .cast("long").cast("string")), ",").as("centroid"))
         .orderBy("label")
+    },
+
+    // ---- hard-negative mining (contrastive training pairs) ----
+    // Top-2 highest-cosine neighbors with a DIFFERENT label per query
+    // vector: broadcast query set, label inequality inside the join, one
+    // corpus pass (Similarity.hardNegatives).
+    Q("q101_hard_negatives", Some(s"""
+      WITH $dkNorm2,
+      dots AS (SELECT q.vec_id AS qid, q.label AS q_label,
+        e.vec_id AS vid, e.label AS neg_label,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM embeddings q JOIN embeddings e
+          ON q.vec_id < 8 AND e.vec_id <> q.vec_id AND e.label <> q.label,
+          generate_series(1, 64) g(j)
+        GROUP BY q.vec_id, q.label, e.vec_id, e.label),
+      cos AS (SELECT d.qid, d.q_label, d.vid, d.neg_label,
+        d.dot/(sqrt(a.n2)*sqrt(b.n2)) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
+      SELECT qid, q_label, vid, neg_label, cosine, CAST(rn AS INT) AS rank
+      FROM cos WHERE rn <= 2 ORDER BY qid, rank""")) { (s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), col("vec_id") < 8, k = 2)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- embedding outlier detection (distance-to-centroid rank) ----
+    // Mislabeled/garbage candidates: the 5 farthest members of each
+    // label by exact squared-L2 to the label's fixed-point centroid
+    // (Similarity.labelCentroidOutliers). The centroid mean and the
+    // n2 + c_n2 − 2·dot distance are the identical IEEE compositions in
+    // both engines, so ranks are bit-deterministic.
+    Q("q103_centroid_outliers", Some(s"""
+      WITH $dkNorm2,
+      ex AS (SELECT label, g.j, CAST(embedding[g.j] AS DOUBLE) AS x
+             FROM embeddings, generate_series(1, 64) g(j)),
+      comp AS (SELECT label, j,
+        (CAST(CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+          / 1099511627776.0) / COUNT(x) AS comp
+        FROM ex GROUP BY label, j),
+      cn AS (SELECT label, ${dkDecSum("comp * comp")} AS c_n2
+        FROM comp GROUP BY label),
+      dt AS (SELECT e.vec_id, e.label,
+        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
+        FROM embeddings e JOIN comp c ON c.label = e.label
+        GROUP BY e.vec_id, e.label),
+      dist AS (SELECT d.vec_id, d.label, (n.n2 + cn.c_n2 - 2.0 * d.dot) AS dist2
+        FROM dt d JOIN n2 n ON n.vec_id = d.vec_id JOIN cn ON cn.label = d.label),
+      r AS (SELECT label, vec_id, dist2,
+        ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rn
+        FROM dist)
+      SELECT label, vec_id, dist2, CAST(rn AS INT) AS rank
+      FROM r WHERE rn <= 5 ORDER BY label, rank""")) { (s, d) =>
+      Similarity.labelCentroidOutliers(Tables.embeddings(s, d), topN = 5)
+        .orderBy("label", "rank")
     }
   )
 }

@@ -301,6 +301,64 @@ class OperatorsSpec extends SparkTestBase {
     assert(run(tiny).length === 3)
   }
 
+  test("hardNegatives returns only cross-label neighbors, nearest first") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f, 0.0f), 0),  // same label — must never appear
+      (2L, Array(0.9f, 0.1f, 0.0f), 1),    // closest cross-label
+      (3L, Array(0.5f, 0.5f, 0.0f), 1),
+      (4L, Array(0.0f, 1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val res = Similarity.hardNegatives(df, col("vec_id") === 0, k = 2)
+      .select("qid", "q_label", "vid", "neg_label", "rank")
+      .as[(Long, Int, Long, Int, Int)].collect().sortBy(_._5)
+    assert(res.length === 2)
+    assert(res.forall { case (qid, ql, _, nl, _) => qid == 0L && ql == 0 && nl != 0 })
+    assert(res(0)._3 === 2L && res(0)._5 === 1) // nearest cross-label first
+    assert(res(1)._3 === 3L)
+  }
+
+  test("labelCentroidOutliers ranks the farthest member of each label first") {
+    // label 0: three near x-axis + one far outlier; label 1: two near y
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.98f, 0.02f), 0),
+      (2L, Array(0.99f, 0.01f), 0), (3L, Array(0.0f, 1.0f), 0), // outlier
+      (10L, Array(0.0f, 1.0f), 1), (11L, Array(0.02f, 0.98f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    def run() = Similarity.labelCentroidOutliers(df, topN = 2)
+      .select("label", "vec_id", "rank").as[(Int, Long, Int)].collect().toSeq
+    val res = run()
+    assert(res.count(_._1 == 0) === 2 && res.count(_._1 == 1) === 2)
+    // the planted outlier is label 0's rank-1 (farthest from centroid)
+    assert(res.find(r => r._1 == 0 && r._3 == 1).map(_._2) === Some(3L))
+    // bit-deterministic across runs (fixed-point centroid + exact dist)
+    assert(run().sorted === res.sorted)
+  }
+
+  test("importanceWeights upweights target-like rows, layout-stable") {
+    // target rows share the 'ml data' vocabulary; the generic row shares
+    // nothing with the target slice
+    val df = Seq(
+      (1L, "ml data model train eval ml data", true),
+      (2L, "ml data model serve infer ml data", true),
+      (3L, "ml data model train serve ml data", false),  // target-like raw doc
+      (4L, "cooking recipes pasta sauce oven baking dish", false)
+    ).toDF("id", "text", "is_tgt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.importanceWeights(d, "id",
+          org.apache.spark.sql.functions.split(col("text"), " "),
+          col("is_tgt"), seed = 3)
+        .select("id", "importance").as[(Long, Double)].collect().toMap
+    val w = run(df)
+    assert(w.keySet === Set(1L, 2L, 3L, 4L))
+    // target-vocabulary doc scores far above the out-of-domain doc
+    assert(w(3L) > w(4L))
+    // a doc with zero target-feature overlap gets weight 0
+    assert(w(4L) === 0.0)
+    // deterministic under repartitioning (all-integer until the division)
+    assert(run(df.repartition(5)) === w)
+  }
+
   test("Curation.curate gates language, quality, dedup and near-dups in one call") {
     val good = "the quick analysis of the data is " +
       ("thorough and careful review of results " * 12).trim
