@@ -255,6 +255,50 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Containment-scored pair detection: the same LSH candidate pipeline
+    * as [[minhashLshPairsWithSigs]], but verified with the ASYMMETRIC
+    * containment scores |A∩B|/|A| and |A∩B|/|B| next to Jaccard, and
+    * admitted when EITHER containment clears `threshold`. Jaccard alone
+    * misses partial copies — a short doc quoted wholesale inside a long
+    * one has high containment but low Jaccard (the union is dominated by
+    * the long side); this is the quotation/excerpt detector of the dedup
+    * family (ExactSubstr's set-level cousin).
+    *
+    * Scale: identical plan shape to the pair pipeline — map-only
+    * compiled shingles+signatures, banded self-join, verification on
+    * payloads already carried through the band explode (no extra joins).
+    * NOTE the LSH bands are tuned for Jaccard similarity: a pair whose
+    * containment is high but Jaccard very low may not collide in any
+    * band (raise bands / lower rows-per-band, or shingle the short side
+    * only, to push recall for extreme length ratios).
+    * Returns (a, b, jaccard, containment_a, containment_b), a < b. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      shingler: Column => Column = null): DataFrame = {
+    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands,
+      shingleSize, shingler)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .dropDuplicates("a", "b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .withColumn("containment_a", inter.cast("double") / size(col("sh_a")))
+      .withColumn("containment_b", inter.cast("double") / size(col("sh_b")))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .drop("sh_a", "sh_b")
+  }
+
   /** The shared scan→shingle→signature→band pipeline: one scan → compiled
     * shingling (NgramShingles) → compiled signature (MinHashSlots), all
     * map-only — no explode shuffle, no aggregation. Docs with empty

@@ -107,6 +107,46 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("dist2"), col("rank"))
   }
 
+  /** Corpus covariance matrix of the embedding column — the input to
+    * PCA / whitening / decorrelation stages of an embedding pipeline.
+    * cov(i,j) = E[x_i·x_j] − E[x_i]·E[x_j], both moments accumulated as
+    * fixed-point (2^40) integer sums, so the matrix is bit-identical in
+    * any IEEE engine and independent of partitioning.
+    *
+    * Scale: the upper-triangle products are built PER ROW into one
+    * dim·(dim+1)/2-long array and aggregated with the same array-buffer
+    * partial aggregate as the centroids (FixedPointVectorSum) — one
+    * map-side corpus pass, one buffer per partition through the
+    * exchange, and NO dimension-pair explode (which would multiply the
+    * corpus ~2000× through the shuffle at dim 64). The final unfurl to
+    * (i, j, cov) rows posexplodes a single aggregated row.
+    * Returns the upper triangle: (i, j, cov), i ≤ j, 0-based. */
+  def covarianceMatrix(emb: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1)
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val dbl = col("embedding").cast("array<double>")
+    // row-major upper triangle: for i in 0..dim-1, products x_i·x_j, j ≥ i
+    val tri = flatten(transform(dbl, (xi, i) =>
+      transform(slice(dbl, i + lit(1), lit(dim) - i), xj => xi * xj)))
+    val agg = emb.agg(
+      graft.functions.GraftFunctions.fpVecSum(tri).as("sp"),
+      graft.functions.GraftFunctions.fpVecSum(dbl).as("sm"),
+      count(lit(1)).as("n"))
+    val iIdx = for (i <- 0 until dim; j <- i until dim) yield i
+    val jIdx = for (i <- 0 until dim; j <- i until dim) yield j
+    def mean(idx: Column): Column =
+      (element_at(col("sm"), idx + 1).cast("double") / lit(1099511627776.0)) / col("n")
+    agg
+      .select(col("sm"), col("n"), posexplode(col("sp")).as(Seq("pos", "spv")))
+      .select(
+        element_at(typedlit(iIdx), col("pos") + 1).as("i"),
+        element_at(typedlit(jIdx), col("pos") + 1).as("j"),
+        col("spv"), col("sm"), col("n"))
+      .select(col("i"), col("j"),
+        (((col("spv").cast("double") / lit(1099511627776.0)) / col("n"))
+          - mean(col("i")) * mean(col("j"))).as("cov"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from shared
     * random-hyperplane buckets (the scale path — no n² comparison), exact
     * fixed-point cosine verification. Returns (a, b, cosine), a < b. */

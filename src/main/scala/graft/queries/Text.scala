@@ -1064,6 +1064,30 @@ object Text extends QueryModule {
           / sum(col("n")).over(Window.partitionBy("lang")).cast("double"))
         .withColumn("mismatch", (col("lang") === "en") =!= (col("pred") === "en"))
         .orderBy("lang", "pred")
+    },
+
+    // ---- containment-scored pairs (partial-copy / quotation detector) ----
+    // The asymmetric member of the dedup family (Dedup.containmentPairs):
+    // |A∩B|/|A| and |A∩B|/|B| next to Jaccard over the SAME banded LSH
+    // candidates — a short doc excerpted inside a long one scores high
+    // containment while its Jaccard stays low. Pairs admitted when either
+    // containment ≥ 0.5.
+    Q("q108_containment_pairs", Some(s"""
+      WITH $dkLshPairs,
+      c AS (SELECT c.a, c.b,
+          len(list_intersect(sa.sh, sb.sh)) AS inter,
+          len(sa.sh) AS na, len(sb.sh) AS nb
+        FROM cand c JOIN mh sa ON sa.doc_id = c.a JOIN mh sb ON sb.doc_id = c.b)
+      SELECT a, b,
+        CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard,
+        CAST(inter AS DOUBLE) / na AS containment_a,
+        CAST(inter AS DOUBLE) / nb AS containment_b
+      FROM c
+      WHERE greatest(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) >= 0.5
+      ORDER BY a, b""")) { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+        .orderBy("a", "b")
     }
   )
 }

@@ -528,6 +528,33 @@ object Vector extends QueryModule {
       FROM r WHERE rn <= 5 ORDER BY label, rank""")) { (s, d) =>
       Similarity.labelCentroidOutliers(Tables.embeddings(s, d), topN = 5)
         .orderBy("label", "rank")
+    },
+
+    // ---- corpus covariance matrix (PCA / whitening prep) ----
+    // Both moments are fixed-point integer sums; the Spark side builds
+    // the 2080 upper-triangle products per row and aggregates them in
+    // ONE array buffer (Similarity.covarianceMatrix — no dim² explode
+    // through the shuffle; the oracle, which has no scale constraint,
+    // uses the straightforward pair explode).
+    Q("q107_embedding_covariance", Some("""
+      WITH ex AS (SELECT gi.i AS i, gj.j AS j,
+          CAST(e.embedding[gi.i+1] AS DOUBLE) * CAST(e.embedding[gj.j+1] AS DOUBLE) AS p
+        FROM embeddings e, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
+        WHERE gj.j >= gi.i),
+      sp AS (SELECT i, j,
+          (CAST(CAST(SUM(CAST(floor(p * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / 1099511627776.0) / COUNT(*) AS m2
+        FROM ex GROUP BY i, j),
+      mn AS (SELECT g.i AS i,
+          (CAST(CAST(SUM(CAST(floor(CAST(e.embedding[g.i+1] AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / 1099511627776.0) / COUNT(*) AS mean
+        FROM embeddings e, generate_series(0, 63) g(i) GROUP BY g.i)
+      SELECT CAST(sp.i AS INT) AS i, CAST(sp.j AS INT) AS j,
+        sp.m2 - mi.mean * mj.mean AS cov
+      FROM sp JOIN mn mi ON mi.i = sp.i JOIN mn mj ON mj.i = sp.j
+      ORDER BY i, j""")) { (s, d) =>
+      Similarity.covarianceMatrix(Tables.embeddings(s, d), dim = 64)
+        .orderBy("i", "j")
     }
   )
 }

@@ -359,6 +359,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(run(df.repartition(5)) === w)
   }
 
+  test("covarianceMatrix matches hand-computed moments, layout-stable") {
+    // two 3-dim vectors: means (0.5, 1.0, 0.0); cov(0,0) = E[x²]−E[x]²
+    val df = Seq(
+      (0L, Array(0.0f, 1.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.covarianceMatrix(d, dim = 3)
+        .select("i", "j", "cov").as[(Int, Int, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val m = run(df)
+    assert(m.keySet === Set((0,0),(0,1),(0,2),(1,1),(1,2),(2,2))) // upper tri
+    assert(math.abs(m((0,0)) - 0.25) < 1e-9)  // var of {0,1}
+    assert(math.abs(m((1,1)) - 0.0) < 1e-9)   // constant dim
+    assert(math.abs(m((0,1)) - 0.0) < 1e-9)   // x1 constant → no covariance
+    assert(math.abs(m((2,2)) - 0.0) < 1e-9)
+    // bit-identical under repartitioning (fixed-point integer sums)
+    assert(run(df.repartition(4)) === m)
+  }
+
+  test("containmentPairs flags a contained excerpt that Jaccard misses") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq((1L, long), (2L, short), (3L, "totally unrelated words "
+      + "here nothing shared at all qq ww ee")).toDF("doc_id", "text")
+    val res = Dedup.containmentPairs(df, "doc_id", "text",
+        numHashes = 8, bands = 8, shingleSize = 3, threshold = 0.9)
+      .select("a", "b", "jaccard", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(res.length === 1)
+    val (a, b, jac, ca, cb) = res(0)
+    assert((a, b) === ((1L, 2L)))
+    assert(cb === 1.0)   // every shingle of the short doc is in the long one
+    assert(jac < 0.5)    // the Jaccard gate alone would have missed it
+    assert(ca < 0.5)
+  }
+
   test("Curation.curate gates language, quality, dedup and near-dups in one call") {
     val good = "the quick analysis of the data is " +
       ("thorough and careful review of results " * 12).trim
