@@ -40,6 +40,30 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Snapshot diff: classify every id across two corpus versions as
+    * added / removed / changed / unchanged by comparing a content
+    * fingerprint — the audit a versioned ingest runs before deciding
+    * what to re-process (changed + added feed the incremental dedup /
+    * re-embed path; removed feeds tombstones). `fpCol` is evaluated
+    * against each side's columns (e.g. `md5(col("text"))`).
+    *
+    * Scale: both sides project to (id, fingerprint) — narrow — and meet
+    * in ONE full-outer equi-join on the id; no content moves through the
+    * shuffle. Returns (idCol, status). */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, idCol: String,
+      fpCol: Column): DataFrame = {
+    // presence markers, not fp nullability: a NULL fingerprint (e.g. md5
+    // of NULL content) must not masquerade as an absent row
+    val v1 = old.select(col(idCol), fpCol.as("__fp1"), lit(true).as("__in1"))
+    val v2 = neu.select(col(idCol), fpCol.as("__fp2"), lit(true).as("__in2"))
+    v1.join(v2, Seq(idCol), "full")
+      .select(col(idCol),
+        when(col("__in1").isNull, lit("added"))
+          .when(col("__in2").isNull, lit("removed"))
+          .when(!(col("__fp1") <=> col("__fp2")), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Exact duplicate clusters by a fingerprint expression: one row per
     * fingerprint with group size and representative (min) id. Rows whose
     * fingerprint is NULL (e.g. md5 of NULL text) are excluded — grouping
@@ -235,24 +259,34 @@ object Dedup {
       shingler: Column => Column = null): DataFrame = {
     val banded = bandedSignatures(df, idCol, textCol, numHashes, bands,
       shingleSize, shingler)
-    val payload = (side: String, pfx: String) =>
-      col(s"$side.sh").as(s"sh_$pfx") +:
-        (0 until numHashes).map(i => col(s"$side.mh$i").as(s"${pfx}_mh$i"))
-    val cand = banded.as("x").join(banded.as("y"),
+    val cand = candidatePairs(banded, (side, pfx) =>
+      (0 until numHashes).map(i => col(s"$side.mh$i").as(s"${pfx}_mh$i")))
+    withJaccard(cand)
+      .filter(col("jaccard") >= threshold)
+      .drop("sh_a", "sh_b")
+  }
+
+  /** The ONE banded candidate-pair join shared by every verifier
+    * ([[minhashLshPairsWithSigs]], [[containmentPairs]]): same-band
+    * same-key pairs with a < b, both shingle sets as sh_a/sh_b, plus any
+    * extra payload columns `payload(side, prefix)` carried through. */
+  private def candidatePairs(banded: DataFrame,
+      payload: (String, String) => Seq[Column]): DataFrame =
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a") +: col("y.doc_id").as("b") +:
+        col("x.sh").as("sh_a") +: col("y.sh").as("sh_b") +:
         (payload("x", "a") ++ payload("y", "b")): _*)
       // a pair collides in up to `bands` bands; every duplicate carries an
       // identical payload, so first-wins dedup is deterministic
       .dropDuplicates("a", "b")
 
+  /** Exact Jaccard from the carried shingle sets (|A∩B| / |A∪B|). */
+  private def withJaccard(cand: DataFrame): DataFrame = {
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    cand
-      .withColumn("jaccard",
-        inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
-      .filter(col("jaccard") >= threshold)
-      .drop("sh_a", "sh_b")
+    cand.withColumn("jaccard",
+      inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
   }
 
   /** Containment-scored pair detection: the same LSH candidate pipeline
@@ -283,16 +317,8 @@ object Dedup {
       shingler: Column => Column = null): DataFrame = {
     val banded = bandedSignatures(df, idCol, textCol, numHashes, bands,
       shingleSize, shingler)
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
-      .dropDuplicates("a", "b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    cand
-      .withColumn("jaccard",
-        inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
+    withJaccard(candidatePairs(banded, (_, _) => Seq.empty))
       .withColumn("containment_a", inter.cast("double") / size(col("sh_a")))
       .withColumn("containment_b", inter.cast("double") / size(col("sh_b")))
       .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)

@@ -47,6 +47,62 @@ object Sampling {
   def sampleHash(df: DataFrame, idCol: String, pct: Int, seed: Int): DataFrame =
     df.filter(hashBucket(col(idCol), seed) < pct)
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every row by how
+    * much more likely its hashed-n-gram feature bag is under the TARGET
+    * slice's feature distribution than under the full corpus's. Rows
+    * whose vocabulary looks like the target get weight > 1 — resampling
+    * by this weight shifts the corpus mix toward the target domain
+    * without training a model.
+    *
+    * `featureCol` is an array<string> feature bag WITH multiplicity
+    * (e.g. word bigrams); each feature is hashed into one of `buckets`
+    * buckets with the seeded md5 hash, and per-bucket occurrence counts
+    * are taken over the target slice and the whole corpus. The row's
+    * weight is the count-normalized ratio
+    *   (Σ_f tgt_cnt(f) / tot_tgt) / (Σ_f raw_cnt(f) / tot_raw)
+    * — integer sums throughout, three double divisions at the end (each
+    * operand exact below 2^53 feature instances), never an integer
+    * product that could overflow — deterministic under any partitioning
+    * and exactly oracle-mirrorable.
+    *
+    * Scale: ONE aggregation builds both count tables together (≤
+    * `buckets` rows — broadcast), and the totals are sums over that tiny
+    * table; the corpus feature explode runs twice (count pass + scoring
+    * pass), and the only wide exchange is the (id, bucket)
+    * re-aggregation back to rows. Rows with an empty/NULL feature bag
+    * are ABSENT from the output (left-join and default downstream if
+    * they must survive); an empty target slice fails loudly rather than
+    * emitting NULL weights. Returns
+    * (idCol, n_feats, sum_tgt_cnt, sum_raw_cnt, importance). */
+  def importanceWeights(df: DataFrame, idCol: String, featureCol: Column,
+      targetPred: Column, seed: Int, buckets: Int = 8192): DataFrame = {
+    require(buckets >= 1)
+    val feats = df.select(col(idCol), targetPred.as("__t"),
+        explode(featureCol).as("__feat"))
+      .select(col(idCol), col("__t"),
+        pmod(seededHash(col("__feat"), seed), lit(buckets.toLong)).as("h"))
+    val cnt = feats.groupBy("h").agg(count(lit(1)).as("raw_cnt"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("tgt_cnt"))
+    val tot = cnt.agg(sum(col("raw_cnt")).as("tot_raw"),
+      sum(col("tgt_cnt")).as("tot_tgt"))
+    feats
+      .join(broadcast(cnt), "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("tgt_cnt")).as("sum_tgt_cnt"),
+        sum(col("raw_cnt")).as("sum_raw_cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("n_feats"), col("sum_tgt_cnt"),
+        col("sum_raw_cnt"),
+        when(col("tot_tgt") === 0, raise_error(lit(
+          "importanceWeights: target slice has no feature instances")))
+          .otherwise(
+            (col("sum_tgt_cnt").cast("double") / col("tot_tgt").cast("double"))
+              / (col("sum_raw_cnt").cast("double") / col("tot_raw").cast("double")))
+          .as("importance"))
+  }
+
   /** Stratified cap-K sampling: within each stratum keep the `cap` rows
     * with the smallest seeded id-hash (a deterministic uniform draw —
     * every row's hash is an iid uniform, so rank ≤ cap is an exact
@@ -63,55 +119,6 @@ object Sampling {
     * [[hashBucket]] pre-filter would NOT work: pmod is not monotone in
     * the hash, so bucket membership keeps a random slice, not the
     * smallest-hash rows. */
-  /** DSIR-style importance weights (Xie et al., "Data Selection for
-    * Language Models via Importance Resampling"): score every row by how
-    * much more likely its hashed-n-gram feature bag is under the TARGET
-    * slice's feature distribution than under the full corpus's. Rows
-    * whose vocabulary looks like the target get weight > 1 — resampling
-    * by this weight shifts the corpus mix toward the target domain
-    * without training a model.
-    *
-    * `featureCol` is an array<string> feature bag WITH multiplicity
-    * (e.g. word bigrams); each feature is hashed into one of `buckets`
-    * buckets with the seeded md5 hash, and per-bucket occurrence counts
-    * are estimated over the target slice and the whole corpus. The row's
-    * weight is the count-normalized ratio
-    *   (Σ_f tgt_cnt(f) / tot_tgt) / (Σ_f raw_cnt(f) / tot_raw)
-    * computed all-integer until ONE final double division — deterministic
-    * under any partitioning and exactly oracle-mirrorable.
-    *
-    * Scale: the two count tables are bucket-bounded (≤ `buckets` rows) so
-    * they BROADCAST; the corpus is scanned once, the only wide exchange
-    * is the (id, bucket) re-aggregation back to rows. tot_* ride along as
-    * a broadcast crossJoin of one row. Returns
-    * (idCol, n_feats, sum_tgt_cnt, sum_raw_cnt, importance). */
-  def importanceWeights(df: DataFrame, idCol: String, featureCol: Column,
-      targetPred: Column, seed: Int, buckets: Int = 8192): DataFrame = {
-    require(buckets >= 1)
-    val base = df.select(col(idCol), featureCol.as("__f"), targetPred.as("__t"))
-    val feats = base.select(col(idCol), col("__t"),
-        explode(col("__f")).as("__feat"))
-      .select(col(idCol), col("__t"),
-        pmod(seededHash(col("__feat"), seed), lit(buckets.toLong)).as("h"))
-    val rawCnt = feats.groupBy("h").agg(count(lit(1)).as("raw_cnt"))
-    val tgtCnt = feats.filter(col("__t")).groupBy("h")
-      .agg(count(lit(1)).as("tgt_cnt"))
-    val tot = feats.agg(count(lit(1)).as("tot_raw"),
-      sum(when(col("__t"), 1L).otherwise(0L)).as("tot_tgt"))
-    feats
-      .join(broadcast(rawCnt), "h")
-      .join(broadcast(tgtCnt), Seq("h"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(coalesce(col("tgt_cnt"), lit(0L))).as("sum_tgt_cnt"),
-        sum(col("raw_cnt")).as("sum_raw_cnt"))
-      .crossJoin(broadcast(tot))
-      .select(col(idCol), col("n_feats"), col("sum_tgt_cnt"),
-        col("sum_raw_cnt"),
-        ((col("sum_tgt_cnt") * col("tot_raw")).cast("double")
-          / (col("sum_raw_cnt") * col("tot_tgt")).cast("double"))
-          .as("importance"))
-  }
 
   def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
       cap: Int, seed: Int): DataFrame = {

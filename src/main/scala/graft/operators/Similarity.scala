@@ -27,18 +27,28 @@ object Similarity {
     emb.withColumn("n2", norm2Exact(col("embedding")))
   }
 
+  /** The ONE broadcast-top-k shape shared by [[bruteForceTopK]] and
+    * [[hardNegatives]]: join the corpus to the broadcast query frame `q`
+    * (needs qid, q_emb, q_n2 + any carried columns) under `cond`, score
+    * with the exact fixed-point cosine, rank per query (cosine desc,
+    * vec_id tie-break), keep the top k. */
+  private def cosineTopK(e: DataFrame, q: DataFrame, cond: Column,
+      k: Int): DataFrame = {
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid") && cond)
+      .withColumn("cosine",
+        cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact top-k cosine neighbors for each query row (queryPred selects
     * queries). Returns (qid, vid, cosine, rank). */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val e = withNorm2(emb)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cosine",
-        cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    cosineTopK(e, q, lit(true), k)
       .select(col("qid"), col("vec_id").as("vid"), col("cosine"), col("rank"))
   }
 
@@ -60,13 +70,7 @@ object Similarity {
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("label").as("q_label"),
         col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    val scored = e.join(broadcast(q),
-        col("vec_id") =!= col("qid") && col("label") =!= col("q_label"))
-      .withColumn("cosine",
-        cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    cosineTopK(e, q, col("label") =!= col("q_label"), k)
       .select(col("qid"), col("q_label"), col("vec_id").as("vid"),
         col("label").as("neg_label"), col("cosine"), col("rank"))
   }
@@ -120,31 +124,59 @@ object Similarity {
     * exchange, and NO dimension-pair explode (which would multiply the
     * corpus ~2000× through the shuffle at dim 64). The final unfurl to
     * (i, j, cov) rows posexplodes a single aggregated row.
+    *
+    * Unlike the other fpVecSum consumers (bounded groups: cells, labels)
+    * this aggregates ONE global group, so elements are pre-scaled by
+    * 2^-10 — means accumulate at 2^30, products at 2^20 — which raises
+    * int64 capacity to n · max(|x|·2^30, x²·2^20) < 2^63: ~8.6 B rows at
+    * |x| ≈ 1 (resolution 2^-20 on raw moments — ample for PCA). The
+    * bound is ENFORCED in-plan from the aggregated row count and max
+    * component, and a row whose length ≠ dim fails loudly rather than
+    * silently mislabeling every cell after it.
     * Returns the upper triangle: (i, j, cov), i ≤ j, 0-based. */
   def covarianceMatrix(emb: DataFrame, dim: Int): DataFrame = {
     require(dim >= 1)
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val dbl = col("embedding").cast("array<double>")
+    val raw = when(size(col("embedding")) === dim,
+        col("embedding").cast("array<double>"))
+      .otherwise(raise_error(concat(
+        lit("covarianceMatrix: embedding length "),
+        size(col("embedding")).cast("string"), lit(s" != dim $dim"))))
+    // exact ÷2^10 per element: fpVecSum's floor(v·2^40) becomes
+    // floor(x·2^30) for means and floor(x_i·x_j·2^20) for products
+    val dbl = transform(raw, x => x / lit(1024.0))
     // row-major upper triangle: for i in 0..dim-1, products x_i·x_j, j ≥ i
     val tri = flatten(transform(dbl, (xi, i) =>
       transform(slice(dbl, i + lit(1), lit(dim) - i), xj => xi * xj)))
     val agg = emb.agg(
       graft.functions.GraftFunctions.fpVecSum(tri).as("sp"),
       graft.functions.GraftFunctions.fpVecSum(dbl).as("sm"),
-      count(lit(1)).as("n"))
+      count(lit(1)).as("n"),
+      max(array_max(transform(raw, x => abs(x)))).as("mx"))
     val iIdx = for (i <- 0 until dim; j <- i until dim) yield i
     val jIdx = for (i <- 0 until dim; j <- i until dim) yield j
+    val scaleM = lit(1.073741824e9)  // 2^30 (means)
+    val scaleP = lit(1048576.0)      // 2^20 (products)
+    // loud capacity check: the int64 buffers must not have wrapped
+    val nD = col("n").cast("double")
+    val unsafe = (nD * col("mx") * scaleM > lit(9.0e18)) ||
+      (nD * col("mx") * col("mx") * scaleP > lit(9.0e18))
     def mean(idx: Column): Column =
-      (element_at(col("sm"), idx + 1).cast("double") / lit(1099511627776.0)) / col("n")
+      (element_at(col("sm"), idx + 1).cast("double") / scaleM) / col("n")
     agg
-      .select(col("sm"), col("n"), posexplode(col("sp")).as(Seq("pos", "spv")))
+      .select(col("sm"), col("n"), col("mx"),
+        posexplode(col("sp")).as(Seq("pos", "spv")))
       .select(
         element_at(typedlit(iIdx), col("pos") + 1).as("i"),
         element_at(typedlit(jIdx), col("pos") + 1).as("j"),
-        col("spv"), col("sm"), col("n"))
+        col("spv"), col("sm"), col("n"), col("mx"))
       .select(col("i"), col("j"),
-        (((col("spv").cast("double") / lit(1099511627776.0)) / col("n"))
-          - mean(col("i")) * mean(col("j"))).as("cov"))
+        when(unsafe, raise_error(concat(
+          lit("covarianceMatrix: fixed-point capacity exceeded (n="),
+          col("n").cast("string"), lit(", max|x|="),
+          col("mx").cast("string"), lit(")"))))
+          .otherwise(((col("spv").cast("double") / scaleP) / col("n"))
+            - mean(col("i")) * mean(col("j"))).as("cov"))
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates from shared

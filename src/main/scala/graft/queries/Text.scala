@@ -932,10 +932,10 @@ object Text extends QueryModule {
       SELECT f.doc_id, COUNT(*) AS n_feats,
         CAST(SUM(COALESCE(tgt.tgt_cnt, 0)) AS BIGINT) AS sum_tgt_cnt,
         CAST(SUM(raw.raw_cnt) AS BIGINT) AS sum_raw_cnt,
-        CAST(CAST(SUM(COALESCE(tgt.tgt_cnt, 0)) AS BIGINT)
-             * (SELECT tot_raw FROM tot) AS DOUBLE)
-          / CAST(CAST(SUM(raw.raw_cnt) AS BIGINT)
-             * (SELECT tot_tgt FROM tot) AS DOUBLE) AS importance
+        (CAST(CAST(SUM(COALESCE(tgt.tgt_cnt, 0)) AS BIGINT) AS DOUBLE)
+           / CAST((SELECT tot_tgt FROM tot) AS DOUBLE))
+          / (CAST(CAST(SUM(raw.raw_cnt) AS BIGINT) AS DOUBLE)
+           / CAST((SELECT tot_raw FROM tot) AS DOUBLE)) AS importance
       FROM f JOIN raw ON raw.h = f.h LEFT JOIN tgt ON tgt.h = f.h
       GROUP BY f.doc_id ORDER BY f.doc_id""")) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
@@ -1088,6 +1088,34 @@ object Text extends QueryModule {
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
           numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
         .orderBy("a", "b")
+    },
+
+    // ---- snapshot diff (corpus version audit) ----
+    // Two simulated corpus versions (v1 = ids < 400; v2 = ids ≥ 100 with
+    // ids 200-299 edited) classified added/removed/changed/unchanged by
+    // content fingerprint (Dedup.snapshotDiff) — the audit that decides
+    // what a versioned ingest re-processes. Narrow (id, fp) projections
+    // meet in one full-outer equi-join; content never shuffles.
+    Q("q109_snapshot_diff", Some("""
+      WITH v1 AS (SELECT doc_id, md5(text) AS fp1, TRUE AS in1
+        FROM documents WHERE doc_id < 400),
+      v2 AS (SELECT doc_id, md5(CASE WHEN doc_id >= 200 AND doc_id < 300
+          THEN text || ' edited' ELSE text END) AS fp2, TRUE AS in2
+        FROM documents WHERE doc_id >= 100)
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        CASE WHEN v1.in1 IS NULL THEN 'added'
+             WHEN v2.in2 IS NULL THEN 'removed'
+             WHEN v1.fp1 IS DISTINCT FROM v2.fp2 THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id
+      ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") < 400)
+      val v2 = docs.filter(col("doc_id") >= 100)
+        .withColumn("text", when(col("doc_id") >= 200 && col("doc_id") < 300,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      Dedup.snapshotDiff(v1, v2, "doc_id", md5(col("text")))
+        .orderBy("doc_id")
     }
   )
 }

@@ -542,12 +542,12 @@ object Vector extends QueryModule {
         FROM embeddings e, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
         WHERE gj.j >= gi.i),
       sp AS (SELECT i, j,
-          (CAST(CAST(SUM(CAST(floor(p * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
-            / 1099511627776.0) / COUNT(*) AS m2
+          (CAST(CAST(SUM(CAST(floor(p * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / 1048576.0) / COUNT(*) AS m2
         FROM ex GROUP BY i, j),
       mn AS (SELECT g.i AS i,
-          (CAST(CAST(SUM(CAST(floor(CAST(e.embedding[g.i+1] AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
-            / 1099511627776.0) / COUNT(*) AS mean
+          (CAST(CAST(SUM(CAST(floor(CAST(e.embedding[g.i+1] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / 1073741824.0) / COUNT(*) AS mean
         FROM embeddings e, generate_series(0, 63) g(i) GROUP BY g.i)
       SELECT CAST(sp.i AS INT) AS i, CAST(sp.j AS INT) AS j,
         sp.m2 - mi.mean * mj.mean AS cov

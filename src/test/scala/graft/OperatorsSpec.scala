@@ -397,6 +397,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(ca < 0.5)
   }
 
+  test("snapshotDiff classifies added/removed/changed and survives NULL fps") {
+    val old_ = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
+      (4L, "gone")).toDF("id", "text")
+    val neu = Seq((1L, "a"), (2L, "B"), (3L, null.asInstanceOf[String]),
+      (5L, "new")).toDF("id", "text")
+    val res = Dedup.snapshotDiff(old_, neu, "id", md5(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(res === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged",  // NULL fp on both sides is NOT a change or an add
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("Curation.curate gates language, quality, dedup and near-dups in one call") {
     val good = "the quick analysis of the data is " +
       ("thorough and careful review of results " * 12).trim
