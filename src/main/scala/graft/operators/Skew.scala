@@ -41,6 +41,32 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Skew diagnostic: the top-K heaviest join keys with their share of
+    * all rows and skew factor (rows-at-key ÷ average rows per key) — the
+    * report that decides BEFORE a 100 TB join whether AQE's skew split
+    * suffices or a [[saltedJoin]] (salts ≈ ceil(skew_factor)) is needed.
+    *
+    * Scale: one counted shuffle with map-side partials (the key-count
+    * frame), a single-row totals aggregate broadcast back, top-K via
+    * TakeOrdered — never a global sort. Ratios are ratio-of-ratios of
+    * double casts (no integer product → no overflow at any row count).
+    * At extreme key cardinality the exact count frame is itself large;
+    * the sampling + count-min-sketch variant trades exactness for a
+    * map-only pass — this exact form is one shuffle and always right.
+    * Returns (key, cnt, share, skew_factor), heaviest first. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1)
+    val k = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = k.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+    k.crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("share"),
+        ((col("cnt").cast("double") / col("total").cast("double"))
+          * col("n_keys").cast("double")).as("skew_factor"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
+
   private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case _: org.apache.spark.sql.types.MapType => true
     case org.apache.spark.sql.types.ArrayType(et, _) => hasMap(et)

@@ -203,6 +203,27 @@ object Analytic extends QueryModule {
           array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
           countDistinct(col("event_type")).as("n_types"))
         .orderBy("user_id")
+    },
+
+    // ---- join-key skew report (pre-join capacity diagnostic) ----
+    // Top-20 heaviest order custkeys with row share and skew factor
+    // (Skew.skewReport) — the report that decides whether AQE's skew
+    // split suffices or a salted join (salts ≈ ceil(skew_factor)) is
+    // needed before a big join runs. One counted shuffle + TakeOrdered.
+    Q("q110_skew_report", Some("""
+      WITH k AS (SELECT o_custkey AS key, COUNT(*) AS cnt
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys
+        FROM k)
+      SELECT k.key, k.cnt,
+        CAST(k.cnt AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE)
+          AS share,
+        (CAST(k.cnt AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE))
+          * CAST((SELECT n_keys FROM tot) AS DOUBLE) AS skew_factor
+      FROM k ORDER BY k.cnt DESC, k.key LIMIT 20""")) { (s, d) =>
+      graft.operators.Skew.skewReport(Tables.orders(s, d), "o_custkey",
+          topK = 20)
+        .orderBy(col("cnt").desc, col("key"))
     }
   )
 }

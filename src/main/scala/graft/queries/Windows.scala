@@ -150,6 +150,41 @@ object Windows extends QueryModule {
           x => x.getField("event_type")), ">").as("path"))
         .groupBy("path").agg(count(lit(1)).as("n_users"))
         .orderBy(desc("n_users"), asc("path"))
+    },
+
+    // ---- event transition matrix (first-order Markov model) ----
+    // (from_type → to_type) counts over each user's time-ordered event
+    // stream plus the conditional transition probability — the behavior
+    // model behind next-action prediction and anomaly scoring. One
+    // user-partitioned lead() window (the q100 ordering contract:
+    // event-time then event_id so tie semantics match both engines),
+    // one counted shuffle; probabilities normalize within from_type over
+    // the type×type aggregate, never the event stream.
+    Q("q111_event_transitions", Some("""
+      WITH s AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        FROM events),
+      t AS (SELECT event_type AS from_type, next_type AS to_type,
+          COUNT(*) AS n
+        FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(n AS DOUBLE)
+          / CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE)
+          AS p
+      FROM t ORDER BY from_type, to_type""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+        .orderBy("from_type", "to_type")
     }
   )
 }
