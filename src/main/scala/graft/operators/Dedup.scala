@@ -123,20 +123,22 @@ object Dedup {
     * iteration counter only — per-round data never leaves the executors.
     *
     * Convergence detection rides the round's own materialization: each
-    * row carries its previous label through the round, and the
-    * checkpoint-materializing job counts label changes into an
-    * accumulator — no separate probe job (and no probe JOIN) per round.
-    * A task retry can only inflate the count for partitions that really
-    * had changes, so `count == 0` remains an exact convergence test. */
+    * row carries its previous label through the round, and an `observe`
+    * node counts label changes as the eager `localCheckpoint` job runs —
+    * no separate probe job (and no probe JOIN) per round, and the whole
+    * round stays inside whole-stage codegen (observed metrics are plan
+    * nodes, unlike an RDD-level accumulator hop, which would re-encode
+    * every row through external `Row` objects once per round). Observed
+    * metrics are also aggregated exactly once per successful task, so a
+    * task retry cannot inflate the count — `changed == 0` is an exact
+    * convergence test. */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
-    val schema = labels.schema
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -154,14 +156,15 @@ object Dedup {
           least(prop("cluster"), coalesce(col("jcluster"), prop("cluster")))
             .as("cluster"),
           prop("__old"))
-      val changed = spark.sparkContext.longAccumulator("graft-cc-changed")
-      val jumped = spark.createDataFrame(
-        staged.rdd.mapPartitions(_.map { r =>
-          if (r.get(1) != r.get(2)) changed.add(1L)
-          org.apache.spark.sql.Row(r.get(0), r.get(1))
-        }), schema)
+      val obs = org.apache.spark.sql.Observation(s"graft-cc-round-$i")
+      val jumped = staged
+        .observe(obs, sum(when(col("cluster") =!= col("__old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("cluster"))
         .localCheckpoint(true)
-      converged = changed.value == 0
+      // localCheckpoint(eager) already ran the job, so get() returns
+      // immediately; sum over zero rows is NULL → treat as converged
+      converged = obs.get.get("changed").forall(v => v == null || v == 0L)
       labels = jumped
       i += 1
     }
