@@ -451,6 +451,15 @@ object Dedup {
       shingleSize, shingler)
     val bn = bandedSignatures(newDf, idCol, textCol, numHashes, bands,
       shingleSize, shingler)
+    crossBatchVerdicts(bn, bo, threshold)
+  }
+
+  /** The new-batch × old-corpus bucket join + exact-Jaccard verification
+    * shared by [[incrementalNearDups]] (old side computed inline) and
+    * [[incrementalNearDupsStaged]] (old side read from a staged table).
+    * Both sides must carry (doc_id, sh, band, bkey). */
+  private def crossBatchVerdicts(bn: DataFrame, bo: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = bn.as("x").join(bo.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
@@ -464,5 +473,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .groupBy(col("doc_id"))
       .agg(min(col("old_id")).as("dup_of"), max(col("jaccard")).as("best_jaccard"))
+  }
+
+  /** Stage banded LSH signatures to a parquet table — compute the
+    * corpus's scan→shingle→signature→band pipeline ONCE and persist
+    * (doc_id, sh, band, bkey), bkey-range-clustered so each probe
+    * bucket's rows sit in few files. This is the production ingest shape
+    * SCALING.md describes: the self-join pipeline recomputes the
+    * signature subtree per consumer, and [[incrementalNearDups]]
+    * recomputes the old side per batch — at 100 TB the corpus side is
+    * written once per snapshot here, and every later consumer
+    * ([[incrementalNearDupsStaged]], audits, provenance joins) reads the
+    * staged table instead of re-shingling the corpus. The staged table is
+    * signature-sized (ids + shingle sets + band keys, no document text).
+    *
+    * The table carries the shingle sets alongside the band keys, so exact
+    * verification on the consumer side needs no join back to the corpus.
+    * Parameters (numHashes/bands/shingleSize/shingler) must match between
+    * staging and probing — band keys from different parameters never
+    * collide correctly; a mismatch silently yields zero candidates. */
+  def stageSignatures(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      numFiles: Int = 8, shingler: Column => Column = null): Unit =
+    graft.sources.Layout.clusteredWrite(
+      bandedSignatures(df, idCol, textCol, numHashes, bands, shingleSize,
+        shingler).select("doc_id", "sh", "band", "bkey"),
+      path, Seq("band", "bkey"), numFiles)
+
+  /** [[incrementalNearDups]] with the old side read from a
+    * [[stageSignatures]] table: the plan scans the NEW batch's documents
+    * plus the staged signature parquet — the existing corpus is never
+    * re-shingled. Per-batch cost is new-batch-sized; the old side's cost
+    * was paid once at staging time. Signature parameters must match the
+    * staging call (see [[stageSignatures]]). */
+  def incrementalNearDupsStaged(
+      stagedSigs: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      shingler: Column => Column = null): DataFrame = {
+    val bn = bandedSignatures(newDf, idCol, textCol, numHashes, bands,
+      shingleSize, shingler)
+    crossBatchVerdicts(bn, stagedSigs.select("doc_id", "sh", "band", "bkey"),
+      threshold)
   }
 }

@@ -722,6 +722,31 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- staged-signature incremental dedup (stage once, probe cheap) ----
+    // q85's production form: the corpus side's shingle+signature pipeline
+    // is paid ONCE by Dedup.stageSignatures (bkey-clustered parquet, no
+    // document text) and every ingest batch probes the staged table —
+    // the per-batch plan scans documents exactly once (the new batch;
+    // asserted in ScaleSpec) plus the signature table. Same verdicts as
+    // q85 by construction, so the same oracle gates both: a staging
+    // round-trip that altered any verdict would hash-mismatch here.
+    Q("q112_staged_incremental_dedup", Some(s"""
+      WITH $dkLshPairs
+      SELECT b AS doc_id, MIN(a) AS dup_of, MAX(jaccard) AS best_jaccard
+      FROM j WHERE jaccard >= 0.5 AND a < 250 AND b >= 250
+      GROUP BY b ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_staged_sigs_" +
+        Integer.toHexString(d.hashCode)
+      Dedup.stageSignatures(docs.filter(col("doc_id") < 250), "doc_id", "text",
+        staged, numHashes = 8, bands = 4, shingleSize = 3, numFiles = 4)
+      Dedup.incrementalNearDupsStaged(
+          s.read.parquet(staged), docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", numHashes = 8, bands = 4, shingleSize = 3,
+          threshold = 0.5)
+        .orderBy("doc_id")
+    },
+
     // ---- Bloom-filter membership pre-filter (sketch-based dedup) ----
     // The cheap half of incremental exact dedup: a fixed-size bitmap
     // built once over the corpus (one pass, OR-merged partials) is

@@ -191,6 +191,25 @@ class ScaleSpec extends SparkTestBase {
       plan.contains("isnotnull(event_date"))
   }
 
+  test("staged-signature incremental dedup (q112) scans documents exactly once") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q112_staged_incremental_dedup")(spark, d)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("Location", "")
+    }
+    // the whole point of staging: the corpus is NOT re-shingled per batch,
+    // so the only documents scan is the new batch; the old side comes from
+    // the signature table
+    assert(scans.count(_.contains("documents.parquet")) === 1,
+      s"documents scanned more than once:\n${scans.mkString("\n")}")
+    assert(scans.count(_.contains("graft_staged_sigs")) === 1,
+      s"staged signature table not scanned:\n${scans.mkString("\n")}")
+    // and the verdicts round-trip the staging unchanged
+    val inline = SparkEntry.queries("q85_incremental_dedup")(spark, d)
+    assert(df.collect().toSeq === inline.collect().toSeq)
+  }
+
   test("bloom probe is map-only: broadcast bitmap, no batch-side shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") < 250).select(md5(col("text")).as("fp"))
