@@ -49,7 +49,13 @@ object Dedup {
     *
     * Scale: both sides project to (id, fingerprint) — narrow — and meet
     * in ONE full-outer equi-join on the id; no content moves through the
-    * shuffle. Returns (idCol, status). */
+    * shuffle. Returns (idCol, status).
+    *
+    * PRECONDITION: `idCol` must be unique within each side (the usual
+    * snapshot contract). A duplicated id fans out in the full-outer join
+    * (m×n rows for that id) and the diff reports it once per pairing —
+    * run [[exactClusters]] (or a count-distinct audit) first if the
+    * upstream cannot guarantee uniqueness. */
   def snapshotDiff(old: DataFrame, neu: DataFrame, idCol: String,
       fpCol: Column): DataFrame = {
     // presence markers, not fp nullability: a NULL fingerprint (e.g. md5
@@ -163,8 +169,14 @@ object Dedup {
         .select(col("id"), col("cluster"))
         .localCheckpoint(true)
       // localCheckpoint(eager) already ran the job, so get() returns
-      // immediately; sum over zero rows is NULL → treat as converged
-      converged = obs.get.get("changed").forall(v => v == null || v == 0L)
+      // immediately; sum over zero rows is NULL → treat as converged.
+      // A MISSING key must fail loudly: Option.forall(None) is true, so
+      // an alias drift would otherwise silently exit after one round
+      // with wrong labels while the require(converged) below still holds.
+      val metrics = obs.get
+      require(metrics.contains("changed"),
+        s"nearDupClusters: observed metrics missing 'changed': $metrics")
+      converged = { val v = metrics("changed"); v == null || v == 0L }
       labels = jumped
       i += 1
     }
@@ -172,6 +184,38 @@ object Dedup {
       s"nearDupClusters did not converge in $maxIter rounds — component " +
         "structure deeper than 2^maxIter; raise maxIter")
     labels
+  }
+
+  /** Incremental connected-components update: fold a NEW batch of
+    * near-duplicate pairs into an EXISTING [[nearDupClusters]] labeling
+    * without re-running CC over the full historical pair list. The
+    * existing labels are replayed as star edges (member → cluster
+    * representative) — a star preserves the old component's connectivity
+    * exactly and is already depth-1, so the re-run converges in O(log)
+    * rounds of the MERGED structure, and its input is labeled-nodes +
+    * new-pairs sized, not all-pairs-ever-seen sized. That is the ingest
+    * contract at 100 TB: per-batch CC cost is proportional to the batch
+    * (plus one row per already-labeled doc), while a full recompute
+    * re-shuffles the entire pair history every ingest.
+    *
+    * New pairs may link fresh docs to each other, attach fresh docs to
+    * old clusters, or MERGE old clusters (all members re-canonicalize to
+    * the merged component's min id — so downstream keep-one policies see
+    * one survivor, not two). Result is exactly
+    * `nearDupClusters(oldPairs ∪ newPairs)` (q113 gates this equality
+    * against the q71 oracle).
+    *
+    * `labels` follows the [[nearDupClusters]] output convention (every
+    * cluster has ≥ 2 members, representative included with id == cluster)
+    * — clusters are replayed through their members' star edges. A
+    * caller-fabricated SINGLETON label row (id == cluster with no other
+    * member) has no edge to replay and is dropped, matching
+    * nearDupClusters' "no pair → absent" convention. */
+  def updateClusters(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val starEdges = labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("a"), col("cluster").as("b"))
+    nearDupClusters(starEdges.unionByName(newPairs.select("a", "b")), maxIter)
   }
 
   /** Keep-one-per-cluster with an explicit keep POLICY: given

@@ -119,7 +119,6 @@ object Sampling {
     * [[hashBucket]] pre-filter would NOT work: pmod is not monotone in
     * the hash, so bucket membership keeps a random slice, not the
     * smallest-hash rows. */
-
   def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
       cap: Int, seed: Int): DataFrame = {
     require(cap >= 1 && strata.nonEmpty)

@@ -194,17 +194,17 @@ class ScaleSpec extends SparkTestBase {
   test("staged-signature incremental dedup (q112) scans documents exactly once") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q112_staged_incremental_dedup")(spark, d)
-    val scans = df.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.metadata.getOrElse("Location", "")
-    }
+    // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf to typed
+    // collect), so assert on the rendered plan like the other plan tests:
+    // each FileSourceScanExec prints its Location exactly once
+    val plan = df.queryExecution.executedPlan.toString
     // the whole point of staging: the corpus is NOT re-shingled per batch,
     // so the only documents scan is the new batch; the old side comes from
     // the signature table
-    assert(scans.count(_.contains("documents.parquet")) === 1,
-      s"documents scanned more than once:\n${scans.mkString("\n")}")
-    assert(scans.count(_.contains("graft_staged_sigs")) === 1,
-      s"staged signature table not scanned:\n${scans.mkString("\n")}")
+    assert("documents\\.parquet".r.findAllIn(plan).size === 1,
+      s"documents scanned more than once:\n$plan")
+    assert("graft_staged_sigs".r.findAllIn(plan).size === 1,
+      s"staged signature table not scanned exactly once:\n$plan")
     // and the verdicts round-trip the staging unchanged
     val inline = SparkEntry.queries("q85_incremental_dedup")(spark, d)
     assert(df.collect().toSeq === inline.collect().toSeq)
