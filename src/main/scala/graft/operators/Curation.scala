@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -54,5 +54,45 @@ object Curation {
       shingleSize = cfg.shingleSize, threshold = cfg.nearDupThreshold)
     kept.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol),
       "left_anti")
+  }
+
+  /** Per-stratum ADAPTIVE quality floor: instead of one global quality
+    * cutoff (which over-prunes whole sources whose score distribution
+    * sits low — e.g. forum text vs encyclopedia), each stratum keeps its
+    * own top (100−pct)%: the floor is the EXACT pct-th percentile of
+    * `scoreCol` within the stratum, picked by all-integer rank selection
+    * (`ceil(pct·n/100)` via integer div, ties broken on `idCol`) so
+    * every engine selects the identical element — no interpolation, no
+    * float percentile arithmetic to drift. Emits the input rows plus
+    * (score, floor, kept = score ≥ floor); kept rows INCLUDE every row
+    * tied with the floor value.
+    *
+    * Scale: one shuffle on the strata columns + a per-stratum window
+    * sort — exact per-group rank selection serializes per stratum, the
+    * same deliberate trade as the winsorize bounds (q89): curation
+    * strata (source × lang × …) are many and bounded, which is the
+    * shape that parallelizes. For a single giant stratum use q68's
+    * bounded-sketch approx_percentile to pick the floor instead. */
+  def adaptiveQualityFloor(df: DataFrame, strata: Seq[String],
+      scoreCol: Column, idCol: String, pct: Int = 10): DataFrame = {
+    require(strata.nonEmpty, "adaptiveQualityFloor needs at least one stratum")
+    require(pct >= 1 && pct <= 99, s"pct must be in [1, 99], got $pct")
+    // fail fast: silently replacing caller columns would hand downstream
+    // code the wrong values (same contract as stratifiedCap's rn guard)
+    Seq("score", "floor", "kept").foreach(c =>
+      require(!df.columns.contains(c),
+        s"adaptiveQualityFloor emits a '$c' column; input already has one"))
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+    val ranked = df.withColumn("score", scoreCol)
+      .withColumn("__rn", row_number()
+        .over(byStratum.orderBy(col("score"), col(idCol))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byStratum))
+    ranked
+      .withColumn("floor",
+        max(when(col("__rn") === expr(s"($pct * __n + 99) div 100"),
+          col("score"))).over(byStratum))
+      .withColumn("kept", col("score") >= col("floor"))
+      .drop("__rn", "__n")
   }
 }

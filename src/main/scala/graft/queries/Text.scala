@@ -761,6 +761,184 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- incremental connected-components update (per-ingest CC) ----
+    // The clustering counterpart of q112's staged signatures: fold the
+    // new batch's pair list into the EXISTING cluster labels
+    // (Dedup.updateClusters) instead of re-running CC over every pair
+    // ever seen — old clusters replay as star edges (member →
+    // representative), so per-ingest CC input is labeled-nodes +
+    // new-pairs sized. New pairs may MERGE old clusters; all members
+    // re-canonicalize to the merged min id. Gate: the incremental result
+    // must EQUAL the full recompute — the oracle runs CC over the whole
+    // pair list (q71's recursive CTE) and over the old-only pairs (for
+    // the changed flag), and the hash compare holds the Spark side's
+    // incremental path to exactly that. In production the new pair list
+    // comes from the staged probe (q112) — here both batches derive from
+    // one LSH pass split on doc_id, the demo-scale stand-in.
+    Q("q113_incremental_clusters", Some(s"""
+      WITH RECURSIVE $dkLshPairs,
+      $dkClusters,
+      op AS (SELECT a, b FROM j WHERE jaccard >= 0.5 AND b < 250),
+      oedges AS (SELECT a AS src, b AS dst FROM op
+                 UNION ALL SELECT b, a FROM op),
+      owalk(id, lab) AS (
+        SELECT src, src FROM oedges
+        UNION
+        SELECT e.src, w.lab FROM oedges e JOIN owalk w ON w.id = e.dst),
+      olab AS (SELECT id, MIN(lab) AS cluster FROM owalk GROUP BY id)
+      SELECT l.id AS doc_id, l.cluster, (l.id >= 250) AS is_new_doc,
+        (o.cluster IS NULL OR o.cluster <> l.cluster) AS cluster_changed
+      FROM lab l LEFT JOIN olab o ON o.id = l.id
+      ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+      // a < b by contract, so b < 250 ⇔ both docs are in the old corpus
+      val oldLabels = Dedup.nearDupClusters(pairs.filter(col("b") < 250))
+      val updated = Dedup.updateClusters(
+        oldLabels, pairs.filter(col("b") >= 250))
+      updated
+        .join(oldLabels.select(col("id"), col("cluster").as("old_cluster")),
+          Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("id") >= 250).as("is_new_doc"),
+          (col("old_cluster").isNull || col("old_cluster") =!= col("cluster"))
+            .as("cluster_changed"))
+        .orderBy("doc_id")
+    },
+
+    // ---- per-source adaptive quality floor (stratified curation) ----
+    // One global quality cutoff over-prunes whole sources whose score
+    // distribution sits low; Curation.adaptiveQualityFloor keeps each
+    // stratum's own top 90% instead — floor = EXACT p10 of the q25
+    // quality score within the source, by all-integer rank selection
+    // (q89's winsorize pattern), ties kept. Report: per-source floor and
+    // kept/dropped counts.
+    Q("q114_adaptive_quality_floor", Some("""
+      WITH q AS (SELECT doc_id, source,
+          least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)*0.5
+          + (1.0 - CAST(len(list_filter(string_split(text,' '),
+                t -> t IN ('the','a'))) AS DOUBLE)
+              / len(string_split(text,' ')))*0.3
+          + least(1.0, (CAST(length(text) - (len(string_split(text,' ')) - 1)
+                AS DOUBLE) / len(string_split(text,' ')))/8.0)*0.2 AS score
+        FROM documents),
+      rk AS (SELECT source, score,
+          row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM q),
+      thr AS (SELECT source, MAX(n) AS n_docs,
+          MAX(CASE WHEN rn = (10 * n + 99) // 100 THEN score END) AS floor10
+        FROM rk GROUP BY source)
+      SELECT t.source, t.n_docs, t.floor10,
+        COUNT(CASE WHEN r.score < t.floor10 THEN 1 END) AS n_dropped,
+        COUNT(CASE WHEN r.score >= t.floor10 THEN 1 END) AS n_kept
+      FROM rk r JOIN thr t ON t.source = r.source
+      GROUP BY t.source, t.n_docs, t.floor10
+      ORDER BY t.source""")) { (s, d) =>
+      graft.operators.Curation.adaptiveQualityFloor(
+          Tables.documents(s, d), Seq("source"),
+          qualityScore(col("text")), "doc_id", pct = 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), max(col("floor")).as("floor10"),
+          count(when(!col("kept"), 1)).as("n_dropped"),
+          count(when(col("kept"), 1)).as("n_kept"))
+        .orderBy("source")
+    },
+
+    // ---- span novelty vs earlier corpus (memorization audit) ----
+    // q86 counts duplicated spans regardless of order; this scores each
+    // doc by how much of it is NEW relative to everything ingested
+    // BEFORE it (doc_id = ingest order): novelty = share of its distinct
+    // 8-token spans whose first owner (min doc_id over the corpus) is an
+    // earlier doc. The low-novelty tail is re-crawl/boilerplate; eval
+    // sets demand novelty ≈ 1. Shape: same map-only span hashing as q86,
+    // ONE partial-aggregated min per span hash, one join back — the
+    // ExactSubstr-style audit without a suffix array.
+    Q("q115_span_novelty", Some(s"""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(tk) >= 8 THEN
+          list_distinct(list_transform(generate_series(1, len(tk)-7),
+            i -> array_to_string(tk[i:i+7],' ')))
+        ELSE [] END AS sh FROM sp),
+      ex AS (SELECT sh.doc_id, ${dkHash("s.s", 11)} AS h
+        FROM sh, unnest(sh.sh) s(s)),
+      own AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h),
+      st AS (SELECT e.doc_id,
+          COUNT(CASE WHEN o.first_doc < e.doc_id THEN 1 END) AS n_seen
+        FROM ex e JOIN own o USING (h) GROUP BY e.doc_id)
+      SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_spans,
+        COALESCE(st.n_seen, 0) AS n_seen_before,
+        CASE WHEN len(s.sh) = 0 THEN 1.0
+          ELSE 1.0 - CAST(COALESCE(st.n_seen, 0) AS DOUBLE) / len(s.sh) END
+          AS novelty
+      FROM sh s LEFT JOIN st ON st.doc_id = s.doc_id
+      ORDER BY s.doc_id""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.GraftFunctions.wordShingles(col("text"), 8).as("sh"))
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("sp"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.hash64c(col("sp"), 11).as("h"))
+      val own = ex.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+      val st = ex.join(own, "h").groupBy("doc_id")
+        .agg(count(when(col("first_doc") < col("doc_id"), 1)).as("n_seen"))
+      sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
+        .join(st, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_seen"), lit(0L)).as("n_seen_before"),
+          when(col("n_spans") === 0, lit(1.0))
+            .otherwise(lit(1.0) - coalesce(col("n_seen"), lit(0L))
+              .cast("double") / col("n_spans")).as("novelty"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token-distribution drift between snapshots (mix monitoring) ----
+    // The ingest-time distribution check: which tokens' RATES moved most
+    // from the old corpus (doc_id < 250) to the new batch? Add-one
+    // smoothed rate ratio — numerator and denominator stay all-integer
+    // ((cnt+1) × (total+V) cross-products) until ONE double division, so
+    // the ranking is reduction-order-independent and bit-identical to
+    // the oracle. Shape: two partial-aggregated token counts + one
+    // narrow full-outer join + a one-row broadcast of the totals; top-20
+    // risers by ratio.
+    Q("q116_token_drift", Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+        FROM documents),
+      oc AS (SELECT t, COUNT(*) AS c FROM tk WHERE doc_id < 250 GROUP BY t),
+      nc AS (SELECT t, COUNT(*) AS c FROM tk WHERE doc_id >= 250 GROUP BY t),
+      allt AS (SELECT COALESCE(oc.t, nc.t) AS token,
+          CAST(COALESCE(oc.c, 0) AS BIGINT) AS cnt_old,
+          CAST(COALESCE(nc.c, 0) AS BIGINT) AS cnt_new
+        FROM oc FULL OUTER JOIN nc ON nc.t = oc.t),
+      tot AS (SELECT CAST(SUM(cnt_old) AS BIGINT) AS tot_old,
+          CAST(SUM(cnt_new) AS BIGINT) AS tot_new,
+          COUNT(*) AS v FROM allt)
+      SELECT token, cnt_old, cnt_new,
+        CAST((cnt_new + 1) * (SELECT tot_old + v FROM tot) AS DOUBLE)
+          / CAST((cnt_old + 1) * (SELECT tot_new + v FROM tot) AS DOUBLE)
+          AS rate_ratio
+      FROM allt ORDER BY rate_ratio DESC, token LIMIT 20""")) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val oc = tk.filter(col("doc_id") < 250)
+        .groupBy("t").agg(count(lit(1)).as("cnt_old"))
+      val nc = tk.filter(col("doc_id") >= 250)
+        .groupBy("t").agg(count(lit(1)).as("cnt_new"))
+      val allt = oc.join(nc, Seq("t"), "full")
+        .select(col("t").as("token"),
+          coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+          coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+      val tot = allt.agg(sum(col("cnt_old")).as("tot_old"),
+        sum(col("cnt_new")).as("tot_new"), count(lit(1)).as("v"))
+      allt.crossJoin(broadcast(tot))
+        .select(col("token"), col("cnt_old"), col("cnt_new"),
+          (((col("cnt_new") + 1) * (col("tot_old") + col("v"))).cast("double")
+            / ((col("cnt_old") + 1) * (col("tot_new") + col("v")))
+              .cast("double")).as("rate_ratio"))
+        .orderBy(desc("rate_ratio"), asc("token")).limit(20)
+    },
+
     // ---- Bloom-filter membership pre-filter (sketch-based dedup) ----
     // The cheap half of incremental exact dedup: a fixed-size bitmap
     // built once over the corpus (one pass, OR-merged partials) is

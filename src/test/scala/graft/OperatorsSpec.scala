@@ -143,6 +143,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.forall(_._2 === 0L))
   }
 
+  test("updateClusters: incremental CC equals full recompute and merges old clusters") {
+    // old clustering: {1,2}, {3,4}, {10,11}
+    val oldPairs = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val labels = Dedup.nearDupClusters(oldPairs)
+    // new batch: 2-3 MERGES clusters 1 and 3; 20-21 is a brand-new
+    // cluster; 11-30 attaches a new node to an old cluster
+    val newPairs = Seq((2L, 3L), (20L, 21L), (11L, 30L)).toDF("a", "b")
+    val got = Dedup.updateClusters(labels, newPairs)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.nearDupClusters(oldPairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(got === full)
+    assert(got(4L) === 1L)   // merged component re-canonicalizes to min id
+    assert(got(30L) === 10L) // new node joined an old cluster
+    assert(got(20L) === 20L && got(21L) === 20L) // fresh cluster
+  }
+
+  test("adaptiveQualityFloor keeps per-stratum top slice including floor ties") {
+    import graft.operators.Curation
+    // stratum A: scores 1..10, pct=20 → floor rank ceil(20·10/100)=2 →
+    // floor 2.0 → 9 kept / 1 dropped; stratum B: all-equal scores →
+    // floor = that value, every tie kept
+    val df = ((1 to 10).map(i => ("A", i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => ("B", i.toLong, 5.0))).toDF("src", "id", "q")
+    val out = graft.operators.Curation.adaptiveQualityFloor(
+      df, Seq("src"), col("q"), "id", pct = 20)
+    val a = out.filter(col("src") === "A")
+    assert(a.filter(col("kept")).count() === 9)
+    assert(a.filter(!col("kept")).count() === 1)
+    assert(a.select(max("floor")).head().getDouble(0) === 2.0)
+    val b = out.filter(col("src") === "B")
+    assert(b.filter(col("kept")).count() === 4)
+    // fail fast on output-column collisions instead of silently replacing
+    intercept[IllegalArgumentException] {
+      Curation.adaptiveQualityFloor(df.withColumnRenamed("q", "score"),
+        Seq("src"), col("score"), "id")
+    }
+  }
+
   test("hash sampling is repartition-stable and splits are exhaustive") {
     import graft.operators.Sampling
     graft.functions.GraftFunctions.register(spark)
