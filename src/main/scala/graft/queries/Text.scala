@@ -791,8 +791,14 @@ object Text extends QueryModule {
       FROM lab l LEFT JOIN olab o ON o.id = l.id
       ORDER BY doc_id""")) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // materialize the pair list ONCE: both consumers (the old-labels CC
+      // and the update) otherwise re-execute the whole LSH self-join —
+      // in production the two pair sets arrive separately anyway (the
+      // corpus's clusters are a stored table, the batch's pairs come
+      // from the q112 staged probe)
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+        .localCheckpoint(true)
       // a < b by contract, so b < 250 ⇔ both docs are in the old corpus
       val oldLabels = Dedup.nearDupClusters(pairs.filter(col("b") < 250))
       val updated = Dedup.updateClusters(

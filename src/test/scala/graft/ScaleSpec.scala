@@ -210,6 +210,29 @@ class ScaleSpec extends SparkTestBase {
     assert(df.collect().toSeq === inline.collect().toSeq)
   }
 
+  test("adaptive quality floor (q114) windows per stratum, never single-partition") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q114_adaptive_quality_floor")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // exact rank selection must parallelize across strata: every window
+    // sort is keyed on source — a SinglePartition exchange would mean a
+    // global sort that serializes the corpus through one task
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition stage in q114:\n$plan")
+  }
+
+  test("span novelty (q115) is equi-join keyed on span hash, no cartesian") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q115_span_novelty")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // first-owner lookup must be a hash equi-join on the span hash (the
+    // q86 shape); a nested-loop/cartesian here would be all-pairs over
+    // the exploded span list
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in q115:\n$plan")
+  }
+
   test("bloom probe is map-only: broadcast bitmap, no batch-side shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") < 250).select(md5(col("text")).as("fp"))
