@@ -813,6 +813,60 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- dedup yield curve (threshold tuning report) ----
+    // Before committing to a jaccard cutoff, sweep it: for each
+    // candidate threshold ≥ the LSH band design point (0.5 — candidates
+    // above it are a superset, so ONE pair list serves the whole sweep),
+    // how many pairs fire and how many docs would the greedy
+    // drop-any-with-smaller-dup policy remove? One broadcast of the
+    // 5-row threshold frame against the pair list — the pair list is
+    // computed once, never per threshold.
+    Q("q117_dedup_yield_curve", Some(s"""
+      WITH $dkLshPairs,
+      t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS thr)
+      SELECT t.thr AS threshold,
+        CAST(COUNT(CASE WHEN j.jaccard >= t.thr THEN 1 END) AS BIGINT)
+          AS n_pairs,
+        CAST(COUNT(DISTINCT CASE WHEN j.jaccard >= t.thr THEN j.b END)
+          AS BIGINT) AS n_dropped
+      FROM t, j GROUP BY t.thr ORDER BY threshold""")) { (s, d) =>
+      import s.implicits._
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
+        "text", numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+      val thr = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+      pairs.crossJoin(broadcast(thr))
+        .groupBy("threshold")
+        .agg(count(when(col("jaccard") >= col("threshold"), 1)).as("n_pairs"),
+          countDistinct(when(col("jaccard") >= col("threshold"), col("b")))
+            .as("n_dropped"))
+        .orderBy("threshold")
+    },
+
+    // ---- cluster size histogram (dedup capacity report) ----
+    // The shape of the duplicate mass: how many near-dup clusters exist
+    // at each size, how many docs sit in them, and how many a
+    // keep-one-per-cluster pass removes (size − 1 each). Pairs → CC
+    // labels → two tiny aggregations; the histogram is cluster-count
+    // sized. A heavy tail here (one giant cluster) is the signal to
+    // inspect boilerplate before trusting keep-one.
+    Q("q118_cluster_size_histogram", Some(s"""
+      WITH RECURSIVE $dkLshPairs,
+      $dkClusters,
+      cs AS (SELECT cluster, COUNT(*) AS size FROM lab GROUP BY cluster)
+      SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(size) AS BIGINT) AS n_docs,
+        CAST(SUM(size - 1) AS BIGINT) AS n_dropped
+      FROM cs GROUP BY size ORDER BY size""")) { (s, d) =>
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
+        "text", numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.5)
+      Dedup.nearDupClusters(pairs)
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"),
+          sum(col("size")).as("n_docs"),
+          sum(col("size") - 1).as("n_dropped"))
+        .orderBy("size")
+    },
+
     // ---- per-source adaptive quality floor (stratified curation) ----
     // One global quality cutoff over-prunes whole sources whose score
     // distribution sits low; Curation.adaptiveQualityFloor keeps each

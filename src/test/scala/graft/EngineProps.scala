@@ -107,6 +107,32 @@ object EngineProps extends Properties("graft") {
       r._1 == r._2 && r._3 == r._4
     }
 
+  /** Incremental CC (updateClusters) must equal the full recompute for
+    * ANY split of the edge list into old/new batches — including empty
+    * old (bootstrap) and empty new (idempotence): star-edge replay
+    * preserves connectivity exactly, whatever the merge pattern. */
+  property("updateClusters on any old/new split == full nearDupClusters") =
+    forAll(
+      Gen.nonEmptyListOf(for {
+        a <- Gen.choose(0L, 14L)
+        d <- Gen.choose(1L, 15L)
+      } yield (a, a + d)),
+      Gen.choose(0, 100)) { (rawEdges, cutPct) =>
+      val spk = spark; import spk.implicits._
+      val edges = rawEdges.distinct
+      val (oldE, newE) = edges.splitAt(edges.size * cutPct / 100)
+      val full = Dedup.nearDupClusters(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val labels =
+        if (oldE.isEmpty) Seq.empty[(Long, Long)].toDF("id", "cluster")
+        else Dedup.nearDupClusters(oldE.toDF("a", "b"))
+      val newPairs =
+        if (newE.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+        else newE.toDF("a", "b")
+      Dedup.updateClusters(labels, newPairs)
+        .as[(Long, Long)].collect().toMap == full
+    }
+
   /** IVF with nprobe = kCentroids degenerates to exact search: probing
     * every cell must reproduce brute-force top-k exactly. */
   property("ivfTopK with full probe equals bruteForceTopK") =
