@@ -555,6 +555,52 @@ object Vector extends QueryModule {
       ORDER BY i, j""")) { (s, d) =>
       Similarity.covarianceMatrix(Tables.embeddings(s, d), dim = 64)
         .orderBy("i", "j")
+    },
+
+    // ---- per-label embedding centroid drift between snapshots ----
+    // The embedding twin of q116's token drift: did a label's centroid
+    // MOVE between the old corpus slice (vec_id < 250) and the new one?
+    // (Re-embed / upstream-model / data-mix changes all show up here
+    // first.) Centroids are the q37 fixed-point aggregates; each is
+    // floored onto the 2^20 grid BEFORE differencing, so the squared-L2
+    // shift is an exact integer both engines compute identically — one
+    // double division at the end. Two label-count-sized frames meet in
+    // one equi-join; only labels present in BOTH slices report.
+    Q("q119_centroid_drift", Some(s"""
+      WITH ex AS (SELECT label, (vec_id < 250) AS old, g.j - 1 AS j,
+          CAST(embedding[g.j] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, 64) g(j)),
+      comp AS (SELECT label, old, j,
+          CAST(floor(((CAST(CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT))
+              AS BIGINT) AS DOUBLE) / 1099511627776.0) / COUNT(x))
+            * 1048576.0) AS BIGINT) AS f
+        FROM ex GROUP BY label, old, j),
+      d AS (SELECT o.label, (o.f - n.f) AS df
+        FROM comp o JOIN comp n ON n.label = o.label AND n.j = o.j
+        WHERE o.old AND NOT n.old)
+      SELECT label, CAST(SUM(df * df) AS BIGINT) AS dist2_fp,
+        CAST(SUM(df * df) AS DOUBLE) / 1099511627776.0 AS drift
+      FROM d GROUP BY label ORDER BY label""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      def gridCentroids(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("label")
+        .agg(graft.functions.GraftFunctions.fpVecSum(
+            col("embedding").cast("array<double>")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("label"), transform(col("s"), v =>
+          floor(((v.cast("double") / 1099511627776.0) / col("n")) * 1048576.0)
+            .cast("long")).as("f"))
+      val emb = Tables.embeddings(s, d)
+      val o = gridCentroids(emb.filter(col("vec_id") < 250))
+        .withColumnRenamed("f", "fo")
+      val n = gridCentroids(emb.filter(col("vec_id") >= 250))
+        .withColumnRenamed("f", "fn")
+      o.join(n, "label")
+        .select(col("label"),
+          aggregate(zip_with(col("fo"), col("fn"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist2_fp"))
+        .withColumn("drift", col("dist2_fp").cast("double") / 1099511627776.0)
+        .orderBy("label")
     }
   )
 }

@@ -210,6 +210,24 @@ class ScaleSpec extends SparkTestBase {
     assert(df.collect().toSeq === inline.collect().toSeq)
   }
 
+  test("q112 staging is content-addressed: repeat invocations reuse the staged table") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q112_staged_incremental_dedup")
+    val df1 = q(spark, d) // builds (or reuses) the staged signature table
+    val plan = df1.queryExecution.executedPlan.toString
+    val dir = "graft_staged_sigs_[0-9a-f]+".r.findFirstIn(plan)
+    assert(dir.isDefined, s"staged path not in plan:\n$plan")
+    val success = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/${dir.get}", "_SUCCESS")
+    assert(success.exists, s"missing commit marker at $success")
+    val t0 = success.lastModified
+    Thread.sleep(1100) // fs mtime granularity
+    // staging is once-per-snapshot: a repeat invocation over the same
+    // corpus + params must probe the existing table, not rewrite it
+    q(spark, d).collect()
+    assert(success.lastModified === t0, "staged table was rewritten")
+  }
+
   test("adaptive quality floor (q114) windows per stratum, never single-partition") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q114_adaptive_quality_floor")(spark, d)
