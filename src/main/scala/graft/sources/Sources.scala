@@ -53,4 +53,14 @@ object Sources {
     * production form is format("kafka") with identical downstream plan. */
   def eventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** S5 spool consumer: NDJSON file-stream over a
+    * [[graft.streaming.HttpIngest]] spool directory — one JSON event per
+    * line, schema supplied (never inferred: streaming inference re-lists
+    * the dir and an ingest endpoint's schema is a contract, not a
+    * guess). Hidden `.tmp-*` spool files are skipped by Spark's lister;
+    * only atomically-renamed batches are visible. */
+  def jsonEventStream(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(dir)
 }

@@ -1,0 +1,92 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.types._
+import graft.streaming.HttpIngest
+
+/** S5 HTTP ingest endpoint: REST front-door → atomic NDJSON spool →
+  * Structured Streaming file source (reference parity for
+  * src/main.c:82-98's libsoup :8088 + 202 Accepted, plus the body is
+  * actually durable and the S11 JWT auth wiring is exercised). */
+class HttpIngestSpec extends SparkTestBase {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, body: String,
+      bearer: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("POSTed NDJSON events flow through the spool into a streaming query") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val srv = HttpIngest.start(spool)
+    try {
+      assert(post(srv.port,
+        """{"event_id":1,"event_type":"purchase","value":10.5}
+          |{"event_id":2,"event_type":"signup","value":0.0}""".stripMargin)
+        .statusCode() === 202)
+      assert(post(srv.port,
+        """{"event_id":3,"event_type":"error","value":-1.0}""")
+        .statusCode() === 202)
+
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val q = graft.sources.Sources.jsonEventStream(spark, spool, schema)
+        .writeStream.format("memory").queryName("ingested")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("ingested")
+          .orderBy("event_id")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        assert(got.toSeq === Seq(
+          (1L, "purchase", 10.5), (2L, "signup", 0.0), (3L, "error", -1.0)))
+      } finally q.stop()
+    } finally srv.stop()
+  }
+
+  test("ingest rejects non-POST, empty bodies, and bad bearer tokens (S11 auth)") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-ingest-auth").toString
+    // S11-for-S5: gate on a real RS256 JWT
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val token = graft.functions.Jwt.sign("""{"iss":"graft","sub":"ingest"}""",
+      kp.getPrivate)
+    val srv = HttpIngest.start(spool, authorize =
+      Some(t => graft.functions.Jwt.verify(t, kp.getPublic).isDefined))
+    try {
+      // GET is not an ingest
+      val get = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/ingest")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() === 405)
+      // missing / forged tokens never spool a byte
+      assert(post(srv.port, """{"event_id":1}""").statusCode() === 401)
+      assert(post(srv.port, """{"event_id":1}""",
+        bearer = Some(token.dropRight(2) + "xx")).statusCode() === 401)
+      // valid token + empty body is still rejected
+      assert(post(srv.port, "", bearer = Some(token)).statusCode() === 400)
+      // the real thing is accepted
+      assert(post(srv.port, """{"event_id":1}""",
+        bearer = Some(token)).statusCode() === 202)
+      val files = new java.io.File(spool).listFiles()
+        .filter(_.getName.startsWith("batch-"))
+      assert(files.length === 1, "exactly the authorized batch is spooled")
+      // health endpoint stays open
+      val health = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() === 200)
+    } finally srv.stop()
+  }
+}
