@@ -35,9 +35,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 object HttpIngest {
 
   /** Running ingest server; `port` is the bound (possibly ephemeral)
-    * port. `stop()` releases the socket; spooled batches stay. */
-  final class Server private[HttpIngest] (val port: Int, hs: HttpServer) {
-    def stop(): Unit = hs.stop(0)
+    * port. `stop()` releases the socket AND the handler pool (whose
+    * non-daemon threads would otherwise pin the JVM); spooled batches
+    * stay. */
+  final class Server private[HttpIngest] (val port: Int, hs: HttpServer,
+      pool: java.util.concurrent.ExecutorService) {
+    def stop(): Unit = { hs.stop(0); pool.shutdown() }
   }
 
   /** Start an ingest server spooling to `spoolDir` (created if absent).
@@ -73,9 +76,10 @@ object HttpIngest {
       }
     })
     hs.createContext("/health", (ex: HttpExchange) => respond(ex, 200, "ok"))
-    hs.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    hs.setExecutor(pool)
     hs.start()
-    new Server(hs.getAddress.getPort, hs)
+    new Server(hs.getAddress.getPort, hs, pool)
   }
 
   private def authorized(ex: HttpExchange,
