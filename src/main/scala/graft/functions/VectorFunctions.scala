@@ -62,10 +62,15 @@ object VectorFunctions {
     }
   }
 
-  /** Random-hyperplane LSH bucket id (signature of `planes` sign bits). */
-  def lshBucket(emb: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      val d = dotExact(emb, typedlit(planeWeights(p, dim)))
-      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+  /** Random-hyperplane LSH bucket id (signature of `planes` sign bits),
+    * over global plane indices [offset, offset + planes) — `offset`
+    * selects an INDEPENDENT plane set from the same md5-derived family
+    * (set s of width w uses offset = s·w), which is what OR-amplified
+    * multi-table LSH needs: distinct tables, one reproducible weight
+    * source. */
+  def lshBucket(emb: Column, planes: Int, dim: Int, offset: Int = 0): Column =
+    (0 until planes).map { i =>
+      val d = dotExact(emb, typedlit(planeWeights(offset + i, dim)))
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -354,6 +354,47 @@ object Similarity {
         col("dup_of").isNull.as("kept"))
   }
 
+  /** OR-amplified multi-table LSH ANN top-k: `sets` INDEPENDENT
+    * hyperplane sets (set s uses the md5 plane family at offset
+    * s·planes), and a corpus vector is a candidate when it shares a
+    * bucket with the query in ANY set. This is the standard L-table
+    * LSH amplification [[lshTopK]]'s scaladoc defers to: recall rises
+    * toward exact with each added set while PER-SET bucket occupancy —
+    * and therefore verify cost per table — stays constant; total cost
+    * is ~sets × one-table cost, a linear price for an exponential
+    * recall gap.
+    *
+    * Shape: one posexplode to (vec_id, set, bucket) — sets × corpus
+    * narrow rows, map-only — then the same broadcast-query bucket join
+    * as [[lshTopK]] keyed on (set, bucket). Candidates dedup on
+    * (qid, vid) BEFORE scoring, so a pair colliding in several tables
+    * is scored exactly once and the top-k window sees no duplicates.
+    * Returns (qid, vid, cosine, rank). */
+  def lshTopKMulti(emb: DataFrame, queryPred: Column, planes: Int, dim: Int,
+      k: Int, sets: Int = 2): DataFrame = {
+    require(sets >= 1, s"sets must be >= 1, got $sets")
+    val eb = withNorm2(emb).select(col("vec_id"), col("embedding"), col("n2"),
+      posexplode(array((0 until sets).map(s =>
+        lshBucket(col("embedding"), planes, dim, s * planes)): _*))
+        .as(Seq("bset", "bucket")))
+    val q = eb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("bset").as("q_set"),
+        col("bucket").as("q_bucket"))
+    val cand = eb.join(broadcast(q),
+        col("bset") === col("q_set") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("q_emb"), col("q_n2"),
+        col("vec_id"), col("embedding"), col("n2"))
+      .dropDuplicates("qid", "vec_id")
+    val scored = cand.withColumn("cosine",
+      cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("vid"), col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates restricted to the query's
     * random-hyperplane bucket. Returns (qid, vid, bucket, cosine, rank). */
   def lshTopK(emb: DataFrame, queryPred: Column, planes: Int, dim: Int, k: Int): DataFrame = {

@@ -142,6 +142,46 @@ object Vector extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // ---- OR-amplified multi-table LSH ANN (the recall knob) ----
+    // q36 with the standard L-table amplification: 2 INDEPENDENT 4-plane
+    // sets (global plane indices 0-3 and 4-7 of the same md5 family), a
+    // candidate qualifies on a bucket match in ANY set, pairs dedup
+    // before scoring. Per-set bucket occupancy is unchanged, so verify
+    // cost is ~2× q36 for recall that approaches exact exponentially in
+    // the set count — the production answer when q90's recall eval says
+    // one table is not enough.
+    Q("q120_ann_lsh_multiprobe", Some(s"""
+      WITH w AS (SELECT p.p, j.j,
+        (CAST(CAST(('0x'||substr(md5('plane:'||p.p||':'||j.j),1,15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0) * 2.0 - 1.0 AS w
+        FROM generate_series(0, 7) p(p), generate_series(1, 64) j(j)),
+      pd AS (SELECT e.vec_id, w.p,
+        ${dkDecSum("CAST(e.embedding[w.j] AS DOUBLE) * w.w")} AS d
+        FROM embeddings e, w GROUP BY e.vec_id, w.p),
+      sig AS (SELECT vec_id, p // 4 AS bset,
+        CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (p % 4)) ELSE 0 END) AS BIGINT) AS bucket
+        FROM pd GROUP BY vec_id, p // 4),
+      $dkNorm2,
+      cand AS (SELECT DISTINCT q.vec_id AS qid, e.vec_id AS vid
+        FROM sig q JOIN sig e
+          ON q.vec_id < 8 AND e.bset = q.bset AND e.bucket = q.bucket
+            AND e.vec_id <> q.vec_id),
+      dots AS (SELECT c.qid, c.vid,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+          JOIN embeddings e ON e.vec_id = c.vid, generate_series(1, 64) g(j)
+        GROUP BY c.qid, c.vid),
+      cos AS (SELECT d.qid, d.vid, d.dot/(sqrt(a.n2)*sqrt(b.n2)) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
+      SELECT qid, vid, cosine, CAST(rn AS INT) AS rank
+      FROM cos WHERE rn <= 3 ORDER BY qid, rank""")) { (s, d) =>
+      Similarity.lshTopKMulti(Tables.embeddings(s, d), col("vec_id") < 8,
+          planes = 4, dim = 64, k = 3, sets = 2)
+        .orderBy("qid", "rank")
+    },
+
     // ---- int8 embedding quantization (4× ANN memory/shuffle reduction) ----
     // Symmetric max-abs quantization: scale = 127/max|x|, q_i =
     // floor(x_i·scale + 0.5) ∈ [-127, 127] (floor(+0.5) is the portable

@@ -143,6 +143,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.forall(_._2 === 0L))
   }
 
+  test("OR-amplified LSH recall dominates single-table recall vs exact top-k") {
+    // multi-set candidates are a superset of set 0 (= lshTopK's planes),
+    // and an exact-top-k item outranked by at most k-1 vectors globally
+    // holds rank <= k in ANY candidate subset — so recall can only rise
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qp = col("vec_id") < 8
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vid").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, qp, k = 3))
+    val single = pairs(Similarity.lshTopK(emb, qp, planes = 4, dim = 64, k = 3))
+    val multi = pairs(Similarity.lshTopKMulti(emb, qp, planes = 4, dim = 64,
+      k = 3, sets = 2))
+    assert((multi intersect exact).size >= (single intersect exact).size)
+    // every single-table exact hit survives amplification
+    assert((single intersect exact).subsetOf(multi))
+  }
+
   test("updateClusters: incremental CC equals full recompute and merges old clusters") {
     // old clustering: {1,2}, {3,4}, {10,11}
     val oldPairs = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("a", "b")
