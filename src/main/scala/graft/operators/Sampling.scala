@@ -119,6 +119,35 @@ object Sampling {
     * [[hashBucket]] pre-filter would NOT work: pmod is not monotone in
     * the hash, so bucket membership keeps a random slice, not the
     * smallest-hash rows. */
+  /** Token-budget stratified sample: within each stratum, take documents
+    * in seeded-hash order (the same deterministic uniform draw as
+    * [[stratifiedCap]]) while the running TOKEN sum stays ≤ `budget`.
+    * This is the MATERIALIZATION step after a mixture plan (q104's
+    * temperature weights, a manual rebalance, a data contract) has
+    * decided each stratum's share: an LM consumes tokens, not documents,
+    * so the cap is by tokens — and it stays exact under repartitioning
+    * and retries because the order is a pure hash of the id. `budget` is
+    * a Column, so per-stratum budgets arrive by joining the plan table
+    * upstream; emits `cum_tokens` for audit.
+    *
+    * Scale: one shuffle on the strata + per-stratum window sort — the
+    * [[stratifiedCap]] shape; mixture strata are many and bounded. For a
+    * single giant stratum the q83 raw-hash prefilter applies with bound
+    * ~2·budget/mean_tokens rows before the window. */
+  def tokenBudgetSample(df: DataFrame, strata: Seq[String], idCol: String,
+      tokens: Column, budget: Column, seed: Int): DataFrame = {
+    require(strata.nonEmpty, "tokenBudgetSample needs at least one stratum")
+    require(!df.columns.contains("cum_tokens"),
+      "tokenBudgetSample emits a 'cum_tokens' column; input already has one")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(seededHash(col(idCol), seed).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
       cap: Int, seed: Int): DataFrame = {
     require(cap >= 1 && strata.nonEmpty)

@@ -440,6 +440,34 @@ object Text extends QueryModule {
         .orderBy("source", "lang", "rn")
     },
 
+    // ---- token-budget mixture sampling (materialize the data mix) ----
+    // The step AFTER q104 decides per-source shares: within each source,
+    // take docs in seeded-hash order until the source's token budget is
+    // exhausted (Sampling.tokenBudgetSample). Budget here is a constant
+    // 400 tokens per source (sized to CUT: sources carry ~1.4k tokens
+    // each at gate scale); production joins the q104 weight table to
+    // supply per-stratum budgets — the operator takes a Column. The cap
+    // is by TOKENS (what an LM consumes), not documents, and the draw is
+    // repartition/retry-stable because the order is a pure id hash.
+    Q("q121_token_budget_sample", Some(s"""
+      WITH t AS (SELECT doc_id, source,
+          CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+          ${dkHash("CAST(doc_id AS VARCHAR)", 11)} AS h FROM documents),
+      r AS (SELECT doc_id, source, nt,
+          CAST(SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM t)
+      SELECT doc_id, source, cum_tokens
+      FROM r WHERE cum_tokens <= 400 ORDER BY doc_id""")) { (s, d) =>
+      graft.operators.Sampling.tokenBudgetSample(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            tokenCount(col("text")).cast("long").as("nt")),
+          strata = Seq("source"), idCol = "doc_id", tokens = col("nt"),
+          budget = lit(400L), seed = 11)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---- benchmark decontamination (shingle-overlap flagging) ----
     // The standard eval-contamination check: flag corpus docs sharing ≥ 2
     // distinct 3-token shingles with any benchmark doc (stand-in

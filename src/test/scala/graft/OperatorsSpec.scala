@@ -199,6 +199,28 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBudgetSample: budget-prefix monotone, repartition-stable, per-stratum") {
+    import graft.operators.Sampling
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val df = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L + rnd.nextInt(90)))
+      .toDF("id", "src", "nt")
+    def ids(d: org.apache.spark.sql.DataFrame, budget: Long) =
+      Sampling.tokenBudgetSample(d, Seq("src"), "id", col("nt"),
+        lit(budget), seed = 5).select("id").as[Long].collect().toSet
+    val small = ids(df, 500L)
+    val large = ids(df, 2000L)
+    assert(small.subsetOf(large), "larger budget must extend, not reshuffle")
+    assert(ids(df.repartition(13), 500L) === small, "layout must not matter")
+    // every stratum respects ITS budget: max cum_tokens <= budget
+    val caps = Sampling.tokenBudgetSample(df, Seq("src"), "id", col("nt"),
+        lit(500L), seed = 5)
+      .groupBy("src").agg(max("cum_tokens").as("m"))
+      .select("m").as[Long].collect()
+    assert(caps.nonEmpty && caps.forall(_ <= 500L))
+  }
+
   test("hash sampling is repartition-stable and splits are exhaustive") {
     import graft.operators.Sampling
     graft.functions.GraftFunctions.register(spark)
