@@ -119,6 +119,19 @@ object Sampling {
     * [[hashBucket]] pre-filter would NOT work: pmod is not monotone in
     * the hash, so bucket membership keeps a random slice, not the
     * smallest-hash rows. */
+  def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
+      cap: Int, seed: Int): DataFrame = {
+    require(cap >= 1 && strata.nonEmpty)
+    // fail fast: silently replacing a caller's `rn` (e.g. another ranking
+    // step's output) would hand downstream code the wrong column
+    require(!df.columns.contains("rn"),
+      "stratifiedCap emits a 'rn' column; input already has one — rename it first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(seededHash(col(idCol), seed).asc, col(idCol).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+  }
+
   /** Token-budget stratified sample: within each stratum, take documents
     * in seeded-hash order (the same deterministic uniform draw as
     * [[stratifiedCap]]) while the running TOKEN sum stays ≤ `budget`.
@@ -146,18 +159,5 @@ object Sampling {
         org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("cum_tokens", sum(tokens).over(w))
       .filter(col("cum_tokens") <= budget)
-  }
-
-  def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: String,
-      cap: Int, seed: Int): DataFrame = {
-    require(cap >= 1 && strata.nonEmpty)
-    // fail fast: silently replacing a caller's `rn` (e.g. another ranking
-    // step's output) would hand downstream code the wrong column
-    require(!df.columns.contains("rn"),
-      "stratifiedCap emits a 'rn' column; input already has one — rename it first")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strata.map(col): _*)
-      .orderBy(seededHash(col(idCol), seed).asc, col(idCol).asc)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
   }
 }
