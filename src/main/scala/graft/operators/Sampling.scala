@@ -160,4 +160,36 @@ object Sampling {
     df.withColumn("cum_tokens", sum(tokens).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Distribution-matched sampling: within each `bucketCol` cell, keep
+    * the same number of rows from every `sideCol` group — the smallest
+    * side's count — drawn by seeded hash. This builds CONTRAST SETS
+    * whose confound is controlled away: a quality/source classifier
+    * trained on curated-vs-crawl must not be able to cheat by reading
+    * document length, so bucket by length and the kept sides have
+    * identical length histograms by construction. Buckets missing any
+    * of the `nSides` expected sides are dropped entirely (a one-sided
+    * bucket can't be matched). The draw is the usual repartition-stable
+    * hash order.
+    *
+    * Scale: one shuffle on (bucket, side) for the rank windows plus the
+    * per-bucket min — all window-local; buckets × sides are many and
+    * bounded (the parallel shape). No joins, no corpus self-anything. */
+  def matchedSample(df: DataFrame, sideCol: String, bucketCol: String,
+      idCol: String, nSides: Int, seed: Int): DataFrame = {
+    require(nSides >= 2, s"matching needs at least 2 sides, got $nSides")
+    val wSB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bucketCol), col(sideCol))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bucketCol))
+    df.withColumn("__rn", row_number()
+        .over(wSB.orderBy(seededHash(col(idCol), seed).asc, col(idCol).asc))
+        .cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(wSB))
+      .withColumn("__cap", min(col("__cnt")).over(wB))
+      .withColumn("__nsides",
+        size(collect_set(col(sideCol)).over(wB)).cast("int"))
+      .filter(col("__nsides") === nSides && col("__rn") <= col("__cap"))
+      .drop("__rn", "__cnt", "__cap", "__nsides")
+  }
 }

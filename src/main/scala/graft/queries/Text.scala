@@ -468,6 +468,41 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- length-matched contrast sample (classifier training prep) ----
+    // A curated-vs-crawl quality classifier must not cheat by reading
+    // document LENGTH, so the training contrast set is matched: bucket
+    // by n_chars//50, and within each bucket keep the same number of
+    // curated (src0-4) and crawl docs — the smaller side's count — by
+    // seeded-hash draw (Sampling.matchedSample). Kept sides then have
+    // identical length histograms by construction; one-sided buckets
+    // drop (nothing to match against).
+    Q("q122_matched_contrast_sample", Some(s"""
+      WITH t AS (SELECT doc_id,
+          (source IN ('src0','src1','src2','src3','src4')) AS curated,
+          CAST(n_chars // 50 AS BIGINT) AS bucket,
+          ${dkHash("CAST(doc_id AS VARCHAR)", 13)} AS h FROM documents),
+      c AS (SELECT bucket, curated, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+      m AS (SELECT bucket, MIN(cnt) AS cap, COUNT(*) AS nsides
+        FROM c GROUP BY bucket),
+      r AS (SELECT t.doc_id, t.curated, t.bucket,
+          ROW_NUMBER() OVER (PARTITION BY t.bucket, t.curated
+            ORDER BY t.h, t.doc_id) AS rn
+        FROM t)
+      SELECT r.doc_id, r.curated, r.bucket
+      FROM r JOIN m ON m.bucket = r.bucket
+      WHERE m.nsides = 2 AND r.rn <= m.cap
+      ORDER BY doc_id""")) { (s, d) =>
+      val curated = Seq("src0", "src1", "src2", "src3", "src4")
+      graft.operators.Sampling.matchedSample(
+          Tables.documents(s, d).select(col("doc_id"),
+            col("source").isin(curated: _*).as("curated"),
+            expr("n_chars div 50").cast("long").as("bucket")),
+          sideCol = "curated", bucketCol = "bucket", idCol = "doc_id",
+          nSides = 2, seed = 13)
+        .select(col("doc_id"), col("curated"), col("bucket"))
+        .orderBy("doc_id")
+    },
+
     // ---- benchmark decontamination (shingle-overlap flagging) ----
     // The standard eval-contamination check: flag corpus docs sharing ≥ 2
     // distinct 3-token shingles with any benchmark doc (stand-in

@@ -221,6 +221,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(caps.nonEmpty && caps.forall(_ <= 500L))
   }
 
+  test("matchedSample equalizes side counts per bucket; one-sided buckets drop") {
+    import graft.operators.Sampling
+    graft.functions.GraftFunctions.register(spark)
+    // bucket 0: 5 pos / 3 neg -> 3+3; bucket 1: 2 pos / 4 neg -> 2+2;
+    // bucket 2: pos only -> dropped entirely
+    val df = ((1L to 5L).map((_, true, 0L)) ++ (6L to 8L).map((_, false, 0L)) ++
+      (9L to 10L).map((_, true, 1L)) ++ (11L to 14L).map((_, false, 1L)) ++
+      (15L to 17L).map((_, true, 2L))).toDF("id", "side", "bucket")
+    val out = Sampling.matchedSample(df, "side", "bucket", "id",
+      nSides = 2, seed = 9)
+    val counts = out.groupBy("bucket", "side").count()
+      .as[(Long, Boolean, Long)].collect().toSet
+    assert(counts === Set((0L, true, 3L), (0L, false, 3L),
+      (1L, true, 2L), (1L, false, 2L)))
+    // the matched confound has IDENTICAL histograms across sides
+    val hist = out.groupBy("bucket").agg(
+      sum(when(col("side"), 1).otherwise(0)).as("p"),
+      sum(when(!col("side"), 1).otherwise(0)).as("n"))
+    assert(hist.filter(col("p") =!= col("n")).count() === 0)
+  }
+
   test("hash sampling is repartition-stable and splits are exhaustive") {
     import graft.operators.Sampling
     graft.functions.GraftFunctions.register(spark)
