@@ -503,6 +503,56 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ---- per-source signature terms (distinctive-vocabulary report) ----
+    // Which tokens make each source LOOK like itself? Add-one smoothed
+    // rate ratio of in-source vs rest-of-corpus usage — q116's drift
+    // arithmetic pointed across slices instead of across time, so the
+    // ranking is all-integer cross-products until one double division
+    // (reduction-order independent). Top-5 risers per source; the
+    // report a curator reads before trusting source labels, and the
+    // feature list a cheap source classifier starts from. Shape: ONE
+    // (source, token) count + per-token totals broadcast back, per-
+    // source top-k window over the vocabulary-sized aggregate.
+    Q("q123_source_signature_terms", Some(s"""
+      WITH tk AS (SELECT source, unnest(string_split(text,' ')) AS t
+        FROM documents),
+      sc AS (SELECT source, t, COUNT(*) AS c FROM tk GROUP BY source, t),
+      tt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM sc GROUP BY t),
+      st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM sc GROUP BY source),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS call,
+        COUNT(DISTINCT t) AS v FROM sc),
+      r AS (SELECT sc.source, sc.t AS token, CAST(sc.c AS BIGINT) AS cnt,
+          CAST((sc.c + 1) * ((SELECT call FROM tot) - st.cs + (SELECT v FROM tot))
+            AS DOUBLE)
+          / CAST((tt.ct - sc.c + 1) * (st.cs + (SELECT v FROM tot)) AS DOUBLE)
+            AS rate_ratio
+        FROM sc JOIN tt ON tt.t = sc.t JOIN st ON st.source = sc.source),
+      k AS (SELECT source, token, cnt, rate_ratio,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY rate_ratio DESC, token) AS rn
+        FROM r)
+      SELECT source, token, cnt, rate_ratio, CAST(rn AS INT) AS rank
+      FROM k WHERE rn <= 5 ORDER BY source, rank""")) { (s, d) =>
+      val sc = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      val tt = sc.groupBy("t").agg(sum(col("c")).as("ct"))
+      val st = sc.groupBy("source").agg(sum(col("c")).as("cs"))
+      val tot = sc.agg(sum(col("c")).as("call"),
+        countDistinct(col("t")).as("v"))
+      val r = sc.join(tt, "t").join(broadcast(st), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("t").as("token"), col("c").as("cnt"),
+          (((col("c") + 1) * (col("call") - col("cs") + col("v"))).cast("double")
+            / ((col("ct") - col("c") + 1) * (col("cs") + col("v")))
+              .cast("double")).as("rate_ratio"))
+      val w = Window.partitionBy("source")
+        .orderBy(desc("rate_ratio"), asc("token"))
+      r.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("source", "rank")
+    },
+
     // ---- benchmark decontamination (shingle-overlap flagging) ----
     // The standard eval-contamination check: flag corpus docs sharing ≥ 2
     // distinct 3-token shingles with any benchmark doc (stand-in

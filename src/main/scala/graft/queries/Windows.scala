@@ -152,6 +152,59 @@ object Windows extends QueryModule {
         .orderBy(desc("n_users"), asc("path"))
     },
 
+    // ---- gap-based sessionization + per-user engagement stats ----
+    // The batch twin of q40's session windows, reported per USER: a
+    // session breaks on a >30-min silence (lag + conditional running
+    // sum = the classic sessionize shape), then two grouped aggs give
+    // session count, events, the largest session, and total active
+    // time. All time math runs in exact epoch MICROSECONDS on both
+    // engines (event timestamps carry sub-second parts, so second
+    // truncation would mis-split borderline gaps). Two user-partitioned
+    // windows + two partial-agg shuffles — parallelizes across users,
+    // sorts only within one user's events.
+    Q("q124_session_stats", Some("""
+      WITH o AS (SELECT user_id, event_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events),
+      s AS (SELECT user_id, us,
+          CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM o),
+      g AS (SELECT user_id, sid, COUNT(*) AS n_events,
+          MAX(us) - MIN(us) AS dur_us
+        FROM s GROUP BY user_id, sid)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(n_events) AS BIGINT) AS n_events,
+        CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+        CAST(SUM(dur_us) AS BIGINT) AS active_us
+      FROM g GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val o = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(byUser))
+      val sess = o.withColumn("sid",
+        sum(when(col("prev").isNull ||
+            col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      sess.groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("dur_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("dur_us")).as("active_us"))
+        .orderBy("user_id")
+    },
+
     // ---- event transition matrix (first-order Markov model) ----
     // (from_type → to_type) counts over each user's time-ordered event
     // stream plus the conditional transition probability — the behavior
