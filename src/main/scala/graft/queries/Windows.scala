@@ -185,9 +185,12 @@ object Windows extends QueryModule {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy("user_id")
         .orderBy(col("us"), col("event_id"))
+      // cast before unix_micros: a parquet rewrite can surface ts as
+      // TIMESTAMP_NTZ (unix_micros is LTZ-strict); under the UTC session
+      // the cast is value-preserving and a no-op on the normal path
       val o = Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"))
+          unix_micros(col("ts").cast("timestamp")).as("us"))
         .withColumn("prev", lag(col("us"), 1).over(byUser))
       val sess = o.withColumn("sid",
         sum(when(col("prev").isNull ||
