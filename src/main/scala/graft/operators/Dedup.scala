@@ -124,9 +124,10 @@ object Dedup {
     * truncate long chains at `maxIter` (now a loud failure instead).
     * Rounds are one equi-join + partial-aggregated min + one self-join —
     * the standard distributed-CC shape at corpus scale. Lineage is cut
-    * per round (`localCheckpoint`): iterative plans otherwise grow
-    * exponentially in the optimizer. The driver-side loop is the
-    * iteration counter only — per-round data never leaves the executors.
+    * per round (executor-local by default, RELIABLE when `checkpointDir`
+    * is given — see the comment at the cut): iterative plans otherwise
+    * grow exponentially in the optimizer. The driver-side loop is the
+    * iteration counter only — per-round data never leaves the cluster.
     *
     * Convergence detection rides the round's own materialization: each
     * row carries its previous label through the round, and an `observe`
@@ -138,13 +139,25 @@ object Dedup {
     * metrics are also aggregated exactly once per successful task, so a
     * task retry cannot inflate the count — `changed == 0` is an exact
     * convergence test. */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Per-round lineage cut. Default `localCheckpoint(eager)` stores the
+    // blocks on EXECUTORS — zero extra I/O, but an executor loss mid-CC
+    // kills the query (acceptable for minutes-long jobs; Spark retries
+    // the whole query). Passing `checkpointDir` switches every cut to a
+    // RELIABLE `checkpoint()` into that (cluster-visible) directory:
+    // each round then survives executor loss at the price of one
+    // label-table write + read per round — the right trade when a CC run
+    // over a 100 TB corpus's pair list occupies the cluster for hours.
+    if (checkpointDir.isDefined)
+      pairs.sparkSession.sparkContext.setCheckpointDir(checkpointDir.get)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val edges = cut(pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -163,12 +176,11 @@ object Dedup {
             .as("cluster"),
           prop("__old"))
       val obs = org.apache.spark.sql.Observation(s"graft-cc-round-$i")
-      val jumped = staged
+      val jumped = cut(staged
         .observe(obs, sum(when(col("cluster") =!= col("__old"), 1L)
           .otherwise(0L)).as("changed"))
-        .select(col("id"), col("cluster"))
-        .localCheckpoint(true)
-      // localCheckpoint(eager) already ran the job, so get() returns
+        .select(col("id"), col("cluster")))
+      // the eager checkpoint already ran the job, so get() returns
       // immediately; sum over zero rows is NULL → treat as converged.
       // A MISSING key must fail loudly: Option.forall(None) is true, so
       // an alias drift would otherwise silently exit after one round
@@ -212,10 +224,11 @@ object Dedup {
     * member) has no edge to replay and is dropped, matching
     * nearDupClusters' "no pair → absent" convention. */
   def updateClusters(labels: DataFrame, newPairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     val starEdges = labels.filter(col("id") =!= col("cluster"))
       .select(col("id").as("a"), col("cluster").as("b"))
-    nearDupClusters(starEdges.unionByName(newPairs.select("a", "b")), maxIter)
+    nearDupClusters(starEdges.unionByName(newPairs.select("a", "b")), maxIter,
+      checkpointDir)
   }
 
   /** Keep-one-per-cluster with an explicit keep POLICY: given

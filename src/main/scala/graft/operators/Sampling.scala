@@ -143,22 +143,68 @@ object Sampling {
     * a Column, so per-stratum budgets arrive by joining the plan table
     * upstream; emits `cum_tokens` for audit.
     *
-    * Scale: one shuffle on the strata + per-stratum window sort — the
-    * [[stratifiedCap]] shape; mixture strata are many and bounded. For a
-    * single giant stratum the q83 raw-hash prefilter applies with bound
-    * ~2·budget/mean_tokens rows before the window. */
+    * Scale — the giant-stratum problem, solved exactly: a single window
+    * over the stratum would pull the WHOLE stratum through one task's
+    * sort even though only ~budget tokens survive. Instead the hash
+    * order is sharded by its own TOP BITS into 2^`shardBits` range
+    * buckets (bucket id is monotone in the hash, so bucket-major +
+    * in-bucket order IS the global hash order):
+    *   1. one map-side partial aggregation computes per-(stratum,
+    *      bucket) token subtotals — a strata × 2^shardBits-row frame;
+    *   2. a window over that TINY frame turns subtotals into each
+    *      bucket's starting offset `off` (tokens in all earlier
+    *      buckets);
+    *   3. offsets broadcast-join back to the rows (map-side), and every
+    *      row in a bucket with off > budget is dropped BEFORE the sort —
+    *      its running sum is ≥ off, so it can never be kept (this is
+    *      the exactness argument, and why `tokens` must be ≥ 0 —
+    *      enforced loudly);
+    *   4. the window sorts per (stratum, bucket) — parallel across the
+    *      ~budget-sized survivor prefix — and off + in-bucket running
+    *      sum is exactly the global running sum.
+    * So the only per-stratum serial work is over buckets that intersect
+    * the budget prefix, never the stratum. Kept rows and `cum_tokens`
+    * are identical to the single-window definition for any integral
+    * token column (integer addition is associative; for fractional
+    * token weights the re-association can differ in the last ulp).
+    * `shardBits = 0` degenerates to the one-window-per-stratum shape. */
   def tokenBudgetSample(df: DataFrame, strata: Seq[String], idCol: String,
-      tokens: Column, budget: Column, seed: Int): DataFrame = {
+      tokens: Column, budget: Column, seed: Int,
+      shardBits: Int = 10): DataFrame = {
     require(strata.nonEmpty, "tokenBudgetSample needs at least one stratum")
+    require(shardBits >= 0 && shardBits <= 20,
+      s"shardBits must be in [0, 20], got $shardBits")
     require(!df.columns.contains("cum_tokens"),
       "tokenBudgetSample emits a 'cum_tokens' column; input already has one")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strata.map(col): _*)
-      .orderBy(seededHash(col(idCol), seed).asc, col(idCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("cum_tokens", sum(tokens).over(w))
+    Seq("__h", "__b", "__off", "__btok").foreach(c =>
+      require(!df.columns.contains(c),
+        s"tokenBudgetSample uses internal column '$c'; input already has one"))
+    val W = org.apache.spark.sql.expressions.Window
+    // a negative token count breaks the prefix-monotonicity the bucket
+    // prune relies on — fail loudly instead of silently mis-sampling
+    val tok = when(tokens < 0, raise_error(concat(
+        lit("tokenBudgetSample: negative token count for id "),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(tokens)
+    // seededHash is 60-bit; the bucket is its top shardBits — monotone
+    val rows = df.withColumn("__h", seededHash(col(idCol), seed))
+      .withColumn("__b", shiftright(col("__h"), 60 - shardBits))
+    val offs = rows
+      .groupBy((strata.map(col) :+ col("__b")): _*)
+      .agg(sum(tok).as("__btok"))
+      .withColumn("__off", coalesce(
+        sum(col("__btok")).over(W.partitionBy(strata.map(col): _*)
+          .orderBy(col("__b").asc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select((strata.map(col) :+ col("__b") :+ col("__off")): _*)
+    val wIn = W.partitionBy((strata.map(col) :+ col("__b")): _*)
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    rows.join(broadcast(offs), strata :+ "__b")
+      .filter(col("__off") <= budget)
+      .withColumn("cum_tokens", col("__off") + sum(tok).over(wIn))
       .filter(col("cum_tokens") <= budget)
+      .drop("__h", "__b", "__off")
   }
 
   /** Distribution-matched sampling: within each `bucketCol` cell, keep

@@ -354,6 +354,37 @@ object Similarity {
         col("dup_of").isNull.as("kept"))
   }
 
+  /** Query-side join strategy for the LSH bucket joins, the knob that
+    * separates the two production shapes:
+    *
+    *  - POINT QUERIES (a handful of probe vectors): broadcast the query
+    *    side — the corpus is scanned once map-side, no exchange of the
+    *    big side at all. This was the only path before round 6.
+    *  - CORPUS-SIZED QUERY SETS ("re-embed everything and find all
+    *    neighbors" — e.g. the full-neighbor sweep a q119 centroid-drift
+    *    alarm escalates to): broadcasting would OOM the driver and every
+    *    executor; instead SHUFFLE both sides on the bucket key
+    *    (sort-merge join). The join is hinted so neither the static
+    *    planner's size guess nor AQE can silently re-broadcast a
+    *    corpus-sized frame.
+    *
+    * `broadcastQueries = None` picks automatically: a bounded
+    * `limit(threshold+1).count()` probe (never holds more than
+    * threshold+1 rows) decides by the ACTUAL query count. The probe adds
+    * one narrow corpus pass, which the surrounding job already pays
+    * several of — callers who know their shape pass `Some(true/false)`
+    * and skip it. */
+  private def joinQueries(eb: DataFrame, q: DataFrame, cond: Column,
+      broadcastQueries: Option[Boolean], maxBroadcastQueries: Long): DataFrame = {
+    val useBroadcast = broadcastQueries.getOrElse {
+      require(maxBroadcastQueries >= 0 && maxBroadcastQueries < Int.MaxValue,
+        s"maxBroadcastQueries out of range: $maxBroadcastQueries")
+      q.limit(maxBroadcastQueries.toInt + 1).count() <= maxBroadcastQueries
+    }
+    if (useBroadcast) eb.join(broadcast(q), cond)
+    else eb.join(q.hint("shuffle_merge"), cond)
+  }
+
   /** OR-amplified multi-table LSH ANN top-k: `sets` INDEPENDENT
     * hyperplane sets (set s uses the md5 plane family at offset
     * s·planes), and a corpus vector is a candidate when it shares a
@@ -365,13 +396,16 @@ object Similarity {
     * recall gap.
     *
     * Shape: one posexplode to (vec_id, set, bucket) — sets × corpus
-    * narrow rows, map-only — then the same broadcast-query bucket join
-    * as [[lshTopK]] keyed on (set, bucket). Candidates dedup on
-    * (qid, vid) BEFORE scoring, so a pair colliding in several tables
-    * is scored exactly once and the top-k window sees no duplicates.
-    * Returns (qid, vid, cosine, rank). */
+    * narrow rows, map-only — then the [[joinQueries]] bucket join keyed
+    * on (set, bucket): query side broadcast for point queries,
+    * shuffle-joined for corpus-sized query sets (`broadcastQueries` /
+    * `maxBroadcastQueries` — counts EXPLODED rows, i.e. sets × queries).
+    * Candidates dedup on (qid, vid) BEFORE scoring, so a pair colliding
+    * in several tables is scored exactly once and the top-k window sees
+    * no duplicates. Returns (qid, vid, cosine, rank). */
   def lshTopKMulti(emb: DataFrame, queryPred: Column, planes: Int, dim: Int,
-      k: Int, sets: Int = 2): DataFrame = {
+      k: Int, sets: Int = 2, broadcastQueries: Option[Boolean] = None,
+      maxBroadcastQueries: Long = 65536L): DataFrame = {
     require(sets >= 1, s"sets must be >= 1, got $sets")
     val eb = withNorm2(emb).select(col("vec_id"), col("embedding"), col("n2"),
       posexplode(array((0 until sets).map(s =>
@@ -381,9 +415,10 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"), col("bset").as("q_set"),
         col("bucket").as("q_bucket"))
-    val cand = eb.join(broadcast(q),
+    val cand = joinQueries(eb, q,
         col("bset") === col("q_set") && col("bucket") === col("q_bucket") &&
-          col("vec_id") =!= col("qid"))
+          col("vec_id") =!= col("qid"),
+        broadcastQueries, maxBroadcastQueries)
       .select(col("qid"), col("q_emb"), col("q_n2"),
         col("vec_id"), col("embedding"), col("n2"))
       .dropDuplicates("qid", "vec_id")
@@ -396,14 +431,18 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN top-k: candidates restricted to the query's
-    * random-hyperplane bucket. Returns (qid, vid, bucket, cosine, rank). */
-  def lshTopK(emb: DataFrame, queryPred: Column, planes: Int, dim: Int, k: Int): DataFrame = {
+    * random-hyperplane bucket; query side broadcast or shuffle-joined
+    * per [[joinQueries]]. Returns (qid, vid, bucket, cosine, rank). */
+  def lshTopK(emb: DataFrame, queryPred: Column, planes: Int, dim: Int, k: Int,
+      broadcastQueries: Option[Boolean] = None,
+      maxBroadcastQueries: Long = 65536L): DataFrame = {
     val e = withNorm2(emb).withColumn("bucket", lshBucket(col("embedding"), planes, dim))
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"), col("bucket").as("q_bucket"))
-    val cand = e.join(broadcast(q),
-      col("bucket") === col("q_bucket") && col("vec_id") =!= col("qid"))
+    val cand = joinQueries(e, q,
+      col("bucket") === col("q_bucket") && col("vec_id") =!= col("qid"),
+      broadcastQueries, maxBroadcastQueries)
     val scored = cand.withColumn("cosine",
       cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))

@@ -540,12 +540,25 @@ object Text extends QueryModule {
       val st = sc.groupBy("source").agg(sum(col("c")).as("cs"))
       val tot = sc.agg(sum(col("c")).as("call"),
         countDistinct(col("t")).as("v"))
+      // The all-integer cross products are exact (and bit-identical to
+      // the oracle) only while every factor product fits int64: factors
+      // are ≤ call + v ≤ 2·call, so 2·call² < 2^63 ⇒ safe through
+      // call ≤ 2e9 total token instances. Beyond that the guard fails
+      // loudly (DuckDB's checked BIGINT multiply errors at the same
+      // boundary) — at that scale rebuild the ratio from per-term
+      // doubles, trading bit-parity for range.
       val r = sc.join(tt, "t").join(broadcast(st), "source")
         .crossJoin(broadcast(tot))
         .select(col("source"), col("t").as("token"), col("c").as("cnt"),
-          (((col("c") + 1) * (col("call") - col("cs") + col("v"))).cast("double")
-            / ((col("ct") - col("c") + 1) * (col("cs") + col("v")))
-              .cast("double")).as("rate_ratio"))
+          when(col("call") > 2000000000L, raise_error(concat(
+              lit("q123: corpus has "), col("call").cast("string"),
+              lit(" token instances > 2e9 — integer rate-ratio would " +
+                "overflow; use the double path at this scale")))
+            .cast("double"))
+          .otherwise(
+            ((col("c") + 1) * (col("call") - col("cs") + col("v"))).cast("double")
+              / ((col("ct") - col("c") + 1) * (col("cs") + col("v")))
+                .cast("double")).as("rate_ratio"))
       val w = Window.partitionBy("source")
         .orderBy(desc("rate_ratio"), asc("token"))
       r.withColumn("rank", row_number().over(w))
@@ -858,15 +871,34 @@ object Text extends QueryModule {
       // steady state, and concurrent runs over the same corpus share a
       // finished table instead of racing an overwrite against a reader.
       val src = new java.io.File(s"$d/documents.parquet")
+      // v1 = stageSignatures' bkey-clustered parquet layout: salting the
+      // key with the format version means a future layout change can
+      // never silently reuse an incompatible staged table left in tmpdir
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d|h=8|b=4|sh=3|${src.length}|${src.lastModified}"
+        .digest(s"v1|$d|h=8|b=4|sh=3|${src.length}|${src.lastModified}"
           .getBytes("UTF-8")).map("%02x".format(_)).mkString
       val staged =
         s"${System.getProperty("java.io.tmpdir")}/graft_staged_sigs_$key"
-      if (!new java.io.File(staged, "_SUCCESS").exists())
+      if (!new java.io.File(staged, "_SUCCESS").exists()) {
+        // stage into a unique temp dir and rename into the keyed path
+        // (the HttpIngest spool pattern): the rename is the commit, so
+        // two concurrent first runs never interleave writes — the loser's
+        // rename fails against the winner's directory and is discarded
+        val tmp = s"$staged.tmp-${java.util.UUID.randomUUID()}"
         Dedup.stageSignatures(docs.filter(col("doc_id") < 250), "doc_id",
-          "text", staged, numHashes = 8, bands = 4, shingleSize = 3,
+          "text", tmp, numHashes = 8, bands = 4, shingleSize = 3,
           numFiles = 4)
+        try
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+            java.nio.file.Paths.get(staged),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            // a concurrent run committed first — use its table
+            org.apache.commons.io.FileUtils
+              .deleteDirectory(new java.io.File(tmp))
+        }
+      }
       Dedup.incrementalNearDupsStaged(
           s.read.parquet(staged), docs.filter(col("doc_id") >= 250),
           "doc_id", "text", numHashes = 8, bands = 4, shingleSize = 3,
@@ -1104,11 +1136,20 @@ object Text extends QueryModule {
           coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
       val tot = allt.agg(sum(col("cnt_old")).as("tot_old"),
         sum(col("cnt_new")).as("tot_new"), count(lit(1)).as("v"))
+      // same int64 exactness bound as q123: factors ≤ tot + v ≤ 2·tot,
+      // so the cross products are exact through ~2e9 total token
+      // instances per side; beyond that fail loudly (DuckDB's checked
+      // BIGINT multiply errors at the same boundary)
       allt.crossJoin(broadcast(tot))
         .select(col("token"), col("cnt_old"), col("cnt_new"),
-          (((col("cnt_new") + 1) * (col("tot_old") + col("v"))).cast("double")
-            / ((col("cnt_old") + 1) * (col("tot_new") + col("v")))
-              .cast("double")).as("rate_ratio"))
+          when(greatest(col("tot_old"), col("tot_new")) > 2000000000L,
+            raise_error(lit("q116: a corpus side exceeds 2e9 token " +
+              "instances — integer rate-ratio would overflow; use the " +
+              "double path at this scale")).cast("double"))
+          .otherwise(
+            ((col("cnt_new") + 1) * (col("tot_old") + col("v"))).cast("double")
+              / ((col("cnt_old") + 1) * (col("tot_new") + col("v")))
+                .cast("double")).as("rate_ratio"))
         .orderBy(desc("rate_ratio"), asc("token")).limit(20)
     },
 

@@ -182,6 +182,49 @@ object Vector extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // ---- corpus-vs-corpus ANN (every vector is a query; shuffle path) ----
+    // The "find all neighbors of everything" sweep — the job a q119
+    // centroid-drift alarm escalates to, and the one shape the broadcast
+    // ANN paths cannot run: a corpus-sized query set would OOM every
+    // executor's broadcast. broadcastQueries = Some(false) forces the
+    // sort-merge bucket join (hinted, so neither the planner's size
+    // guess nor AQE can re-broadcast it); both sides shuffle once on
+    // (set, bucket) and candidates stay LSH-bounded — never all-pairs.
+    // Same signature family, dedup-before-score and ranking contract as
+    // q120, so the one oracle chain gates both join strategies.
+    Q("q125_ann_corpus_neighbors", Some(s"""
+      WITH w AS (SELECT p.p, j.j,
+        (CAST(CAST(('0x'||substr(md5('plane:'||p.p||':'||j.j),1,15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0) * 2.0 - 1.0 AS w
+        FROM generate_series(0, 7) p(p), generate_series(1, 64) j(j)),
+      pd AS (SELECT e.vec_id, w.p,
+        ${dkDecSum("CAST(e.embedding[w.j] AS DOUBLE) * w.w")} AS d
+        FROM embeddings e, w GROUP BY e.vec_id, w.p),
+      sig AS (SELECT vec_id, p // 4 AS bset,
+        CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (p % 4)) ELSE 0 END) AS BIGINT) AS bucket
+        FROM pd GROUP BY vec_id, p // 4),
+      $dkNorm2,
+      cand AS (SELECT DISTINCT q.vec_id AS qid, e.vec_id AS vid
+        FROM sig q JOIN sig e
+          ON e.bset = q.bset AND e.bucket = q.bucket
+            AND e.vec_id <> q.vec_id),
+      dots AS (SELECT c.qid, c.vid,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+          JOIN embeddings e ON e.vec_id = c.vid, generate_series(1, 64) g(j)
+        GROUP BY c.qid, c.vid),
+      cos AS (SELECT d.qid, d.vid, d.dot/(sqrt(a.n2)*sqrt(b.n2)) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
+      SELECT qid, vid, cosine, CAST(rn AS INT) AS rank
+      FROM cos WHERE rn <= 2 ORDER BY qid, rank""")) { (s, d) =>
+      Similarity.lshTopKMulti(Tables.embeddings(s, d), col("vec_id") >= 0,
+          planes = 4, dim = 64, k = 2, sets = 2,
+          broadcastQueries = Some(false))
+        .orderBy("qid", "rank")
+    },
+
     // ---- int8 embedding quantization (4× ANN memory/shuffle reduction) ----
     // Symmetric max-abs quantization: scale = 127/max|x|, q_i =
     // floor(x_i·scale + 0.5) ∈ [-127, 127] (floor(+0.5) is the portable

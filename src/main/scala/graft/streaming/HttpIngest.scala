@@ -45,9 +45,17 @@ object HttpIngest {
 
   /** Start an ingest server spooling to `spoolDir` (created if absent).
     * `port` 0 binds an ephemeral port. `authorize` gates every /ingest
-    * request on its bearer token when set. */
+    * request on its bearer token when set. `maxBodyBytes` bounds every
+    * request body: a declared Content-Length above it is rejected 413
+    * before any byte is read, and chunked/undeclared bodies are read
+    * through a counting loop that stops at the cap — either way an
+    * oversized POST can never buffer past the cap in heap (the handler
+    * otherwise holds the whole batch, so without the cap one rogue
+    * client could OOM the edge JVM). */
   def start(spoolDir: String, port: Int = 0,
-      authorize: Option[String => Boolean] = None): Server = {
+      authorize: Option[String => Boolean] = None,
+      maxBodyBytes: Long = 64L << 20): Server = {
+    require(maxBodyBytes >= 1, s"maxBodyBytes must be >= 1, got $maxBodyBytes")
     val dir = Paths.get(spoolDir)
     Files.createDirectories(dir)
     val hs = HttpServer.create(new InetSocketAddress(port), 0)
@@ -57,15 +65,25 @@ object HttpIngest {
           respond(ex, 405, "method not allowed")
         else if (!authorized(ex, authorize))
           respond(ex, 401, "unauthorized")
+        else if (declaredLength(ex).exists(_ > maxBodyBytes))
+          respond(ex, 413, "payload too large")
         else {
-          val body = ex.getRequestBody.readAllBytes()
-          if (body.isEmpty) respond(ex, 400, "empty body")
+          val body = readBounded(ex.getRequestBody, maxBodyBytes)
+          if (body == null) respond(ex, 413, "payload too large")
+          else if (body.isEmpty) respond(ex, 400, "empty body")
           else {
             val name = java.util.UUID.randomUUID().toString
             val tmp = dir.resolve(s".tmp-$name")
-            Files.write(tmp, body)
-            Files.move(tmp, dir.resolve(s"batch-$name.json"),
-              StandardCopyOption.ATOMIC_MOVE)
+            // the rename is the commit: on any write/move failure the
+            // hidden temp file is deleted before the 500, so a crashed
+            // request can't leave orphan spool garbage behind
+            try {
+              Files.write(tmp, body)
+              Files.move(tmp, dir.resolve(s"batch-$name.json"),
+                StandardCopyOption.ATOMIC_MOVE)
+            } catch {
+              case e: Exception => Files.deleteIfExists(tmp); throw e
+            }
             // the reference's ingest-ack status (src/main.c:94)
             respond(ex, 202, "accepted")
           }
@@ -80,6 +98,26 @@ object HttpIngest {
     hs.setExecutor(pool)
     hs.start()
     new Server(hs.getAddress.getPort, hs, pool)
+  }
+
+  /** Content-Length as declared, if parseable (absent for chunked). */
+  private def declaredLength(ex: HttpExchange): Option[Long] =
+    Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+
+  /** Read the stream fully, but never buffer more than `max` bytes:
+    * returns null the moment byte max+1 arrives (the 413 signal), so a
+    * chunked body with no Content-Length is still capped. */
+  private def readBounded(in: java.io.InputStream, max: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      if (out.size().toLong + n > max) return null
+      out.write(chunk, 0, n)
+      n = in.read(chunk)
+    }
+    out.toByteArray
   }
 
   private def authorized(ex: HttpExchange,

@@ -89,4 +89,30 @@ class HttpIngestSpec extends SparkTestBase {
       assert(health.statusCode() === 200)
     } finally srv.stop()
   }
+
+  test("ingest caps the body: over-cap 413 (declared and chunked), at-cap spooled") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-ingest-cap").toString
+    val srv = HttpIngest.start(spool, maxBodyBytes = 1024)
+    try {
+      // declared Content-Length over the cap → 413 before any byte spools
+      assert(post(srv.port, "x" * 2048).statusCode() === 413)
+      // one byte over the boundary → 413; exactly at the cap → accepted
+      assert(post(srv.port, "z" * 1025).statusCode() === 413)
+      assert(post(srv.port, "y" * 1024).statusCode() === 202)
+      // a chunked body (no Content-Length declared) is capped by the
+      // bounded read loop, not the header check
+      val chunked = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/ingest"))
+        .POST(HttpRequest.BodyPublishers.ofInputStream(() =>
+          new java.io.ByteArrayInputStream(("c" * 3000).getBytes("UTF-8"))))
+        .build()
+      assert(client.send(chunked,
+        HttpResponse.BodyHandlers.ofString()).statusCode() === 413)
+      // only the at-cap batch landed; rejects left no temp orphans behind
+      val files = new java.io.File(spool).listFiles()
+      assert(files.count(_.getName.startsWith("batch-")) === 1)
+      assert(!files.exists(_.getName.startsWith(".tmp-")),
+        "orphan temp spool file left behind")
+    } finally srv.stop()
+  }
 }

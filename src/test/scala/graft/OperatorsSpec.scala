@@ -158,6 +158,25 @@ class OperatorsSpec extends SparkTestBase {
     assert((multi intersect exact).size >= (single intersect exact).size)
     // every single-table exact hit survives amplification
     assert((single intersect exact).subsetOf(multi))
+    // the shuffle-join path (corpus-sized query sets) is the SAME
+    // operator under a different join strategy: identical rows, ranks
+    // and cosine bits — so the recall guarantees above carry over to it
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vid", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val viaB = full(Similarity.lshTopKMulti(emb, qp, planes = 4, dim = 64,
+      k = 3, sets = 2, broadcastQueries = Some(true)))
+    val viaS = full(Similarity.lshTopKMulti(emb, qp, planes = 4, dim = 64,
+      k = 3, sets = 2, broadcastQueries = Some(false)))
+    assert(viaS === viaB)
+    val viaB1 = full(Similarity.lshTopK(emb, qp, planes = 4, dim = 64, k = 3,
+      broadcastQueries = Some(true)))
+    val viaS1 = full(Similarity.lshTopK(emb, qp, planes = 4, dim = 64, k = 3,
+      broadcastQueries = Some(false)))
+    assert(viaS1 === viaB1)
+    // auto mode picks broadcast for this 8-query set and matches too
+    assert(full(Similarity.lshTopKMulti(emb, qp, planes = 4, dim = 64,
+      k = 3, sets = 2)) === viaB)
   }
 
   test("updateClusters: incremental CC equals full recompute and merges old clusters") {
@@ -219,6 +238,51 @@ class OperatorsSpec extends SparkTestBase {
       .groupBy("src").agg(max("cum_tokens").as("m"))
       .select("m").as[Long].collect()
     assert(caps.nonEmpty && caps.forall(_ <= 500L))
+  }
+
+  test("tokenBudgetSample bucket prune equals single-window on a giant skewed stratum") {
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(7)
+    // one giant stratum (3000 rows, ~10x the budget prefix) + one small
+    val df = ((1L to 3000L).map(i => (i, "giant", 1L + rnd.nextInt(20))) ++
+      (1L to 50L).map(i => (10000L + i, "small", 5L))).toDF("id", "src", "nt")
+    def run(bits: Int) =
+      Sampling.tokenBudgetSample(df, Seq("src"), "id", col("nt"), lit(300L),
+          seed = 9, shardBits = bits)
+        .select("id", "cum_tokens").as[(Long, Long)].collect().toSet
+    // shardBits = 0 IS the single-window definition; the bucketed prune
+    // must reproduce it row-for-row including the audit column
+    assert(run(10) === run(0))
+    assert(run(10).nonEmpty)
+    // a negative token count would break the prune's monotonicity
+    // argument — it must fail loudly, never mis-sample
+    val bad = Seq((1L, "x", 5L), (2L, "x", -3L)).toDF("id", "src", "nt")
+    val e = intercept[Exception] {
+      Sampling.tokenBudgetSample(bad, Seq("src"), "id", col("nt"), lit(10L),
+        seed = 1).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("negative token count"), msgs)
+  }
+
+  test("nearDupClusters/updateClusters reliable-checkpoint option: same labels, data on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val reliable = Dedup.nearDupClusters(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the cuts really went to the reliable dir (executor-loss survival)
+    def hasFiles(f: java.io.File): Boolean = {
+      val k = f.listFiles()
+      k != null && (k.exists(_.isFile) || k.exists(hasFiles))
+    }
+    assert(hasFiles(new java.io.File(dir)), "no reliable checkpoint data written")
+    // updateClusters threads the option and agrees with the local path
+    val upd = Dedup.updateClusters(Dedup.nearDupClusters(pairs),
+      newPairs = Seq((3L, 10L)).toDF("a", "b"), maxIter = 25,
+      checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(upd === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
   }
 
   test("matchedSample equalizes side counts per bucket; one-sided buckets drop") {

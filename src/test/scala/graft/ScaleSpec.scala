@@ -266,6 +266,44 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
 
+  test("corpus-sized ANN (q125 path) shuffle-joins buckets — query side never broadcast") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val df = graft.operators.Similarity.lshTopKMulti(emb, col("vec_id") >= 0,
+      planes = 4, dim = 64, k = 2, sets = 2, broadcastQueries = Some(false))
+    assert(df.count() > 0)
+    // assert on the FINAL adaptive plan (post-execution render): the
+    // bucket join must be a sort-merge on (set, bucket) with no
+    // BroadcastExchange anywhere — the hint has to survive both the
+    // static planner's size guess and AQE's re-planning, or a
+    // corpus-sized query set would OOM the broadcast at scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"no sort-merge bucket join:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"query side was broadcast despite Some(false):\n$plan")
+    // same contract for the single-table variant
+    val one = graft.operators.Similarity.lshTopK(emb, col("vec_id") >= 0,
+      planes = 4, dim = 64, k = 2, broadcastQueries = Some(false))
+    assert(one.count() > 0)
+    val p1 = one.queryExecution.executedPlan.toString
+    assert(p1.contains("SortMergeJoin") && !p1.contains("BroadcastExchange"), p1)
+  }
+
+  test("tokenBudgetSample shards the stratum window by hash bucket (no stratum-serial sort)") {
+    // ONE giant stratum: the old single-window shape would sort it in
+    // one task; the bucketed form must (a) key the row window on
+    // (stratum, __b) and (b) prune rows past the budget BEFORE the sort
+    val df = (1L to 2000L).map(i => (i, "one", 10L)).toDF("id", "src", "nt")
+    val out = graft.operators.Sampling.tokenBudgetSample(df, Seq("src"), "id",
+      col("nt"), lit(500L), seed = 5)
+    assert(out.count() === 50) // 500 / 10 tokens each
+    val plan = out.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(src#\\d+, __b#\\d+".r.findFirstIn(plan).isDefined,
+      s"row window not sharded by bucket:\n$plan")
+    // the bucket-offset prune sits before the window: rows in buckets
+    // whose starting offset exceeds the budget never reach the sort
+    assert(plan.contains("__off"), s"no offset prune in plan:\n$plan")
+  }
+
   test("clusteredWrite produces disjoint per-file ranges (file-skipping layout)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
