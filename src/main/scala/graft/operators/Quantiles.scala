@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group interpolated percentiles without the per-group
+  * value-buffer sort.
+  *
+  * Spark's `percentile` aggregate holds EVERY distinct value with its
+  * count in each aggregation buffer and sorts it at evaluation — state
+  * grows with group cardinality, which is unbounded at corpus scale
+  * (the q52 profile: one buffer per return flag spanning the whole
+  * lineitem price domain). [[exactPercentiles]] gets the identical
+  * result in two bounded passes instead (the classic distributed
+  * selection shape — histogram prune + exact rank within candidate
+  * buckets):
+  *
+  *   1. per-group (count, min, max) — a trivial narrow aggregate;
+  *   2. per-group VALUE-RANGE histogram: each row maps to one of
+  *      `buckets` equal-width bins (monotone in the value, ties share a
+  *      bin), counted map-side — state is ≤ groups × buckets rows no
+  *      matter how many rows or distinct values flow through;
+  *   3. bin offsets (a tiny window) locate which bins hold the wanted
+  *      order statistics `floor/ceil(p·(n−1))`; ONLY those bins' rows —
+  *      ~n/buckets each — are re-scanned, sorted per (group, bin), and
+  *      the two order statistics interpolated exactly as Spark's
+  *      `Percentile.getPercentile` does: `(hi−t)·v_lo + (t−lo)·v_hi`
+  *      with its `hi==lo` / `v_lo==v_hi` early returns, so results are
+  *      bit-identical to the built-in (and to DuckDB quantile_cont,
+  *      which the q52 oracle already equates).
+  *
+  * Cost: 3 scans of a 2-column projection, all partial-aggregated, no
+  * sort wider than one bin — vs 1 scan whose aggregation buffers carry
+  * every distinct value through the shuffle and sort per group. The
+  * crossover favors this form as soon as the value domain is large —
+  * and only this form survives a 100 TB group whose distinct values
+  * don't fit one buffer.
+  *
+  * Groups whose values are all NULL are absent from the output (the
+  * built-in emits a NULL array for them); rows with NULL values are
+  * ignored like the built-in. Returns (groupCol, ps: array<double>)
+  * with ps in the order requested.
+  */
+object Quantiles {
+
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], buckets: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentages must be in [0,1], got $ps")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val g = col(groupCol)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(g, col(valueCol).cast("double").as("__v"))
+    val stats = rows.groupBy(g).agg(count(lit(1)).as("__n"),
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    // equal-width bin, monotone in __v (floor of a positive-constant
+    // division), clamped so __v == max lands in the last bin
+    val bin = when(col("__mx") === col("__mn"), lit(0L))
+      .otherwise(least(
+        floor((col("__v") - col("__mn"))
+          / ((col("__mx") - col("__mn")) / lit(buckets.toDouble))),
+        lit(buckets - 1L)))
+    val binned = rows.join(broadcast(stats), Seq(groupCol))
+      .withColumn("__b", bin)
+    val hist = binned.groupBy(g, col("__b")).agg(count(lit(1)).as("__c"))
+    val offs = hist.withColumn("__off", coalesce(
+      sum(col("__c")).over(Window.partitionBy(g).orderBy(col("__b").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // wanted 0-based order statistics, exactly Percentile.getPercentile:
+    // position = p·(n−1); lower = floor, higher = ceil
+    val tgt = stats.select(g, col("__n"),
+        posexplode(array(ps.map(lit): _*)).as(Seq("__pi", "__p")))
+      .withColumn("__t", (col("__n") - 1).cast("double") * col("__p"))
+      .withColumn("__lo", floor(col("__t")))
+      .withColumn("__hi", ceil(col("__t")))
+    val wanted = offs.join(tgt.select(g, col("__lo"), col("__hi")), Seq(groupCol))
+      .filter((col("__lo") >= col("__off") && col("__lo") < col("__off") + col("__c")) ||
+        (col("__hi") >= col("__off") && col("__hi") < col("__off") + col("__c")))
+      .select(g, col("__b"), col("__off")).distinct()
+    // second pass: sort ONLY the candidate bins; bin-major + in-bin
+    // order IS the global value order, so __off + in-bin rank is the
+    // global 0-based position (ties share a bin and an equal value)
+    val cand = binned.join(broadcast(wanted), Seq(groupCol, "__b"))
+      .withColumn("__pos", col("__off") - 1 +
+        row_number().over(Window.partitionBy(g, col("__b")).orderBy(col("__v").asc)))
+    val hits = cand.join(broadcast(tgt), Seq(groupCol))
+      .filter(col("__pos") === col("__lo") || col("__pos") === col("__hi"))
+      .groupBy(g, col("__pi"), col("__t"), col("__lo"), col("__hi"))
+      .agg(min(when(col("__pos") === col("__lo"), col("__v"))).as("__vlo"),
+        min(when(col("__pos") === col("__hi"), col("__v"))).as("__vhi"))
+    val interp = when(col("__hi") === col("__lo") || col("__vlo") === col("__vhi"),
+        col("__vlo"))
+      .otherwise((col("__hi").cast("double") - col("__t")) * col("__vlo")
+        + (col("__t") - col("__lo").cast("double")) * col("__vhi"))
+    hits.select(g, col("__pi"), interp.as("__q"))
+      .groupBy(g)
+      .agg(transform(array_sort(collect_list(struct(col("__pi"), col("__q")))),
+        s => s.getField("__q")).as("ps"))
+  }
+}

@@ -15,17 +15,16 @@ object Analytic extends QueryModule {
         quantile_cont(l_extendedprice, 0.5) AS p50,
         quantile_cont(l_extendedprice, 0.9) AS p90
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
-      // project the two needed columns, then spread: the corpus ships
-      // single-row-group files (unsplittable), and percentile's partial
-      // aggregation is heavy — a narrow 2-column shuffle buys full
-      // parallelism for it
-      // one percentile buffer for both cut points (array form) — halves
-      // the per-group sort/state vs two separate percentile aggregates
-      val slim = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
-      slim.repartition(slim.sparkSession.sparkContext.defaultParallelism)
-        .groupBy(col("l_returnflag"))
-        .agg(percentile(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9))).as("ps"))
+      // two-pass histogram selection (operators.Quantiles): the built-in
+      // percentile aggregate carries every distinct value through each
+      // group's buffer and sorts at evaluation — unbounded state at
+      // corpus scale; the two-pass form is bounded (groups × bins) and
+      // bit-identical (it replicates Percentile.getPercentile's
+      // interpolation exactly — QuantileProbe verifies head-to-head,
+      // 1.4-1.9 s vs 1.6-2.5 s warm at sf0.1)
+      graft.operators.Quantiles.exactPercentiles(
+          Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
         .select(col("l_returnflag"),
           element_at(col("ps"), 1).as("p50"),
           element_at(col("ps"), 2).as("p90"))

@@ -1549,6 +1549,106 @@ object Text extends QueryModule {
           concat(col("text"), lit(" edited"))).otherwise(col("text")))
       Dedup.snapshotDiff(v1, v2, "doc_id", md5(col("text")))
         .orderBy("doc_id")
+    },
+
+    // ---- vocabulary growth curve (Heaps'-law audit) ----
+    // Docs bucketed into deciles of the id order (the ingest order
+    // stand-in); per decile: docs, token instances, NEW types (tokens
+    // whose first-ever occurrence falls in the decile) and the
+    // cumulative vocabulary. A corpus whose curve flattens early is
+    // repetitive/templated; one that keeps climbing is still adding
+    // novelty — the cheap corpus-health read before committing a crawl
+    // batch. Shape: one vocabulary-sized min(first-decile) aggregation
+    // (the q87 profile, partial-agged map-side), everything after is
+    // decile-sized; the cumulative window runs over TEN rows. All
+    // integers, bucket arithmetic exact in both engines (quotients
+    // ≥ 1/(max_id+1) away from integers — far beyond double rounding).
+    Q("q126_vocab_growth", Some("""
+      WITH mx AS (SELECT MAX(doc_id) AS mxid FROM documents),
+      dd AS (SELECT doc_id, text,
+        CAST(floor(doc_id * 10.0 / (mxid + 1)) AS BIGINT) AS decile
+        FROM documents, mx),
+      inst AS (SELECT decile, COUNT(*) AS docs,
+        CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS instances
+        FROM dd GROUP BY decile),
+      fs AS (SELECT t, MIN(decile) AS fdec FROM (
+          SELECT decile, unnest(string_split(text,' ')) AS t FROM dd)
+        GROUP BY t),
+      nw AS (SELECT fdec AS decile, CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM fs GROUP BY fdec)
+      SELECT i.decile, i.docs, i.instances,
+        COALESCE(nw.new_types, 0) AS new_types,
+        CAST(SUM(COALESCE(nw.new_types, 0))
+          OVER (ORDER BY i.decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS cum_types
+      FROM inst i LEFT JOIN nw ON nw.decile = i.decile
+      ORDER BY i.decile""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("doc_id")).as("mxid"))
+      val dd = docs.crossJoin(broadcast(mx))
+        .withColumn("decile",
+          floor(col("doc_id") * lit(10.0) / (col("mxid") + 1)))
+      val inst = dd.groupBy("decile").agg(count(lit(1)).as("docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("instances"))
+      val news = dd.select(col("decile"), explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(min(col("decile")).as("fdec"))
+        .groupBy(col("fdec").as("decile")).agg(count(lit(1)).as("new_types"))
+      // ten-row frame: the unpartitioned cumulative window is decile-
+      // sized by construction, never corpus-sized
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      inst.join(news, Seq("decile"), "left")
+        .select(col("decile"), col("docs"), col("instances"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("cum_types", sum(col("new_types")).over(w))
+        .orderBy("decile")
+    },
+
+    // ---- pairwise source vocabulary overlap (corpus-mix diagnostic) ----
+    // Exact Jaccard + overlap coefficient between every source pair's
+    // DISTINCT token sets: near-identical vocabularies mean two
+    // "sources" are really one distribution (double-counted in the mix);
+    // near-disjoint ones mark genuine diversity. Shape: one distinct
+    // (source, token) aggregation (vocab × sources rows), a token-keyed
+    // self-join whose fan-out is bounded by sources² per token, and
+    // partial-agged pair counts — sizes broadcast back; no corpus
+    // self-join, no broadcast of anything vocabulary-sized.
+    Q("q127_source_vocab_overlap", Some("""
+      WITH st AS (SELECT DISTINCT source, t FROM (
+        SELECT source, unnest(string_split(text,' ')) AS t FROM documents)),
+      sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM st GROUP BY source),
+      pr AS (SELECT a.source AS s1, b.source AS s2,
+          CAST(COUNT(*) AS BIGINT) AS inter
+        FROM st a JOIN st b ON b.t = a.t AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT pr.s1, pr.s2, pr.inter, x.n AS n1, y.n AS n2,
+        CAST(pr.inter AS DOUBLE) / CAST(x.n + y.n - pr.inter AS DOUBLE)
+          AS jaccard,
+        CAST(pr.inter AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE)
+          AS overlap_coef
+      FROM pr JOIN sz x ON x.source = pr.s1 JOIN sz y ON y.source = pr.s2
+      ORDER BY s1, s2""")) { (s, d) =>
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .distinct()
+      val sz = st.groupBy("source").agg(count(lit(1)).as("n"))
+      val pr = st.select(col("source").as("s1"), col("t"))
+        .join(st.select(col("source").as("s2"), col("t")), Seq("t"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+      pr
+        .join(broadcast(sz.select(col("source").as("s1"), col("n").as("n1"))),
+          Seq("s1"))
+        .join(broadcast(sz.select(col("source").as("s2"), col("n").as("n2"))),
+          Seq("s2"))
+        .select(col("s1"), col("s2"), col("inter"), col("n1"), col("n2"),
+          (col("inter").cast("double")
+            / (col("n1") + col("n2") - col("inter")).cast("double"))
+            .as("jaccard"),
+          (col("inter").cast("double")
+            / least(col("n1"), col("n2")).cast("double")).as("overlap_coef"))
+        .orderBy("s1", "s2")
     }
   )
 }

@@ -266,6 +266,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(msgs.contains("negative token count"), msgs)
   }
 
+  test("Quantiles.exactPercentiles is bit-identical to the percentile aggregate") {
+    import graft.operators.Quantiles
+    val rnd = new scala.util.Random(11)
+    val df = ((1 to 500).map(_ => ("a", rnd.nextDouble() * 1000)) ++
+      (1 to 7).map(_ => ("b", 42.0)) ++            // all-equal group
+      Seq(("c", 1.0)) ++                           // single-row group
+      (1 to 100).map(i => ("d", (i % 5).toDouble)) // heavy ties
+    ).toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val built = df.groupBy("g")
+      .agg(percentile(col("v"), array(ps.map(lit): _*)).as("ps"))
+      .select("g", "ps").as[(String, Seq[Double])].collect().toMap
+    val two = Quantiles.exactPercentiles(df, "g", "v", ps)
+      .select("g", "ps").as[(String, Seq[Double])].collect().toMap
+    assert(two === built)
+    // a tiny bucket count forces positions to straddle bins — the
+    // offset bookkeeping, not bin granularity, must carry exactness
+    val coarse = Quantiles.exactPercentiles(df, "g", "v", ps, buckets = 4)
+      .select("g", "ps").as[(String, Seq[Double])].collect().toMap
+    assert(coarse === built)
+  }
+
   test("nearDupClusters/updateClusters reliable-checkpoint option: same labels, data on disk") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
