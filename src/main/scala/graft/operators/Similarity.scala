@@ -283,17 +283,29 @@ object Similarity {
     * buffer — no dimension explode). `localCheckpoint` per iteration
     * keeps the plan flat (iteration control on the driver, data never
     * leaves the cluster — same pattern as Dedup.nearDupClusters).
+    *
+    * `trainPred` restricts the TRAINING passes (assignment + means) to a
+    * slice of the corpus — the 100 TB shape: a coarse quantizer needs a
+    * representative sample, not every vector, so training on a
+    * deterministic hash sample (Sampling.hashBucket) cuts per-iteration
+    * cost from a full-corpus pass to a sample pass while the downstream
+    * assignment still covers the whole corpus exactly once (FAISS trains
+    * IVF on a sample for the same reason). Seeds stay the global
+    * deterministic `vec_id < kCentroids` sample either way. `None`
+    * trains on everything (the pre-round-6 behavior).
     * Returns (cid, c_emb: array<double>). */
-  def kmeansCentroids(emb: DataFrame, kCentroids: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(emb: DataFrame, kCentroids: Int, iters: Int,
+      trainPred: Option[Column] = None): DataFrame = {
     val e = withNorm2(emb)
+    val tr = trainPred.map(e.filter).getOrElse(e)
     // initial quantizer = the deterministic sample, as array<double>
     var cents = e.filter(col("vec_id") < kCentroids)
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("c_emb"))
     for (_ <- 1 to iters) {
-      val assign = assignCells(e,
+      val assign = assignCells(tr,
         cents.withColumn("c_n2", norm2Exact(col("c_emb"))))
-      val means = e
+      val means = tr
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .join(assign, "vec_id")
         .groupBy(col("cell"))
@@ -312,11 +324,14 @@ object Similarity {
   /** [[ivfTopK]] with a TRAINED coarse quantizer ([[kmeansCentroids]])
     * instead of the raw sample — better-balanced cells ⇒ fewer wasted
     * probe candidates for the same nprobe (quantizer quality vs probe
-    * cost; SCALING.md). */
+    * cost; SCALING.md). `trainPred` trains the quantizer on a slice
+    * (hash-sample it at scale) while search still assigns and probes the
+    * FULL corpus — the q128 shape. */
   def ivfTrainedTopK(emb: DataFrame, queryPred: Column, kCentroids: Int,
-      iters: Int, nprobe: Int, k: Int): DataFrame = {
+      iters: Int, nprobe: Int, k: Int,
+      trainPred: Option[Column] = None): DataFrame = {
     val e = withNorm2(emb)
-    val cents = kmeansCentroids(emb, kCentroids, iters)
+    val cents = kmeansCentroids(emb, kCentroids, iters, trainPred)
       .withColumn("c_n2", norm2Exact(col("c_emb")))
     ivfSearch(e, cents, queryPred, nprobe, k)
   }

@@ -1649,6 +1649,88 @@ object Text extends QueryModule {
           (col("inter").cast("double")
             / least(col("n1"), col("n2")).cast("double")).as("overlap_coef"))
         .orderBy("s1", "s2")
+    },
+
+    // ---- keyword search: integer-weighted TF-IDF top-k retrieval ----
+    // Corpus search with a portable scoring function: score(doc) =
+    // Σ_term tf(doc,term) · w(term), w = (10^6 · n_docs) DIV df — the
+    // idf's monotone integer stand-in (exact in both engines; ln() is
+    // not bit-portable, the same trade as q87's df profiles). Shape at
+    // 100 TB: the token explode filters to the query terms MAP-SIDE
+    // (predicate on the exploded token — candidate postings only ever
+    // hold docs containing a query term), df/weights are a
+    // query-term-sized frame (broadcast), and the global top-10 is
+    // TakeOrderedAndProject (per-partition heaps, q02's shape) — no
+    // global sort, no index needed; an inverted-index table (q56's
+    // machinery) staged once would make repeated queries scan-free.
+    Q("q129_keyword_search", Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      ft AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+        WHERE tok IN ('vector','stream','filter','spark','customer') GROUP BY 1, 2),
+      dfr AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tk
+        WHERE tok IN ('vector','stream','filter','spark','customer') GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      w AS (SELECT tok, (1000000 * n_docs) // df AS w FROM dfr, nd),
+      sc AS (SELECT f.doc_id, CAST(SUM(f.tf * w.w) AS BIGINT) AS score,
+        COUNT(*) AS n_terms FROM ft f JOIN w ON w.tok = f.tok GROUP BY 1)
+      SELECT doc_id, score, n_terms FROM sc
+      ORDER BY score DESC, doc_id LIMIT 10""")) { (s, d) =>
+      val terms = Seq("vector", "stream", "filter", "spark", "customer")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isInCollection(terms))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfr = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = dfr.crossJoin(nd)
+        .select(col("tok"), expr("(1000000L * n_docs) DIV df").as("w"))
+      tf.join(broadcast(w), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("w")).as("score"), count(lit(1)).as("n_terms"))
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+    },
+
+    // ---- generation-loop detector: longest repeated-token run ----
+    // The degenerate-text filter n-gram stats miss: a model (or a broken
+    // scraper) emitting "batch batch batch …" produces a long SAME-token
+    // run. Gaps-and-islands over the exploded tokens: pos − row_number
+    // within (doc, token) is constant exactly along a run, so one
+    // grouped count measures every run; each doc reports its longest
+    // (ties → earliest start, then token). Shape at 100 TB: the explode
+    // is map-side, both windows partition by doc (q76/q100's per-doc
+    // ordering contract — parallel across docs, sorts bounded by one
+    // doc's tokens), and the report is one row per doc of partial-agg
+    // output. `looped` (run ≥ 3) is the curation gate column.
+    Q("q130_repeated_run", Some("""
+      WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+      t AS (SELECT doc_id, pos, tk[pos] AS tok FROM
+        (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS pos FROM sp)),
+      r AS (SELECT doc_id, tok, pos,
+        pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp FROM t),
+      runs AS (SELECT doc_id, tok, grp, COUNT(*) AS run_len, MIN(pos) AS start_pos
+        FROM r GROUP BY 1, 2, 3),
+      best AS (SELECT doc_id, tok, run_len, start_pos,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY run_len DESC, start_pos, tok) AS rn FROM runs)
+      SELECT doc_id, tok AS run_token, CAST(run_len AS BIGINT) AS max_run,
+        CAST(start_pos AS BIGINT) AS start_pos, run_len >= 3 AS looped
+      FROM best WHERE rn = 1 ORDER BY doc_id""")) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      val wRun = Window.partitionBy(col("doc_id"), col("tok")).orderBy(col("pos"))
+      val runs = t
+        .withColumn("grp", col("pos") - row_number().over(wRun))
+        .groupBy(col("doc_id"), col("tok"), col("grp"))
+        .agg(count(lit(1)).as("run_len"), min(col("pos")).as("start_pos"))
+      val wBest = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("run_len"), asc("start_pos"), asc("tok"))
+      runs.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("run_token"),
+          col("run_len").as("max_run"), col("start_pos"),
+          (col("run_len") >= 3).as("looped"))
+        .orderBy("doc_id")
     }
   )
 }

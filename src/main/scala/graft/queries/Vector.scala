@@ -56,16 +56,24 @@ object Vector extends QueryModule {
         FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
         WHERE d.dot/(sqrt(na.n2)*sqrt(nb.n2)) >= 0.3 GROUP BY d.b)"""
 
+  /** DuckDB mirror of Sampling.seededHash (same value as Text.dkHash). */
+  private def dkHash(v: String, seed: Int): String =
+    s"CAST(('0x'||substr(md5($v||':$seed'),1,15)) AS BIGINT)"
+
   /** One unrolled Lloyd iteration over long-format centroids `prev`
     * (cid, j, comp) → `next`: fixed-point assignment + per-cell
     * fixed-point means (2^40 scale, same two IEEE divisions as
-    * Similarity.kmeansCentroids); empty cells keep their centroid. */
-  private def dkKmIter(prev: String, next: String): String = s"""
+    * Similarity.kmeansCentroids); empty cells keep their centroid.
+    * `src` is the TRAINING relation — `embeddings` for full-corpus
+    * training, a hash-sampled CTE for the q128 sampled-training shape
+    * (mirrors kmeansCentroids' trainPred). */
+  private def dkKmIter(prev: String, next: String,
+      src: String = "embeddings"): String = s"""
       ${prev}n2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2
         FROM $prev GROUP BY cid),
       ${prev}d AS (SELECT e.vec_id, c.cid,
         ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
-        FROM embeddings e, $prev c GROUP BY e.vec_id, c.cid),
+        FROM $src e, $prev c GROUP BY e.vec_id, c.cid),
       ${prev}a AS (SELECT vec_id, cid AS cell FROM (
         SELECT d.vec_id, d.cid,
           ROW_NUMBER() OVER (PARTITION BY d.vec_id
@@ -77,7 +85,7 @@ object Vector extends QueryModule {
           SELECT a.cell AS cid, g.j,
             (CAST(CAST(SUM(CAST(floor(CAST(e.embedding[g.j] AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
               / 1099511627776.0) / COUNT(*) AS comp
-          FROM embeddings e JOIN ${prev}a a ON a.vec_id = e.vec_id,
+          FROM $src e JOIN ${prev}a a ON a.vec_id = e.vec_id,
             generate_series(1, 64) g(j)
           GROUP BY a.cell, g.j) m ON m.cid = c.cid AND m.j = c.j)"""
 
@@ -372,6 +380,56 @@ object Vector extends QueryModule {
       FROM cos WHERE rn <= 3 ORDER BY qid, rank""")) { (s, d) =>
       Similarity.ivfTrainedTopK(Tables.embeddings(s, d), col("vec_id") < 8,
           kCentroids = 8, iters = 2, nprobe = 2, k = 3)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- IVF with SAMPLE-trained quantizer: the 100 TB training shape ----
+    // q79 trains its quantizer on the full corpus — iters × full-scan.
+    // At 100 TB the quantizer only needs a representative slice: train on
+    // a deterministic 50% hash sample (Sampling.hashBucket, q74's md5 —
+    // repartition/retry-stable and oracle-mirrorable), then assign and
+    // probe the FULL corpus exactly once. Training cost drops by the
+    // sample rate with quantizer quality statistically unchanged — FAISS
+    // trains IVF on a sample for the same reason (SCALING.md). Same
+    // result contract as q79: top-3 neighbors per query from nprobe=2
+    // probed cells.
+    Q("q128_ann_ivf_sampled", Some(s"""
+      WITH $dkNorm2,
+      tr AS (SELECT * FROM embeddings
+        WHERE ${dkHash("CAST(vec_id AS VARCHAR)", 7)} % 100 < 50),
+      c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
+        FROM embeddings, generate_series(1, 64) g(j) WHERE vec_id < 8),
+      ${dkKmIter("c0", "c1", "tr")},
+      ${dkKmIter("c1", "c2", "tr")},
+      fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c2 GROUP BY cid),
+      fd AS (SELECT e.vec_id, c.cid,
+        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
+        FROM embeddings e, c2 c GROUP BY e.vec_id, c.cid),
+      fdist AS (SELECT fd.vec_id, fd.cid, (n.n2 + cn.cn2 - 2.0 * fd.dot) AS dist
+        FROM fd JOIN n2 n ON n.vec_id = fd.vec_id JOIN fn2 cn ON cn.cid = fd.cid),
+      fassign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM fdist) WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM fdist WHERE vec_id < 8) WHERE rn <= 2),
+      cand AS (SELECT p.qid, a.vec_id AS vid, a.cell
+        FROM probes p JOIN fassign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      dots AS (SELECT c.qid, c.vid, c.cell,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+          JOIN embeddings e ON e.vec_id = c.vid, generate_series(1, 64) g(j)
+        GROUP BY c.qid, c.vid, c.cell),
+      cos AS (SELECT d.qid, d.vid, d.cell, d.dot/(sqrt(a.n2)*sqrt(b.n2)) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
+      SELECT qid, vid, cell, cosine, CAST(rn AS INT) AS rank
+      FROM cos WHERE rn <= 3 ORDER BY qid, rank""")) { (s, d) =>
+      Similarity.ivfTrainedTopK(Tables.embeddings(s, d), col("vec_id") < 8,
+          kCentroids = 8, iters = 2, nprobe = 2, k = 3,
+          trainPred = Some(
+            graft.operators.Sampling.hashBucket(col("vec_id"), seed = 7) < 50))
         .orderBy("qid", "rank")
     },
 

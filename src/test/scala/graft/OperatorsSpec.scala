@@ -686,4 +686,26 @@ class OperatorsSpec extends SparkTestBase {
       .foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
     assert(agg.merge(half1, half2).toSeq === full.toSeq)
   }
+
+  test("kmeansCentroids trainPred: all-true equals full training; sample trains a complete quantizer") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // a predicate covering everything must be EXACTLY the default path
+    val full = Similarity.kmeansCentroids(emb, kCentroids = 4, iters = 1)
+      .orderBy("cid").collect()
+    val all = Similarity.kmeansCentroids(emb, kCentroids = 4, iters = 1,
+        trainPred = Some(lit(true)))
+      .orderBy("cid").collect()
+    assert(full.toSeq === all.toSeq)
+    // a 50% hash sample still yields k centroids, and the downstream
+    // search still returns k ranked neighbors for every query — the
+    // training slice bounds training COST, never search coverage
+    val sampled = Similarity.kmeansCentroids(emb, kCentroids = 4, iters = 1,
+      trainPred = Some(graft.operators.Sampling.hashBucket(col("vec_id"), 7) < 50))
+    assert(sampled.count() === 4)
+    val hits = Similarity.ivfTrainedTopK(emb, col("vec_id") < 4,
+      kCentroids = 4, iters = 1, nprobe = 4, k = 2,
+      trainPred = Some(graft.operators.Sampling.hashBucket(col("vec_id"), 7) < 50))
+    val perQ = hits.groupBy("qid").count().collect()
+    assert(perQ.length === 4 && perQ.forall(_.getLong(1) === 2L))
+  }
 }

@@ -239,6 +239,31 @@ class ScaleSpec extends SparkTestBase {
       s"single-partition stage in q114:\n$plan")
   }
 
+  test("keyword search (q129) is filtered postings + broadcast weights + top-k heaps") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q129_keyword_search")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // the global top-10 must be per-partition heaps (q02's shape), the
+    // query-term weight frame must broadcast, and the token filter must
+    // sit on the exploded tokens (postings pruned map-side) — a global
+    // sort or a shuffled weight join would be corpus-sized work for a
+    // 10-row answer
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k heap in q129:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast in q129:\n$plan")
+  }
+
+  test("repeated-run detector (q130) windows per doc, never single-partition") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q130_repeated_run")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // both windows (run grouping, per-doc best) key on doc_id — the
+    // gaps-and-islands sort must parallelize across docs; the final
+    // ORDER BY range-partitions, so SinglePartition anywhere means a
+    // stratum-serial window snuck in
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition stage in q130:\n$plan")
+  }
+
   test("span novelty (q115) is equi-join keyed on span hash, no cartesian") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q115_span_novelty")(spark, d)
