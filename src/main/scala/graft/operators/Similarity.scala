@@ -336,6 +336,88 @@ object Similarity {
     ivfSearch(e, cents, queryPred, nprobe, k)
   }
 
+  /** Stage a trained IVF index to `path`: `centroids/` (k rows — cid,
+    * c_emb, c_n2) plus `assignment/` cell-PARTITIONED parquet carrying
+    * (vec_id, embedding, n2) per member, so probes never join back to
+    * the corpus table.
+    *
+    * The ANN production shape ([[ivfProbeStaged]] / [[appendToIvfIndex]]
+    * complete it), mirroring what Dedup.stageSignatures does for text
+    * dedup: training + full-corpus assignment are the ONCE-per-snapshot
+    * cost; each query batch afterwards probes the staged table. Because
+    * `assignment` is hive-partitioned on `cell`, a probe's bucket join
+    * triggers dynamic partition pruning — the scan reads ONLY the
+    * nprobe·|queries| probed cells' files, ~nprobe/k of the index
+    * regardless of corpus size (plan-asserted in ScaleSpec). `splits`
+    * spreads each cell over that many writer tasks/files — size it so
+    * cell_files ≈ cell_bytes / 128 MB at scale. */
+  def stageIvfIndex(emb: DataFrame, kCentroids: Int, iters: Int,
+      path: String, trainPred: Option[Column] = None, splits: Int = 1): Unit = {
+    require(splits >= 1, s"splits must be >= 1, got $splits")
+    val e = withNorm2(emb)
+    val cents = kmeansCentroids(emb, kCentroids, iters, trainPred)
+      .withColumn("c_n2", norm2Exact(col("c_emb")))
+    cents.coalesce(1).write.parquet(s"$path/centroids")
+    val assign = assignCells(e, cents)
+    e.join(assign, "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
+      .repartition(col("cell"), pmod(hash(col("vec_id")), lit(splits)))
+      .write.partitionBy("cell").parquet(s"$path/assignment")
+  }
+
+  /** Assign a NEW batch of vectors against a staged index's FROZEN
+    * centroids and append them to the cell-partitioned assignment —
+    * map-only (one broadcast of k centroids, no shuffle beyond the
+    * write), so ingest cost is batch-sized. Because cell assignment
+    * depends only on the frozen centroids, probing after an append is
+    * bit-identical to probing an index staged over the union (spec-
+    * proven) — the q113-style ingest contract for ANN. Re-train + restage
+    * when drift monitors (q119) say the quantizer has aged. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newEmb: DataFrame, splits: Int = 1): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val e = withNorm2(newEmb)
+    val assign = assignCells(e, cents)
+    e.join(assign, "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
+      .repartition(col("cell"), pmod(hash(col("vec_id")), lit(splits)))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assignment")
+  }
+
+  /** IVF ANN top-k against a [[stageIvfIndex]] table: queries rank the
+    * staged centroids (broadcast — k rows), keep `nprobe` cells, and the
+    * cell equi-join against the partitioned assignment scan prunes to
+    * exactly those cells' files via dynamic partition pruning. Same
+    * result contract as [[ivfTrainedTopK]] over the same quantizer
+    * (oracle-gated as q131 ≡ q128): (qid, vid, cell, cosine, rank).
+    * `queries` needs (vec_id, embedding); `vec_id =!= qid` excludes the
+    * query itself when it is part of the corpus. */
+  def ivfProbeStaged(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = withNorm2(queries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("q_n2") + col("c_n2") - lit(2.0) * dotExact(col("q_emb"), col("c_emb")))
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("q_emb"), col("q_n2"), col("cid").as("cell"))
+    // partition-column values come back type-inferred — pin to the cid's
+    // long so the join and the q128-shared oracle see one type
+    val members = spark.read.parquet(s"$path/assignment")
+      .withColumn("cell", col("cell").cast("long"))
+    val wr = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    probes.join(members, Seq("cell")).filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("vid"), col("cell"), col("cosine"),
+        col("rank"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus with the
     * trained coarse quantizer ([[kmeansCentroids]]), compare vectors only
     * WITHIN their cluster by exact fixed-point cosine, and drop every

@@ -89,6 +89,45 @@ object Vector extends QueryModule {
             generate_series(1, 64) g(j)
           GROUP BY a.cell, g.j) m ON m.cid = c.cid AND m.j = c.j)"""
 
+  /** The sample-trained IVF chain (50% md5-hash training slice, 2 Lloyd
+    * iterations, full-corpus assignment, nprobe=2, top-3) — ONE oracle
+    * shared by q128 (in-plan quantizer) and q131 (staged index probe):
+    * the staged round-trip must change NOTHING about the results, so the
+    * same SQL gates both and any staging drift hash-mismatches q131. */
+  private lazy val dkIvfSampled: String = s"""
+      WITH $dkNorm2,
+      tr AS (SELECT * FROM embeddings
+        WHERE ${dkHash("CAST(vec_id AS VARCHAR)", 7)} % 100 < 50),
+      c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
+        FROM embeddings, generate_series(1, 64) g(j) WHERE vec_id < 8),
+      ${dkKmIter("c0", "c1", "tr")},
+      ${dkKmIter("c1", "c2", "tr")},
+      fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c2 GROUP BY cid),
+      fd AS (SELECT e.vec_id, c.cid,
+        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
+        FROM embeddings e, c2 c GROUP BY e.vec_id, c.cid),
+      fdist AS (SELECT fd.vec_id, fd.cid, (n.n2 + cn.cn2 - 2.0 * fd.dot) AS dist
+        FROM fd JOIN n2 n ON n.vec_id = fd.vec_id JOIN fn2 cn ON cn.cid = fd.cid),
+      fassign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM fdist) WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM fdist WHERE vec_id < 8) WHERE rn <= 2),
+      cand AS (SELECT p.qid, a.vec_id AS vid, a.cell
+        FROM probes p JOIN fassign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      dots AS (SELECT c.qid, c.vid, c.cell,
+        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+          JOIN embeddings e ON e.vec_id = c.vid, generate_series(1, 64) g(j)
+        GROUP BY c.qid, c.vid, c.cell),
+      cos AS (SELECT d.qid, d.vid, d.cell, d.dot/(sqrt(a.n2)*sqrt(b.n2)) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
+      SELECT qid, vid, cell, cosine, CAST(rn AS INT) AS rank
+      FROM cos WHERE rn <= 3 ORDER BY qid, rank"""
+
   val all: Seq[Q] = Seq(
 
     // ---- exact norms via higher-order functions ----
@@ -393,43 +432,53 @@ object Vector extends QueryModule {
     // trains IVF on a sample for the same reason (SCALING.md). Same
     // result contract as q79: top-3 neighbors per query from nprobe=2
     // probed cells.
-    Q("q128_ann_ivf_sampled", Some(s"""
-      WITH $dkNorm2,
-      tr AS (SELECT * FROM embeddings
-        WHERE ${dkHash("CAST(vec_id AS VARCHAR)", 7)} % 100 < 50),
-      c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
-        FROM embeddings, generate_series(1, 64) g(j) WHERE vec_id < 8),
-      ${dkKmIter("c0", "c1", "tr")},
-      ${dkKmIter("c1", "c2", "tr")},
-      fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c2 GROUP BY cid),
-      fd AS (SELECT e.vec_id, c.cid,
-        ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
-        FROM embeddings e, c2 c GROUP BY e.vec_id, c.cid),
-      fdist AS (SELECT fd.vec_id, fd.cid, (n.n2 + cn.cn2 - 2.0 * fd.dot) AS dist
-        FROM fd JOIN n2 n ON n.vec_id = fd.vec_id JOIN fn2 cn ON cn.cid = fd.cid),
-      fassign AS (SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM fdist) WHERE rn = 1),
-      probes AS (SELECT vec_id AS qid, cid AS cell FROM (
-        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM fdist WHERE vec_id < 8) WHERE rn <= 2),
-      cand AS (SELECT p.qid, a.vec_id AS vid, a.cell
-        FROM probes p JOIN fassign a ON a.cell = p.cell AND a.vec_id <> p.qid),
-      dots AS (SELECT c.qid, c.vid, c.cell,
-        ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
-        FROM cand c JOIN embeddings q ON q.vec_id = c.qid
-          JOIN embeddings e ON e.vec_id = c.vid, generate_series(1, 64) g(j)
-        GROUP BY c.qid, c.vid, c.cell),
-      cos AS (SELECT d.qid, d.vid, d.cell, d.dot/(sqrt(a.n2)*sqrt(b.n2)) AS cosine,
-        ROW_NUMBER() OVER (PARTITION BY d.qid
-          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
-        FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
-      SELECT qid, vid, cell, cosine, CAST(rn AS INT) AS rank
-      FROM cos WHERE rn <= 3 ORDER BY qid, rank""")) { (s, d) =>
+    Q("q128_ann_ivf_sampled", Some(dkIvfSampled)) { (s, d) =>
       Similarity.ivfTrainedTopK(Tables.embeddings(s, d), col("vec_id") < 8,
           kCentroids = 8, iters = 2, nprobe = 2, k = 3,
           trainPred = Some(
             graft.operators.Sampling.hashBucket(col("vec_id"), seed = 7) < 50))
+        .orderBy("qid", "rank")
+    },
+
+    // ---- STAGED IVF index: the ANN production/ingest shape ----
+    // q128 re-trains and re-assigns inside every query plan; production
+    // pays that once: Similarity.stageIvfIndex writes centroids + a
+    // cell-PARTITIONED assignment table (content-addressed, atomic-rename
+    // commit, skip-if-current — the q112 staging contract), each query
+    // batch probes it (dynamic partition pruning reads only the probed
+    // cells' files — plan-asserted in ScaleSpec), and new batches append
+    // via map-only assignment against the frozen centroids
+    // (appendToIvfIndex, spec-proven equal to restaging the union).
+    // Gated against the SAME oracle as q128: the staged round-trip must
+    // be invisible in the results.
+    Q("q131_ann_ivf_staged", Some(dkIvfSampled)) { (s, d) =>
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      // ivf-v1 = {centroids/, assignment/ hive-partitioned on cell};
+      // key = layout version + dataset + quantizer params + content
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ivf-v1|$d|k=8|it=2|tp=7:50|${src.length}|${src.lastModified}"
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_staged_ivf_$key"
+      if (!new java.io.File(s"$staged/assignment", "_SUCCESS").exists()) {
+        val tmp = s"$staged.tmp-${java.util.UUID.randomUUID()}"
+        Similarity.stageIvfIndex(Tables.embeddings(s, d), kCentroids = 8,
+          iters = 2, path = tmp, trainPred = Some(
+            graft.operators.Sampling.hashBucket(col("vec_id"), seed = 7) < 50))
+        try
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+            java.nio.file.Paths.get(staged),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            // a concurrent run committed first — use its index
+            org.apache.commons.io.FileUtils
+              .deleteDirectory(new java.io.File(tmp))
+        }
+      }
+      Similarity.ivfProbeStaged(s, staged,
+          Tables.embeddings(s, d).filter(col("vec_id") < 8),
+          nprobe = 2, k = 3)
         .orderBy("qid", "rank")
     },
 

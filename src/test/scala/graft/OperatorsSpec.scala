@@ -687,6 +687,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(agg.merge(half1, half2).toSeq === full.toSeq)
   }
 
+  test("appendToIvfIndex: probing after an append equals probing a full restage") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    // identical training slice for both stagings, so the quantizers are
+    // bit-identical and only assignment COVERAGE differs
+    val tp = Some(col("vec_id") < 400)
+    Similarity.stageIvfIndex(emb, kCentroids = 4, iters = 1,
+      path = s"$base/full", trainPred = tp)
+    Similarity.stageIvfIndex(emb.filter(col("vec_id") < 400), kCentroids = 4,
+      iters = 1, path = s"$base/inc", trainPred = tp)
+    Similarity.appendToIvfIndex(spark, s"$base/inc",
+      emb.filter(col("vec_id") >= 400))
+    def probe(p: String) = Similarity.ivfProbeStaged(spark, p,
+        emb.filter(col("vec_id") < 4), nprobe = 2, k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    // cell assignment depends only on the frozen centroids, so ingest
+    // by append is bit-identical to restaging the union
+    assert(probe(s"$base/inc") === probe(s"$base/full"))
+  }
+
   test("kmeansCentroids trainPred: all-true equals full training; sample trains a complete quantizer") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // a predicate covering everything must be EXACTLY the default path

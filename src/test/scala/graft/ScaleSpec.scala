@@ -239,6 +239,19 @@ class ScaleSpec extends SparkTestBase {
       s"single-partition stage in q114:\n$plan")
   }
 
+  test("staged IVF probe (q131) prunes the assignment scan to probed cells (DPP)") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q131_ann_ivf_staged")(spark, d)
+    assert(df.count() > 0)
+    // the probe's cell equi-join against the hive-partitioned assignment
+    // table must plan a dynamic partition-pruning filter on the scan —
+    // at scale that is the difference between reading nprobe·|queries|
+    // cells and re-reading the whole index per query batch
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the staged assignment scan:\n$plan")
+  }
+
   test("keyword search (q129) is filtered postings + broadcast weights + top-k heaps") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q129_keyword_search")(spark, d)
