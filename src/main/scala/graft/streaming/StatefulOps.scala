@@ -423,6 +423,29 @@ object StatefulOps {
       .dropDuplicatesWithinWatermark("doc_id", "dup_of")
   }
 
+  /** Streaming ANN: each micro-batch of query vectors (vec_id,
+    * embedding) probes a staged IVF index
+    * ([[graft.operators.Similarity.stageIvfIndex]]) and `emit` receives
+    * that batch's ranked-neighbor frame (qid, vid, cell, cosine, rank).
+    *
+    * foreachBatch is the honest engine hook here: per-query ranking is a
+    * BATCH-LOCAL window (no watermark semantics to borrow), and the only
+    * cross-batch state is the index itself — frozen on disk, shared by
+    * every batch and by concurrent [[graft.operators.Similarity
+    * .appendToIvfIndex]] ingest (parquet commits whole files, so a probe
+    * sees a consistent file set). Per-batch cost is the batch-sized
+    * probe with dynamic partition pruning — the streaming twin of q131
+    * exactly as streamingNearDup twins q31. */
+  def streamingIvfProbe(queries: DataFrame, indexPath: String,
+      nprobe: Int, k: Int)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.operators.Similarity.ivfProbeStaged(
+          batch.sparkSession, indexPath, batch, nprobe, k))
+      }
+      .start()
+
   /** Typed view of an events DataFrame (batch or stream). */
   def asEvents(df: DataFrame): Dataset[Event] =
     df.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]

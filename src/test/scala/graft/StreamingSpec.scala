@@ -81,6 +81,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ANN probe matches the batch staged-index probe per micro-batch (U6 x T4)") {
+    implicit val ctx = spark.sqlContext
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    graft.operators.Similarity.stageIvfIndex(emb, kCentroids = 4, iters = 1,
+      path = dir)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = StatefulOps.streamingIvfProbe(
+        ms.toDF().toDF("vec_id", "embedding"), dir, nprobe = 2, k = 3) { out =>
+      got.synchronized { got ++= out.orderBy("qid", "rank").collect() }
+    }
+    try {
+      val qvecs = emb.filter(col("vec_id") < 2)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      ms.addData(qvecs.toIndexedSeq)
+      q.processAllAvailable()
+      val expect = graft.operators.Similarity.ivfProbeStaged(spark, dir,
+          emb.filter(col("vec_id") < 2), nprobe = 2, k = 3)
+        .orderBy("qid", "rank").collect()
+      assert(got.toSeq === expect.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming near-dup flags arriving docs against stored signatures (U6 x T4)") {
     implicit val ctx = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
