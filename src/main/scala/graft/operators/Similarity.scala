@@ -547,4 +547,65 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("vid"), col("bucket"), col("cosine"), col("rank"))
   }
+
+  /** Dominant covariance direction (top principal component) by
+    * fixed-point power iteration — the PCA/whitening prep step and the
+    * anisotropy monitor (embedding collapse shows up as one direction
+    * swallowing the spectrum).
+    *
+    * Shape: ONE corpus pass builds the dim×dim covariance
+    * ([[covarianceMatrix]] — array-buffer aggregate, no dim² explode);
+    * every later step touches only matrix-sized frames (dim² triples,
+    * dim-row vectors), so corpus scale is irrelevant after the first
+    * pass and `iters` is a plan-size knob, not a data-pass knob. The
+    * matvec is a join+groupBy over the triples — distributed end to end,
+    * nothing is collected.
+    *
+    * Determinism (the oracle contract): the covariance doubles are
+    * floored onto the 2^20 grid BEFORE iterating, so every matvec sum is
+    * an exact int64 reduction (order-independent — double dot products
+    * would drift with partitioning) and every normalization is integer:
+    * v' = sign(w)·(|w| DIV ceil(max|w| / 2^20)), keeping components on
+    * the ±2^20 grid. Capacity: |w| ≤ dim·max|c|·2^20 with
+    * max|c| ≤ max|cov|·2^20 — ≤ 2^46 for unit-scale embeddings at
+    * dim 64, far inside int64 (and [[covarianceMatrix]] already enforces
+    * its own moment bounds in-plan).
+    *
+    * After `iters` rounds the direction is the power-iteration
+    * approximation (convergence is data-dependent; iters=3 resolves a
+    * dominant eigenvalue with a clear gap — same fixed-iteration
+    * contract as [[kmeansCentroids]]). Returns one row per dimension:
+    * (dim_idx, component ±2^20-grid, loading = component/2^20,
+    * eig_est — max|w|/2^40, the Rayleigh-style magnitude estimate,
+    * constant across rows). */
+  def dominantDirection(emb: DataFrame, dim: Int, iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val grid = 1048576L // 2^20
+    val tri = covarianceMatrix(emb, dim)
+      .select(col("i"), col("j"),
+        floor(col("cov") * lit(grid.toDouble)).cast("long").as("c"))
+    // mirror the upper triangle to the full matrix for the matvec
+    val full = tri.union(
+      tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+    val spark = emb.sparkSession
+    var v = spark.range(dim)
+      .select(col("id").cast("int").as("i"), lit(grid).as("v"))
+    var lastM: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = full
+        .join(v.select(col("i").as("j"), col("v").as("vj")), Seq("j"))
+        .groupBy("i").agg(sum(col("c") * col("vj")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      lastM = m
+      v = w.crossJoin(broadcast(m)).selectExpr("i",
+        s"CAST(CASE WHEN w < 0 THEN -((-w) DIV ((m + ${grid - 1}) DIV $grid)) " +
+          s"ELSE w DIV ((m + ${grid - 1}) DIV $grid) END AS BIGINT) AS v")
+    }
+    v.crossJoin(broadcast(lastM))
+      .select(col("i").as("dim_idx"), col("v").as("component"),
+        (col("v").cast("double") / lit(grid.toDouble)).as("loading"),
+        (col("m").cast("double") / lit(1.099511627776e12)).as("eig_est"))
+      .orderBy("dim_idx")
+  }
 }

@@ -1731,6 +1731,56 @@ object Text extends QueryModule {
           col("run_len").as("max_run"), col("start_pos"),
           (col("run_len") >= 3).as("looped"))
         .orderBy("doc_id")
+    },
+
+    // ---- Count-Min Sketch heavy hitters ----
+    // The bounded-state answer to "what are the frequent tokens" at
+    // corpus scale: the exact groupBy (q27) shuffles a vocabulary-sized
+    // table — fine until the vocabulary is itself huge (web-scale
+    // n-grams, URLs, user-ids). The CM sketch replaces it with ONE
+    // 32 KB mergeable buffer (CountMinAggregator: depth=4 md5-seeded
+    // rows × width=1024 counters) built in a single scan with map-side
+    // partial merge; estimation is then map-only against the broadcast
+    // sketch row (array lookups + LEAST). Estimates only ever
+    // OVER-count (collisions add; min-of-rows caps them), so a sketch
+    // screen never loses a true heavy hitter. Here both sides run and
+    // the gate pins the sketch's exact counter values against the
+    // oracle's per-(row,bucket) sums — the estimate is deterministic
+    // arithmetic, not an approximation contract, so it hash-matches.
+    Q("q132_cms_heavy_hitters", Some(s"""
+      WITH tok AS (SELECT unnest(string_split(text,' ')) AS t FROM documents),
+      cnts AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+      buck AS (
+        ${(0 until 4).map(j =>
+          s"SELECT $j AS j, ${dkHash("t", 601 + j)} % 1024 AS b, SUM(cnt) AS s FROM cnts GROUP BY 2")
+          .mkString("\n        UNION ALL ")}),
+      topk AS (SELECT t, cnt FROM cnts ORDER BY cnt DESC, t LIMIT 20),
+      tb AS (
+        ${(0 until 4).map(j =>
+          s"SELECT t, cnt, $j AS j, ${dkHash("t", 601 + j)} % 1024 AS b FROM topk")
+          .mkString("\n        UNION ALL ")}),
+      est AS (SELECT tb.t, tb.cnt, MIN(bu.s) AS cms_estimate
+        FROM tb JOIN buck bu ON bu.j = tb.j AND bu.b = tb.b GROUP BY 1, 2)
+      SELECT t AS token, cnt, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+        CAST(cms_estimate - cnt AS BIGINT) AS overcount
+      FROM est ORDER BY cnt DESC, token""")) { (s, d) =>
+      val W = 1024
+      val depth = 4
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val cnts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val topk = cnts.orderBy(desc("cnt"), asc("token")).limit(20)
+      val sketch = toks.agg(
+        udaf(new graft.functions.CountMinAggregator(W, depth, 601))
+          .apply(col("token")).as("sk"))
+      val probes = (0 until depth).map { j =>
+        element_at(col("sk"),
+          (lit(j * W) + pmod(hash64(col("token"), 601 + j), lit(W)) + 1).cast("int"))
+      }
+      topk.crossJoin(broadcast(sketch))
+        .select(col("token"), col("cnt"), least(probes: _*).as("cms_estimate"))
+        .withColumn("overcount", col("cms_estimate") - col("cnt"))
+        .orderBy(desc("cnt"), asc("token"))
     }
   )
 }

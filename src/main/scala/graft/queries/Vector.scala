@@ -791,6 +791,59 @@ object Vector extends QueryModule {
             lit(0L), (acc, x) => acc + x).as("dist2_fp"))
         .withColumn("drift", col("dist2_fp").cast("double") / 1099511627776.0)
         .orderBy("label")
+    },
+
+    // ---- dominant principal direction (fixed-point power iteration) ----
+    // The PCA/whitening prep on top of q107's covariance: which single
+    // direction carries the most variance, and how big is it (the
+    // anisotropy/embedding-collapse monitor — a healthy space spreads
+    // variance; a collapsed one puts it all here). One corpus pass
+    // builds the covariance (array-buffer aggregate); the three matvec
+    // rounds then touch only matrix-sized frames (4096 triples × 64-row
+    // vectors, join+groupBy — distributed, nothing collected). The cov
+    // doubles are floored onto the 2^20 grid BEFORE iterating so every
+    // matvec sum is an exact int64 reduction and every normalization is
+    // integer (sign·(|w| DIV ceil(max|w|/2^20))) — bit-identical across
+    // engines by construction; the only doubles are the two final
+    // divisions. Oracle: the same chain as an unrolled CTE.
+    Q("q133_principal_direction", Some {
+      def iter(k: Int): String = s"""
+      w$k AS (SELECT cf.i AS i, CAST(SUM(cf.c * v${k - 1}.v) AS BIGINT) AS w
+        FROM cf JOIN v${k - 1} ON v${k - 1}.i = cf.j GROUP BY 1),
+      m$k AS (SELECT MAX(abs(w)) AS m FROM w$k),
+      v$k AS (SELECT i, CAST(CASE WHEN w < 0
+          THEN -((-w) // ((m + 1048575) // 1048576))
+          ELSE w // ((m + 1048575) // 1048576) END AS BIGINT) AS v
+        FROM w$k, m$k)"""
+      s"""
+      WITH ex AS (SELECT gi.i AS i, gj.j AS j,
+          CAST(e.embedding[gi.i+1] AS DOUBLE) * CAST(e.embedding[gj.j+1] AS DOUBLE) AS p
+        FROM embeddings e, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
+        WHERE gj.j >= gi.i),
+      sp AS (SELECT i, j,
+          (CAST(CAST(SUM(CAST(floor(p * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / 1048576.0) / COUNT(*) AS m2
+        FROM ex GROUP BY i, j),
+      mn AS (SELECT g.i AS i,
+          (CAST(CAST(SUM(CAST(floor(CAST(e.embedding[g.i+1] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / 1073741824.0) / COUNT(*) AS mean
+        FROM embeddings e, generate_series(0, 63) g(i) GROUP BY g.i),
+      cv AS (SELECT sp.i AS i, sp.j AS j,
+          CAST(floor((sp.m2 - mi.mean * mj.mean) * 1048576.0) AS BIGINT) AS c
+        FROM sp JOIN mn mi ON mi.i = sp.i JOIN mn mj ON mj.i = sp.j),
+      cf AS (SELECT i, j, c FROM cv
+        UNION ALL SELECT j AS i, i AS j, c FROM cv WHERE i <> j),
+      v0 AS (SELECT g.i AS i, CAST(1048576 AS BIGINT) AS v
+        FROM generate_series(0, 63) g(i)),
+      ${iter(1)},
+      ${iter(2)},
+      ${iter(3)}
+      SELECT CAST(v3.i AS INT) AS dim_idx, v3.v AS component,
+        CAST(v3.v AS DOUBLE) / 1048576.0 AS loading,
+        CAST(m3.m AS DOUBLE) / 1099511627776.0 AS eig_est
+      FROM v3, m3 ORDER BY dim_idx"""
+    }) { (s, d) =>
+      Similarity.dominantDirection(Tables.embeddings(s, d), dim = 64, iters = 3)
     }
   )
 }

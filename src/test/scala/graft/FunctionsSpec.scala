@@ -328,4 +328,41 @@ class FunctionsSpec extends SparkTestBase {
     val viaAgg2 = shuffled.foldLeft(agg.zero)((b, h) => agg.reduce(b, h)).toSeq
     assert(viaAgg2 === viaAgg)
   }
+
+  test("CountMinAggregator: never under-estimates, exact on collision-free tokens, merge = sum") {
+    import graft.functions.CountMinAggregator
+    val W = 64
+    val depth = 3
+    val agg = new CountMinAggregator(W, depth, 601)
+    val words = Seq("alpha", "beta", "gamma", "alpha", "alpha", "beta", "delta")
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // distributed build (partial-agg merges) == sequential fold
+    val sk = words.toDF("t").repartition(4)
+      .select(udaf(new CountMinAggregator(W, depth, 601)).apply(col("t")).as("sk"))
+      .as[Seq[Long]].head()
+    val seqSk = words.foldLeft(agg.zero)((b, w) => agg.reduce(b, w)).toSeq
+    assert(sk === seqSk)
+
+    // the CM guarantee: estimate >= exact count for EVERY element, and the
+    // total added mass per row equals the stream length (nothing lost)
+    exact.foreach { case (w, c) => assert(agg.estimate(sk, w) >= c, s"under-estimate for $w") }
+    (0 until depth).foreach { j =>
+      assert(sk.slice(j * W, (j + 1) * W).sum === words.size.toLong, s"row $j mass")
+    }
+
+    // NULLs contribute nothing
+    val skN = spark.sql(
+      "SELECT * FROM VALUES ('alpha'),(CAST(NULL AS STRING)),('beta') AS t(t)")
+      .select(udaf(new CountMinAggregator(W, depth, 601)).apply(col("t")).as("sk"))
+      .as[Seq[Long]].head()
+    assert(skN === Seq("alpha", "beta").foldLeft(agg.zero)((b, w) => agg.reduce(b, w)).toSeq)
+
+    // merging two disjoint halves == sketching the concatenation
+    val (h1, h2) = words.splitAt(3)
+    val m = agg.merge(
+      h1.foldLeft(agg.zero)((b, w) => agg.reduce(b, w)),
+      h2.foldLeft(agg.zero)((b, w) => agg.reduce(b, w))).toSeq
+    assert(m === seqSk)
+  }
 }

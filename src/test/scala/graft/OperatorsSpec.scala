@@ -564,6 +564,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(run(df.repartition(4)) === m)
   }
 
+  test("dominantDirection finds a planted principal axis, partition-stable") {
+    // 40 mean-zero vectors: ±0.9 along axis 2, ±0.1 along axis 0 (decorrelated
+    // from axis 2 by flipping at a different stride) — variance 0.81 vs 0.01
+    val df = (0 until 40).map { k =>
+      val s2 = if (k % 2 == 0) 0.9f else -0.9f
+      val s0 = if ((k / 2) % 2 == 0) 0.1f else -0.1f
+      (k.toLong, Array(s0, 0.0f, s2, 0.0f))
+    }.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.dominantDirection(d, dim = 4, iters = 3)
+        .select("dim_idx", "component", "eig_est")
+        .as[(Int, Long, Double)].collect().toSeq
+    val r = run(df)
+    assert(r.map(_._1) === (0 until 4))
+    val comps = r.map(x => math.abs(x._2))
+    // the planted axis dominates and is normalized onto the 2^20 grid
+    assert(comps(2) === comps.max)
+    assert(comps.max <= 1048576L && comps.max >= 1048576L / 2)
+    assert(comps(2) > 10 * comps(0) && comps(2) > 10 * comps(1))
+    // eigenvalue estimate is near the planted variance 0.81
+    assert(math.abs(r.head._3 - 0.81) < 0.05)
+    // bit-identical under repartitioning (integer matvec sums)
+    assert(run(df.repartition(7)) === r)
+  }
+
   test("containmentPairs flags a contained excerpt that Jaccard misses") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
