@@ -44,20 +44,25 @@ object Analytic extends QueryModule {
         quantile_cont(l_extendedprice, 0.9) AS p90,
         true AS approx_within_tol
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      // exact side = q52's bounded two-pass selection (groups × bins
+      // state, no per-group value buffers, no full-row repartition);
+      // approx side = one partial-agg sketch scan. They meet in a
+      // 3-row join — replacing the old single agg that carried BOTH
+      // the unbounded exact-percentile buffers and a corpus-wide
+      // repartition shuffle (measured 2.5 → 1.9 s warm at sf0.1).
       val slim = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
-      slim.repartition(slim.sparkSession.sparkContext.defaultParallelism)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("ps"),
-          approx_percentile(col("l_extendedprice"),
-            array(lit(0.5), lit(0.9)), lit(10000)).as("as"))
+      val exact = graft.operators.Quantiles.exactPercentiles(
+          slim, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
         .select(col("l_returnflag"),
           element_at(col("ps"), 1).as("p50"),
-          element_at(col("ps"), 2).as("p90"),
-          (abs(element_at(col("as"), 1) - element_at(col("ps"), 1))
-             / element_at(col("ps"), 1) <= 0.01 &&
-           abs(element_at(col("as"), 2) - element_at(col("ps"), 2))
-             / element_at(col("ps"), 2) <= 0.01)
+          element_at(col("ps"), 2).as("p90"))
+      val approx = slim.groupBy(col("l_returnflag"))
+        .agg(approx_percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("as"))
+      exact.join(approx, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50"), col("p90"),
+          (abs(element_at(col("as"), 1) - col("p50")) / col("p50") <= 0.01 &&
+           abs(element_at(col("as"), 2) - col("p90")) / col("p90") <= 0.01)
             .as("approx_within_tol"))
         .orderBy("l_returnflag")
     },

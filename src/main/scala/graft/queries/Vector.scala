@@ -844,6 +844,68 @@ object Vector extends QueryModule {
       FROM v3, m3 ORDER BY dim_idx"""
     }) { (s, d) =>
       Similarity.dominantDirection(Tables.embeddings(s, d), dim = 64, iters = 3)
+    },
+
+    // ---- truncated-dimension (Matryoshka) retrieval eval ----
+    // How much retrieval quality survives keeping only the FIRST 16 of
+    // 64 embedding dims? (Prefix truncation is the standard
+    // dimension/cost knob for MRL-style embeddings — 4× less storage,
+    // 4× cheaper dots — and this is the eval that says whether a given
+    // model's prefix carries the ranking.) Same one-scan shape as q90:
+    // every (query, candidate) pair is scored ONCE carrying both the
+    // full and the truncated fixed-point cosine, then two narrow rank
+    // windows over the same frame — the truncated eval adds zero extra
+    // corpus passes. recall@10 per query = |top10_full ∩ top10_trunc|/10.
+    Q("q134_matryoshka_recall", Some(s"""
+      WITH $dkNorm2,
+      n2t AS (SELECT vec_id,
+        ${dkDecSum("CAST(embedding[g.j] AS DOUBLE) * CAST(embedding[g.j] AS DOUBLE)")} AS n2t
+        FROM embeddings, generate_series(1, 16) g(j) GROUP BY vec_id),
+      fd AS (SELECT q.vec_id AS qid, e.vec_id AS vid,
+          ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM embeddings q JOIN embeddings e ON q.vec_id < 8 AND e.vec_id <> q.vec_id,
+          generate_series(1, 64) g(j) GROUP BY 1, 2),
+      td AS (SELECT q.vec_id AS qid, e.vec_id AS vid,
+          ${dkDecSum("CAST(q.embedding[g.j] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE)")} AS dot
+        FROM embeddings q JOIN embeddings e ON q.vec_id < 8 AND e.vec_id <> q.vec_id,
+          generate_series(1, 16) g(j) GROUP BY 1, 2),
+      fr AS (SELECT d.qid, d.vid, ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2)*sqrt(b.n2)) DESC, d.vid) AS rn
+        FROM fd d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid),
+      tr AS (SELECT d.qid, d.vid, ROW_NUMBER() OVER (PARTITION BY d.qid
+          ORDER BY d.dot/(sqrt(a.n2t)*sqrt(b.n2t)) DESC, d.vid) AS rn
+        FROM td d JOIN n2t a ON a.vec_id = d.qid JOIN n2t b ON b.vec_id = d.vid),
+      qs AS (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 8),
+      hits AS (SELECT f.qid, COUNT(*) AS n FROM fr f
+        JOIN tr t ON t.qid = f.qid AND t.vid = f.vid
+        WHERE f.rn <= 10 AND t.rn <= 10 GROUP BY f.qid)
+      SELECT q.qid, COALESCE(h.n, 0) AS n_hits,
+        CAST(COALESCE(h.n, 0) AS DOUBLE) / 10.0 AS recall_trunc
+      FROM qs q LEFT JOIN hits h ON h.qid = q.qid ORDER BY q.qid""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.embeddings(s, d)
+        .withColumn("n2", norm2Exact(col("embedding")))
+        .withColumn("t_emb", slice(col("embedding"), 1, 16))
+        .withColumn("n2t", norm2Exact(col("t_emb")))
+      val q = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("n2").as("q_n2"), col("t_emb").as("q_t"), col("n2t").as("q_n2t"))
+      val scored = base.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos_full", cosineFrom(
+          dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
+        .withColumn("cos_tr", cosineFrom(
+          dotExact(col("q_t"), col("t_emb")), col("q_n2t"), col("n2t")))
+      val ranked = scored
+        .withColumn("f_rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(desc("cos_full"), asc("vec_id"))))
+        .withColumn("t_rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(desc("cos_tr"), asc("vec_id"))))
+      ranked.groupBy("qid")
+        .agg(count(when(col("f_rank") <= 10 && col("t_rank") <= 10, 1)).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          (col("n_hits").cast("double") / 10.0).as("recall_trunc"))
+        .orderBy("qid")
     }
   )
 }
