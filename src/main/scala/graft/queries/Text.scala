@@ -1781,6 +1781,160 @@ object Text extends QueryModule {
         .select(col("token"), col("cnt"), least(probes: _*).as("cms_estimate"))
         .withColumn("overcount", col("cms_estimate") - col("cnt"))
         .orderBy(desc("cnt"), asc("token"))
+    },
+
+    // ---- rare-token scrub: the CMS sketch USED in a pipeline ----
+    // The production use of q132's sketch: gate each token on its
+    // estimated corpus frequency WITHOUT materializing or joining a
+    // vocabulary-sized count table. Pass 1 builds the 32 KB sketch;
+    // pass 2 probes it per exploded token against the broadcast one-row
+    // frame (array lookups + LEAST — map-only, whole-stage-codegen'd)
+    // and counts per doc how many tokens clear the floor. Because CMS
+    // only over-counts, a token scrubbed here is CERTAINLY below the
+    // floor — the conservative direction for "drop noise tokens"
+    // (typos, mojibake, leaked markup never kept by collision luck is
+    // impossible; a rare token kept by collision is the tolerable
+    // error). At corpus scale the vocabulary join this replaces is a
+    // shuffle of every token against a billion-row count table; the
+    // sketch probe is free.
+    Q("q135_rare_token_scrub", Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+      cnts AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+      buck AS (
+        ${(0 until 4).map(j =>
+          s"SELECT $j AS j, ${dkHash("t", 601 + j)} % 1024 AS b, SUM(cnt) AS s FROM cnts GROUP BY 2")
+          .mkString("\n        UNION ALL ")}),
+      tb AS (
+        ${(0 until 4).map(j =>
+          s"SELECT t, $j AS j, ${dkHash("t", 601 + j)} % 1024 AS b FROM (SELECT DISTINCT t FROM cnts)")
+          .mkString("\n        UNION ALL ")}),
+      est AS (SELECT tb.t, MIN(bu.s) AS est FROM tb
+        JOIN buck bu ON bu.j = tb.j AND bu.b = tb.b GROUP BY 1)
+      SELECT tok.doc_id, COUNT(*) AS n_tokens,
+        COUNT(CASE WHEN e.est >= 500 THEN 1 END) AS n_kept,
+        CAST(COUNT(*) - COUNT(CASE WHEN e.est >= 500 THEN 1 END) AS DOUBLE)
+          / COUNT(*) AS scrub_frac
+      FROM tok JOIN est e ON e.t = tok.t
+      GROUP BY tok.doc_id ORDER BY tok.doc_id""")) { (s, d) =>
+      val W = 1024
+      val depth = 4
+      val floorN = 500L
+      val docs = Tables.documents(s, d)
+      val sketch = docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .agg(udaf(new graft.functions.CountMinAggregator(W, depth, 601))
+          .apply(col("token")).as("sk"))
+      val probes = (0 until depth).map { j =>
+        element_at(col("sk"),
+          (lit(j * W) + pmod(hash64(col("token"), 601 + j), lit(W)) + 1).cast("int"))
+      }
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .crossJoin(broadcast(sketch))
+        .withColumn("est", least(probes: _*))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("est") >= floorN, 1)).as("n_kept"))
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          ((col("n_tokens") - col("n_kept")).cast("double") / col("n_tokens"))
+            .as("scrub_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ---- linear classifier gate over hashed bigram features ----
+    // The INFERENCE shape of corpus curation (fastText-style quality
+    // classifier, toxicity gate, domain scorer): a trained linear model
+    // over hashing-trick features applied to every document. Features
+    // are all bigram occurrences (compiled wordShinglesAll — map-side),
+    // each hashed into one of 512 weight buckets; the doc score is one
+    // partial-agg SUM of integer bucket weights and the gate is
+    // score > 0. Here the 512-entry weight vector is md5-derived (the
+    // deterministic test stand-in — a real model ships the same-shape
+    // 512-row table and broadcasts it); everything downstream of
+    // training is exactly this plan: no vocabulary join, no UDF, one
+    // corpus pass, per-(source) roll-up of pass rates. Integer weights
+    // keep both engines bit-identical (q129's idf trade).
+    Q("q136_classifier_gate", Some(s"""
+      WITH bg AS (SELECT doc_id, source,
+          unnest(list_transform(generate_series(1, len(tk)-1),
+            i -> array_to_string(tk[i:i+1], ' '))) AS g
+        FROM (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents)),
+      sc AS (SELECT doc_id, source,
+          SUM((${dkHash(s"CAST(${dkHash("g", 701)} % 512 AS VARCHAR)", 703)} % 2001) - 1000) AS score
+        FROM bg GROUP BY 1, 2),
+      ds AS (SELECT d.doc_id, d.source, COALESCE(sc.score, 0) AS score
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+      SELECT source, COUNT(*) AS n_docs,
+        COUNT(CASE WHEN score > 0 THEN 1 END) AS n_pass,
+        CAST(COUNT(CASE WHEN score > 0 THEN 1 END) AS DOUBLE) / COUNT(*) AS pass_share,
+        CAST(SUM(score) AS BIGINT) AS sum_score
+      FROM ds GROUP BY source ORDER BY source""")) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val sc = docs
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.GraftFunctions.wordShinglesAll(col("text"), 2))
+            .as("g"))
+        .withColumn("b", hash64(col("g"), 701) % 512)
+        .withColumn("w", (hash64(col("b").cast("string"), 703) % 2001) - 1000)
+        .groupBy("doc_id", "source").agg(sum(col("w")).as("score"))
+      docs.select(col("doc_id"), col("source"))
+        .join(sc.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
+        .withColumn("score", coalesce(col("score"), lit(0L)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("score") > 0, 1)).as("n_pass"),
+          sum(col("score")).as("sum_score"))
+        .select(col("source"), col("n_docs"), col("n_pass"),
+          (col("n_pass").cast("double") / col("n_docs")).as("pass_share"),
+          col("sum_score"))
+        .orderBy("source")
+    },
+
+    // ---- feature-hashing (hashing-trick) text embeddings ----
+    // The deterministic text→vector bridge (Weinberger et al.'s hashing
+    // trick): every token occurrence adds ±1 (md5-derived sign) to one
+    // of 64 hashed dimensions, giving each doc a dense integer vector
+    // whose dot products approximate token-bag similarity — the cheap
+    // embedding that feeds the q34-q36/q48 vector ops when no model
+    // embedding exists (classifier features, cold-start near-dup,
+    // cluster seeding). One explode pass, one (doc, dim)-grouped sum
+    // (≤64 rows per doc through the shuffle — narrower than the token
+    // stream), then a per-doc map→dense-array assembly; NO vocabulary
+    // is built or joined, which is the point of hashing features at
+    // corpus scale. All-integer, so fvec/l2sq/nnz are bit-identical in
+    // both engines (the oracle assembles the dense vector with a
+    // grid LEFT JOIN — relational-only SQL has no map type; same rows).
+    Q("q137_feature_hash_embed", Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+      tv AS (SELECT doc_id, ${dkHash("t", 801)} % 64 AS d,
+          CASE WHEN ${dkHash("t", 802)} % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM tok),
+      dv AS (SELECT doc_id, d, CAST(SUM(s) AS BIGINT) AS sd FROM tv GROUP BY 1, 2),
+      grid AS (SELECT dd.doc_id, g.i FROM (SELECT DISTINCT doc_id FROM documents) dd,
+        generate_series(0, 63) g(i)),
+      fv AS (SELECT grid.doc_id, grid.i, COALESCE(dv.sd, 0) AS sd
+        FROM grid LEFT JOIN dv ON dv.doc_id = grid.doc_id AND dv.d = grid.i)
+      SELECT doc_id, list(sd ORDER BY i) AS fvec,
+        CAST(SUM(sd * sd) AS BIGINT) AS l2sq,
+        CAST(SUM(CASE WHEN sd <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
+      FROM fv GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      val tv = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("dm", (hash64(col("t"), 801) % 64).cast("int"))
+        .withColumn("sg",
+          when(hash64(col("t"), 802) % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+      tv.groupBy("doc_id", "dm").agg(sum(col("sg")).as("sd"))
+        .groupBy("doc_id")
+        .agg(map_from_arrays(collect_list(col("dm")), collect_list(col("sd")))
+          .as("m"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => coalesce(element_at(col("m"), i), lit(0L))).as("fvec"))
+        .select(col("doc_id"), col("fvec"),
+          aggregate(col("fvec"), lit(0L), (a, x) => a + x * x).as("l2sq"),
+          aggregate(col("fvec"), lit(0L),
+            (a, x) => a + when(x =!= 0L, lit(1L)).otherwise(lit(0L))).as("nnz"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -446,6 +446,24 @@ object StatefulOps {
       }
       .start()
 
+  /** Streaming Count-Min sketch over a token column: a complete-mode
+    * global aggregate whose ONLY state is the depth×width counter grid
+    * (32 KB at the default sizing) no matter how long the stream runs —
+    * the bounded-state heavy-hitter monitor for unbounded token streams
+    * (the streaming face of the q132/q135 batch sketch; same
+    * [[graft.functions.CountMinAggregator]], same md5 bucket family, so
+    * a snapshot is probe-compatible with the batch estimators and, being
+    * elementwise-add mergeable, micro-batch partials combine exactly —
+    * the emitted sketch after any prefix equals the batch sketch of that
+    * prefix, spec-verified). Pair with q132's probe columns in a
+    * foreachBatch consumer to alert on heavy-hitter drift. */
+  def streamingTokenSketch(tokens: DataFrame, tokenCol: String = "token",
+      width: Int = 1024, depth: Int = 4, seedBase: Int = 601): DataFrame =
+    tokens.agg(
+      org.apache.spark.sql.functions.udaf(
+          new graft.functions.CountMinAggregator(width, depth, seedBase))
+        .apply(org.apache.spark.sql.functions.col(tokenCol)).as("sketch"))
+
   /** Typed view of an events DataFrame (batch or stream). */
   def asEvents(df: DataFrame): Dataset[Event] =
     df.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]

@@ -32,7 +32,13 @@ object Plans {
     "q52_percentiles" -> "exact percentiles by two-pass selection: bounded (group x bin) histogram aggregate, offset window locates candidate bins, ONLY those bins sort — no per-group value buffer, state bounded at any scale",
     "q125_ann_corpus_neighbors" -> "corpus-vs-corpus ANN: hinted SortMergeJoin on (set, bucket) — zero BroadcastExchange, LSH-bounded candidates, dedup before score; the query shape a broadcast side cannot run",
     "q129_keyword_search" -> "keyword search: exploded tokens filtered to query terms map-side, query-term-sized weight frame broadcast, score partial-agg, global top-10 via TakeOrderedAndProject heaps — no global sort",
-    "q130_repeated_run" -> "repeated-run detector: gaps-and-islands windows keyed on doc (parallel across docs, no SinglePartition), run census as one partial-agg count")
+    "q130_repeated_run" -> "repeated-run detector: gaps-and-islands windows keyed on doc (parallel across docs, no SinglePartition), run census as one partial-agg count",
+    "q68_approx_percentiles" -> "approx percentiles, bounded everywhere: two-pass exact selection + one-pass mergeable sketch scan meeting in a 3-row join — no corpus repartition, no per-group value buffers",
+    "q132_cms_heavy_hitters" -> "Count-Min sketch: one-pass fixed-size counter-grid aggregate (elementwise-add partials), one-row sketch broadcast as BroadcastNestedLoopJoin, LEAST-of-array-probes estimation",
+    "q133_principal_direction" -> "power iteration: one covariance array-buffer pass, then matrix-sized join+groupBy matvecs (3 unrolled) with integer normalization — nothing corpus-sized after pass 1",
+    "q135_rare_token_scrub" -> "CMS in-pipeline: sketch pass + broadcast one-row probe pass — per-token frequency gate with NO vocabulary-sized count join",
+    "q136_classifier_gate" -> "hashed-feature classifier inference: compiled bigram shingles map-side, inline integer bucket weights, per-doc partial-agg SUM, source roll-up — no vocabulary join, no UDF",
+    "q137_feature_hash_embed" -> "feature hashing: explode + (doc, dim) integer sums (<=64 rows/doc through the shuffle), per-doc map->dense assembly — the no-vocabulary text->vector bridge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

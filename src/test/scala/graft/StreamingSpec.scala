@@ -478,4 +478,28 @@ class StreamingSpec extends SparkTestBase {
       assert(last === ((7L, 2L, 15.0)))
     } finally q.stop()
   }
+
+  test("streamingTokenSketch equals the batch CMS of the stream prefix (U3 x T4)") {
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val W = 64
+    val q = StatefulOps.streamingTokenSketch(
+        ms.toDS().toDF("token"), width = W, depth = 3)
+      .writeStream.format("memory").queryName("cms").outputMode("complete").start()
+    try {
+      val b1 = Seq("alpha", "beta", "alpha", "gamma")
+      val b2 = Seq("beta", "alpha", "delta")
+      val agg = new graft.functions.CountMinAggregator(W, 3, 601)
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      val s1 = spark.table("cms").as[Seq[Long]].head()
+      assert(s1 === b1.foldLeft(agg.zero)((b, t) => agg.reduce(b, t)).toSeq)
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      // micro-batch partials merged == one batch sketch of the whole prefix
+      val s2 = spark.table("cms").as[Seq[Long]].head()
+      assert(s2 === (b1 ++ b2).foldLeft(agg.zero)((b, t) => agg.reduce(b, t)).toSeq)
+      assert(agg.estimate(s2, "alpha") >= 3L)
+    } finally q.stop()
+  }
 }
