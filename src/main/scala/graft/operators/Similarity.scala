@@ -584,18 +584,31 @@ object Similarity {
     val tri = covarianceMatrix(emb, dim)
       .select(col("i"), col("j"),
         floor(col("cov") * lit(grid.toDouble)).cast("long").as("c"))
-    // mirror the upper triangle to the full matrix for the matvec
+    // mirror the upper triangle to the full matrix for the matvec, then
+    // CUT LINEAGE: each unrolled iteration references `full` (and, via
+    // the max-norm, the previous w) more than once, so without a
+    // materialization barrier the covariance subtree — and with it the
+    // CORPUS SCAN — replicates ~3^iters times through the plan (84
+    // scans at iters=3, measured). localCheckpoint(true) pins the
+    // dim²-row frame once (KBs — the q113/nearDupClusters iterative
+    // precedent; executor-local blocks are fine for matrix-sized data,
+    // recompute-on-loss is one corpus pass)
     val full = tri.union(
       tri.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .localCheckpoint(true)
     val spark = emb.sparkSession
     var v = spark.range(dim)
       .select(col("id").cast("int").as("i"), lit(grid).as("v"))
     var lastM: DataFrame = null
     for (_ <- 1 to iters) {
+      // materialize each 64-row matvec result: m and v both re-read w,
+      // and the next iteration re-reads v — unchecked, the per-iteration
+      // subtree doubles
       val w = full
         .join(v.select(col("i").as("j"), col("v").as("vj")), Seq("j"))
         .groupBy("i").agg(sum(col("c") * col("vj")).as("w"))
+        .localCheckpoint(true)
       val m = w.agg(max(abs(col("w"))).as("m"))
       lastM = m
       v = w.crossJoin(broadcast(m)).selectExpr("i",
