@@ -238,4 +238,36 @@ object Sampling {
       .filter(col("__nsides") === nSides && col("__rn") <= col("__cap"))
       .drop("__rn", "__cnt", "__cap", "__nsides")
   }
+
+  /** Systematic probability-proportional-to-size sampling per stratum:
+    * rows are laid out in seeded-hash order, token weights accumulate,
+    * and a row is kept exactly when its weight span straddles a
+    * `step`-token boundary (`cum DIV step > (cum − w) DIV step`). Each
+    * kept row therefore "represents" one step-sized block of tokens —
+    * inclusion probability ≈ w/step (rows with w ≥ step are always
+    * kept), and a stratum's sample count is proportional to its token
+    * mass: the classical systematic PPS design, the right primitive for
+    * token-weighted corpus mixing where [[stratifiedCap]]'s equal-count
+    * draw would over-represent short-doc strata ([[tokenBudgetSample]]
+    * answers a different question — a hard budget prefix, not a rate).
+    *
+    * Everything is integer (weights, running sums, floor division) in a
+    * deterministic order, so the draw is repartition/retry-stable and
+    * bit-identical in any engine. Scale: one shuffle on the strata for
+    * the per-stratum running-sum windows — strata are many and bounded
+    * (the parallel shape; same contract as [[stratifiedCap]]); no joins.
+    * Adds `cum` (the running token sum at the row). */
+  def systematicPps(df: DataFrame, strata: Seq[String], idCol: String,
+      weight: Column, step: Long, seed: Int): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(seededHash(col(idCol), seed).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__w", weight.cast("long"))
+      .withColumn("cum", sum(col("__w")).over(w))
+      .filter(expr(s"cum DIV $step > (cum - __w) DIV $step"))
+      .drop("__w")
+  }
 }

@@ -1935,6 +1935,40 @@ object Text extends QueryModule {
           aggregate(col("fvec"), lit(0L),
             (a, x) => a + when(x =!= 0L, lit(1L)).otherwise(lit(0L))).as("nnz"))
         .orderBy("doc_id")
+    },
+
+    // ---- systematic PPS sampling by token mass ----
+    // The token-weighted mixing draw (Sampling.systematicPps): docs laid
+    // out per source in seeded-hash order, token weights accumulate,
+    // keep exactly the rows whose weight span straddles a 300-token
+    // boundary — each kept doc represents one 300-token block, so
+    // inclusion probability ∝ n_tokens and each source's sample count ∝
+    // its token mass (what an equal-count draw like q83 gets wrong for
+    // token-budgeted mixtures, and what q121 doesn't answer — that's a
+    // hard prefix, this is a rate). All-integer running sums in a
+    // deterministic order: repartition/retry-stable, bit-identical in
+    // both engines. One shuffle on source for the windows; sources are
+    // many and bounded — the parallel shape.
+    Q("q138_pps_sample", Some(s"""
+      WITH w AS (SELECT doc_id, source, len(string_split(text,' ')) AS nt,
+          ${dkHash("CAST(doc_id AS VARCHAR)", 901)} AS h
+        FROM documents),
+      c AS (SELECT doc_id, source, nt,
+          SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM w)
+      SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+        CAST(cum AS BIGINT) AS cum
+      FROM c WHERE cum // 300 > (cum - nt) // 300
+      ORDER BY doc_id""")) { (s, d) =>
+      graft.operators.Sampling.systematicPps(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).as("nt")),
+          Seq("source"), "doc_id", col("nt"), step = 300L, seed = 901)
+        .select(col("doc_id"), col("source"),
+          col("nt").cast("long").as("n_tokens"), col("cum"))
+        .orderBy("doc_id")
     }
   )
 }

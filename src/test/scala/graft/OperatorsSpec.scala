@@ -589,6 +589,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(run(df.repartition(7)) === r)
   }
 
+  test("systematicPps: one pick per step-block, heavy rows always kept, partition-stable") {
+    import graft.operators.Sampling
+    // two strata of 50 rows; every 10th row is heavy (w=120 >= step)
+    val df = (1L to 100L).map(i =>
+      (i, if (i <= 50) "a" else "b", if (i % 10 == 0) 120L else 7L))
+      .toDF("id", "src", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.systematicPps(d, Seq("src"), "id", col("w"), step = 100L, seed = 3)
+        .select("id").as[Long].collect().toSet
+    val r = run(df)
+    // a row with w >= step always straddles a boundary — never dropped
+    assert((10L to 100L by 10L).toSet.subsetOf(r))
+    // exact expected set: replay the same integer math (hash order,
+    // running sum, boundary straddle — a heavy row spanning TWO
+    // boundaries is still picked once, probability capped at 1)
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:3".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    val expected = (1L to 100L).groupBy(i => if (i <= 50) "a" else "b")
+      .values.flatMap { ids =>
+        var cum = 0L
+        ids.sortBy(i => (h(i), i)).flatMap { i =>
+          val w = if (i % 10 == 0) 120L else 7L
+          cum += w
+          if (cum / 100 > (cum - w) / 100) Some(i) else None
+        }
+      }.toSet
+    assert(r === expected)
+    // the draw is a pure function of (id-hash order, integer sums)
+    assert(run(df.repartition(13)) === r)
+  }
+
   test("containmentPairs flags a contained excerpt that Jaccard misses") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
