@@ -145,19 +145,34 @@ object Dedup {
     // blocks on EXECUTORS — zero extra I/O, but an executor loss mid-CC
     // kills the query (acceptable for minutes-long jobs; Spark retries
     // the whole query). Passing `checkpointDir` switches every cut to a
-    // RELIABLE `checkpoint()` into that (cluster-visible) directory:
-    // each round then survives executor loss at the price of one
-    // label-table write + read per round — the right trade when a CC run
-    // over a 100 TB corpus's pair list occupies the cluster for hours.
-    if (checkpointDir.isDefined)
-      pairs.sparkSession.sparkContext.setCheckpointDir(checkpointDir.get)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // RELIABLE parquet write + read under a per-run subdirectory of that
+    // (cluster-visible) path: each round then survives executor loss at
+    // the price of one label-table write + read per round — the right
+    // trade when a CC run over a 100 TB corpus's pair list occupies the
+    // cluster for hours. Deliberately NOT `rdd.checkpoint()`: that
+    // mutates global SparkContext state (setCheckpointDir leaks into
+    // concurrent jobs) and leaves one undeletable-by-us file per round.
+    // Here each round's files are deleted as soon as the next round is
+    // on disk, so an hours-long run holds at most two rounds of labels
+    // plus the edges table; only the FINAL label table remains (it backs
+    // the returned frame — the caller deletes the run dir when done).
+    val spark = pairs.sparkSession
+    val runDir = checkpointDir.map(d =>
+      s"$d/cc-${java.util.UUID.randomUUID().toString.take(8)}")
+    def rmTag(tag: String): Unit = runDir.foreach { rd =>
+      val p = new org.apache.hadoop.fs.Path(s"$rd/$tag")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    def cut(df: DataFrame, tag: String): DataFrame = runDir match {
+      case Some(rd) =>
+        df.write.mode("overwrite").parquet(s"$rd/$tag")
+        spark.read.parquet(s"$rd/$tag")
+      case None => df.localCheckpoint(true)
+    }
     val edges = cut(pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"))), "edges")
     var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")))
+      .withColumn("cluster", col("id")), "labels-init")
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -179,8 +194,11 @@ object Dedup {
       val jumped = cut(staged
         .observe(obs, sum(when(col("cluster") =!= col("__old"), 1L)
           .otherwise(0L)).as("changed"))
-        .select(col("id"), col("cluster")))
-      // the eager checkpoint already ran the job, so get() returns
+        .select(col("id"), col("cluster")), s"labels-$i")
+      // this round is fully materialized now — the previous round's
+      // label files can never be read again; reclaim them immediately
+      rmTag(if (i == 0) "labels-init" else s"labels-${i - 1}")
+      // the eager cut already ran the job, so get() returns
       // immediately; sum over zero rows is NULL → treat as converged.
       // A MISSING key must fail loudly: Option.forall(None) is true, so
       // an alias drift would otherwise silently exit after one round
@@ -195,6 +213,8 @@ object Dedup {
     require(converged,
       s"nearDupClusters did not converge in $maxIter rounds — component " +
         "structure deeper than 2^maxIter; raise maxIter")
+    // the returned frame reads only its own label files — edges are dead
+    rmTag("edges")
     labels
   }
 

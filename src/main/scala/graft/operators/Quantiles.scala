@@ -37,10 +37,14 @@ import org.apache.spark.sql.functions._
   * and only this form survives a 100 TB group whose distinct values
   * don't fit one buffer.
   *
-  * Groups whose values are all NULL are absent from the output (the
-  * built-in emits a NULL array for them); rows with NULL values are
-  * ignored like the built-in. Returns (groupCol, ps: array<double>)
-  * with ps in the order requested.
+  * Drop-in parity with the built-in on degenerate inputs: groups whose
+  * values are all NULL emit the built-in's NULL-array row (derived from
+  * the same stats pass — no extra scan); rows with NULL values are
+  * ignored like the built-in. NaN values FAIL LOUDLY instead — NaN
+  * poisons the equal-width bin expression (max = NaN ⇒ bin width NaN),
+  * so rather than return silently wrong bins the scan raises; filter
+  * NaN upstream if NaN-last built-in ordering is wanted. Returns
+  * (groupCol, ps: array<double>) with ps in the order requested.
   */
 object Quantiles {
 
@@ -50,10 +54,19 @@ object Quantiles {
       s"percentages must be in [0,1], got $ps")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val g = col(groupCol)
-    val rows = df.filter(col(valueCol).isNotNull)
-      .select(g, col(valueCol).cast("double").as("__v"))
-    val stats = rows.groupBy(g).agg(count(lit(1)).as("__n"),
+    val vr = col(valueCol).cast("double")
+    val guarded = df.select(g,
+      when(isnan(vr), raise_error(lit(
+        s"exactPercentiles: NaN in '$valueCol' — NaN has no exact rank " +
+          "in the histogram bins; filter NaN upstream")).cast("double"))
+        .otherwise(vr).as("__v"))
+    // ONE stats pass over all rows (NULLs included): count/min/max skip
+    // NULLs, so an all-NULL group surfaces here with __n = 0 — that is
+    // where the built-in's NULL-array row comes from, for free
+    val allStats = guarded.groupBy(g).agg(count(col("__v")).as("__n"),
       min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val stats = allStats.filter(col("__n") > 0)
+    val rows = guarded.filter(col("__v").isNotNull)
     // equal-width bin, monotone in __v (floor of a positive-constant
     // division), clamped so __v == max lands in the last bin
     val bin = when(col("__mx") === col("__mn"), lit(0L))
@@ -93,9 +106,12 @@ object Quantiles {
         col("__vlo"))
       .otherwise((col("__hi").cast("double") - col("__t")) * col("__vlo")
         + (col("__t") - col("__lo").cast("double")) * col("__vhi"))
-    hits.select(g, col("__pi"), interp.as("__q"))
+    val present = hits.select(g, col("__pi"), interp.as("__q"))
       .groupBy(g)
       .agg(transform(array_sort(collect_list(struct(col("__pi"), col("__q")))),
         s => s.getField("__q")).as("ps"))
+    val allNull = allStats.filter(col("__n") === 0)
+      .select(g, lit(null).cast("array<double>").as("ps"))
+    present.unionByName(allNull)
   }
 }

@@ -154,7 +154,10 @@ object Sampling {
     *   2. a window over that TINY frame turns subtotals into each
     *      bucket's starting offset `off` (tokens in all earlier
     *      buckets);
-    *   3. offsets broadcast-join back to the rows (map-side), and every
+    *   3. offsets join back to the rows (the planner broadcasts the
+    *      strata × 2^shardBits frame while it is small and falls back
+    *      to a shuffle join past autoBroadcastJoinThreshold — no forced
+    *      hint, so a huge strata count cannot OOM the driver), and every
     *      row in a bucket with off > budget is dropped BEFORE the sort —
     *      its running sum is ≥ off, so it can never be kept (this is
     *      the exactness argument, and why `tokens` must be ≥ 0 —
@@ -200,7 +203,7 @@ object Sampling {
     val wIn = W.partitionBy((strata.map(col) :+ col("__b")): _*)
       .orderBy(col("__h").asc, col(idCol).asc)
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    rows.join(broadcast(offs), strata :+ "__b")
+    rows.join(offs, strata :+ "__b")
       .filter(col("__off") <= budget)
       .withColumn("cum_tokens", col("__off") + sum(tok).over(wIn))
       .filter(col("cum_tokens") <= budget)
@@ -253,21 +256,65 @@ object Sampling {
     *
     * Everything is integer (weights, running sums, floor division) in a
     * deterministic order, so the draw is repartition/retry-stable and
-    * bit-identical in any engine. Scale: one shuffle on the strata for
-    * the per-stratum running-sum windows — strata are many and bounded
-    * (the parallel shape; same contract as [[stratifiedCap]]); no joins.
-    * Adds `cum` (the running token sum at the row). */
+    * bit-identical in any engine. Adds `cum` (the running token sum at
+    * the row).
+    *
+    * Scale — the same giant-stratum decomposition as
+    * [[tokenBudgetSample]]: a single per-stratum window would pull a
+    * dominant source's WHOLE stratum through one task's sort (a 100 TB
+    * corpus routinely has one). The hash order is therefore sharded by
+    * its own top bits into 2^`shardBits` range buckets (the bucket id
+    * is monotone in the hash, so bucket-major + in-bucket order IS the
+    * global hash order): per-(stratum, bucket) weight subtotals →
+    * prefix-summed bucket offsets over that tiny frame → offsets join
+    * back → per-(stratum, bucket) windows run in parallel, and
+    * off + in-bucket running sum is exactly the global running sum.
+    * Unlike the budget case NO rows can be pruned before the window —
+    * every block of the stratum yields a pick — but no task ever sorts
+    * more than ~1/2^shardBits of a stratum. Integer addition is
+    * associative, so kept rows and `cum` are identical to the
+    * one-window definition; `shardBits = 0` degenerates to it.
+    *
+    * Weights must be non-negative integers: a negative weight breaks
+    * the boundary-straddle predicate (and the Spark `DIV`-vs-DuckDB
+    * `//` truncate/floor parity on negative sums), and a fractional
+    * weight would be silently truncated by the long cast — both fail
+    * loudly instead. */
   def systematicPps(df: DataFrame, strata: Seq[String], idCol: String,
-      weight: Column, step: Long, seed: Int): DataFrame = {
+      weight: Column, step: Long, seed: Int,
+      shardBits: Int = 10): DataFrame = {
     require(step >= 1, s"step must be >= 1, got $step")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strata.map(col): _*)
-      .orderBy(seededHash(col(idCol), seed).asc, col(idCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__w", weight.cast("long"))
-      .withColumn("cum", sum(col("__w")).over(w))
+    require(strata.nonEmpty, "systematicPps needs at least one stratum")
+    require(shardBits >= 0 && shardBits <= 20,
+      s"shardBits must be in [0, 20], got $shardBits")
+    (Seq("cum", "__w", "__h", "__b", "__off", "__btok")).foreach(c =>
+      require(!df.columns.contains(c),
+        s"systematicPps uses column '$c'; input already has one"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wl = when(weight < 0, raise_error(concat(
+        lit("systematicPps: negative weight for id "),
+        col(idCol).cast("string"))).cast("long"))
+      .when(weight.cast("double") =!= weight.cast("long").cast("double"),
+        raise_error(concat(lit("systematicPps: non-integral weight for id "),
+          col(idCol).cast("string"))).cast("long"))
+      .otherwise(weight.cast("long"))
+    val rows = df.withColumn("__w", wl)
+      .withColumn("__h", seededHash(col(idCol), seed))
+      .withColumn("__b", shiftright(col("__h"), 60 - shardBits))
+    val offs = rows
+      .groupBy((strata.map(col) :+ col("__b")): _*)
+      .agg(sum(col("__w")).as("__btok"))
+      .withColumn("__off", coalesce(
+        sum(col("__btok")).over(W.partitionBy(strata.map(col): _*)
+          .orderBy(col("__b").asc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select((strata.map(col) :+ col("__b") :+ col("__off")): _*)
+    val wIn = W.partitionBy((strata.map(col) :+ col("__b")): _*)
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    rows.join(offs, strata :+ "__b")
+      .withColumn("cum", col("__off") + sum(col("__w")).over(wIn))
       .filter(expr(s"cum DIV $step > (cum - __w) DIV $step"))
-      .drop("__w")
+      .drop("__w", "__h", "__b", "__off")
   }
 }

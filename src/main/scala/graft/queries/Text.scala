@@ -1904,6 +1904,8 @@ object Text extends QueryModule {
     // corpus scale. All-integer, so fvec/l2sq/nnz are bit-identical in
     // both engines (the oracle assembles the dense vector with a
     // grid LEFT JOIN — relational-only SQL has no map type; same rows).
+    // The vector ships pipe-joined to a string — the q55 house pattern:
+    // the driver's pandas compare can't hash a raw array cell.
     Q("q137_feature_hash_embed", Some(s"""
       WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
       tv AS (SELECT doc_id, ${dkHash("t", 801)} % 64 AS d,
@@ -1914,7 +1916,8 @@ object Text extends QueryModule {
         generate_series(0, 63) g(i)),
       fv AS (SELECT grid.doc_id, grid.i, COALESCE(dv.sd, 0) AS sd
         FROM grid LEFT JOIN dv ON dv.doc_id = grid.doc_id AND dv.d = grid.i)
-      SELECT doc_id, list(sd ORDER BY i) AS fvec,
+      SELECT doc_id,
+        string_agg(CAST(sd AS VARCHAR), '|' ORDER BY i) AS fvec,
         CAST(SUM(sd * sd) AS BIGINT) AS l2sq,
         CAST(SUM(CASE WHEN sd <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
       FROM fv GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
@@ -1929,10 +1932,11 @@ object Text extends QueryModule {
           .as("m"))
         .select(col("doc_id"),
           transform(sequence(lit(0), lit(63)),
-            i => coalesce(element_at(col("m"), i), lit(0L))).as("fvec"))
-        .select(col("doc_id"), col("fvec"),
-          aggregate(col("fvec"), lit(0L), (a, x) => a + x * x).as("l2sq"),
-          aggregate(col("fvec"), lit(0L),
+            i => coalesce(element_at(col("m"), i), lit(0L))).as("fv"))
+        .select(col("doc_id"),
+          array_join(col("fv").cast("array<string>"), "|").as("fvec"),
+          aggregate(col("fv"), lit(0L), (a, x) => a + x * x).as("l2sq"),
+          aggregate(col("fv"), lit(0L),
             (a, x) => a + when(x =!= 0L, lit(1L)).otherwise(lit(0L))).as("nnz"))
         .orderBy("doc_id")
     },
@@ -1947,8 +1951,10 @@ object Text extends QueryModule {
     // token-budgeted mixtures, and what q121 doesn't answer — that's a
     // hard prefix, this is a rate). All-integer running sums in a
     // deterministic order: repartition/retry-stable, bit-identical in
-    // both engines. One shuffle on source for the windows; sources are
-    // many and bounded — the parallel shape.
+    // both engines. The windows are sharded by hash-top-bits bucket
+    // (exact two-pass prefix sum), so a dominant source never funnels
+    // its whole stratum through one task's sort — the oracle's single
+    // window per source IS the semantics; the sharding is plan-only.
     Q("q138_pps_sample", Some(s"""
       WITH w AS (SELECT doc_id, source, len(string_split(text,' ')) AS nt,
           ${dkHash("CAST(doc_id AS VARCHAR)", 901)} AS h

@@ -286,6 +286,26 @@ class OperatorsSpec extends SparkTestBase {
     val coarse = Quantiles.exactPercentiles(df, "g", "v", ps, buckets = 4)
       .select("g", "ps").as[(String, Seq[Double])].collect().toMap
     assert(coarse === built)
+    // drop-in parity on degenerates: an all-NULL group emits the
+    // built-in's NULL-array row (same stats pass, no extra scan)
+    val df2 = df.unionByName(Seq("e", "e").toDF("g")
+      .withColumn("v", lit(null).cast("double")))
+    val built2 = df2.groupBy("g")
+      .agg(percentile(col("v"), array(ps.map(lit): _*)).as("ps"))
+      .select("g", "ps").as[(String, Seq[Double])].collect().toMap
+    val two2 = Quantiles.exactPercentiles(df2, "g", "v", ps)
+      .select("g", "ps").as[(String, Seq[Double])].collect().toMap
+    assert(two2 === built2)
+    assert(two2.contains("e") && two2("e") == null)
+    // NaN poisons the equal-width bin (max=NaN → NaN width): loud fail,
+    // never silently wrong bins
+    val nan = df.unionByName(Seq(("f", Double.NaN)).toDF("g", "v"))
+    val e = intercept[Exception] {
+      Quantiles.exactPercentiles(nan, "g", "v", ps).collect()
+    }
+    val m = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(m.contains("NaN"), m)
   }
 
   test("nearDupClusters/updateClusters reliable-checkpoint option: same labels, data on disk") {
@@ -300,6 +320,20 @@ class OperatorsSpec extends SparkTestBase {
       k != null && (k.exists(_.isFile) || k.exists(hasFiles))
     }
     assert(hasFiles(new java.io.File(dir)), "no reliable checkpoint data written")
+    // per-round cleanup: an hours-long CC run must not accumulate one
+    // label table per round — after the run only the FINAL labels (the
+    // files backing the returned frame) remain; prior rounds and the
+    // edges table are reclaimed as the run advances
+    val ccDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cc-"))
+    assert(ccDirs.length === 1, ccDirs.map(_.getName).mkString(","))
+    val tags = ccDirs.head.listFiles().map(_.getName).toSet
+    assert(tags.count(_.startsWith("labels-")) === 1, tags.toString)
+    assert(!tags.contains("edges"), tags.toString)
+    // and no global SparkContext checkpoint dir was hijacked
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      s"reliable CC must not mutate the global checkpoint dir: " +
+        s"${spark.sparkContext.getCheckpointDir}")
     // updateClusters threads the option and agrees with the local path
     val upd = Dedup.updateClusters(Dedup.nearDupClusters(pairs),
       newPairs = Seq((3L, 10L)).toDF("a", "b"), maxIter = 25,
@@ -620,6 +654,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(r === expected)
     // the draw is a pure function of (id-hash order, integer sums)
     assert(run(df.repartition(13)) === r)
+  }
+
+  test("systematicPps: sharded windows equal the single-window draw; bad weights fail loudly") {
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(21)
+    // one giant stratum + one small — the shape the sharding exists for
+    val df = ((1L to 3000L).map(i => (i, "giant", 1L + rnd.nextInt(20))) ++
+      (1L to 50L).map(i => (10000L + i, "small", 5L))).toDF("id", "src", "w")
+    def run(bits: Int) =
+      Sampling.systematicPps(df, Seq("src"), "id", col("w"), step = 100L,
+          seed = 3, shardBits = bits)
+        .select("id", "cum").as[(Long, Long)].collect().toSet
+    // shardBits = 0 IS the single-window definition; bucket-major +
+    // in-bucket order must reproduce it row-for-row incl. the audit cum
+    assert(run(10) === run(0))
+    assert(run(10).nonEmpty)
+    def msgs(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    // a negative weight breaks the straddle predicate and the
+    // DIV-vs-floor engine parity — loud failure, never a silent draw
+    val neg = Seq((1L, "x", 5L), (2L, "x", -3L)).toDF("id", "src", "w")
+    val e1 = intercept[Exception] {
+      Sampling.systematicPps(neg, Seq("src"), "id", col("w"), step = 10L,
+        seed = 1).collect()
+    }
+    assert(msgs(e1).contains("negative weight"), msgs(e1))
+    // a fractional weight would be silently truncated by the long cast
+    val frac = Seq((1L, "x", 2.5), (2L, "x", 3.0)).toDF("id", "src", "w")
+    val e2 = intercept[Exception] {
+      Sampling.systematicPps(frac, Seq("src"), "id", col("w"), step = 10L,
+        seed = 1).collect()
+    }
+    assert(msgs(e2).contains("non-integral weight"), msgs(e2))
   }
 
   test("containmentPairs flags a contained excerpt that Jaccard misses") {

@@ -342,6 +342,19 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("__off"), s"no offset prune in plan:\n$plan")
   }
 
+  test("systematicPps shards the stratum window by hash bucket (no stratum-serial sort)") {
+    // ONE giant stratum: the old single-window shape would sort it in
+    // one task; the sharded form keys the row window on (stratum, __b)
+    // — offsets make off + in-bucket running sum the exact global sum
+    val df = (1L to 2000L).map(i => (i, "one", 10L)).toDF("id", "src", "w")
+    val out = graft.operators.Sampling.systematicPps(df, Seq("src"), "id",
+      col("w"), step = 100L, seed = 5)
+    assert(out.count() === 200) // 20000 tokens / 100-token step
+    val plan = out.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(src#\\d+, __b#\\d+".r.findFirstIn(plan).isDefined,
+      s"row window not sharded by bucket:\n$plan")
+  }
+
   test("clusteredWrite produces disjoint per-file ranges (file-skipping layout)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
