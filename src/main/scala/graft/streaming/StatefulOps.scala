@@ -464,6 +464,64 @@ object StatefulOps {
           new graft.functions.CountMinAggregator(width, depth, seedBase))
         .apply(org.apache.spark.sql.functions.col(tokenCol)).as("sketch"))
 
+  /** [[streamingTokenSketch]] wired to the T6 alert path: monitor a
+    * token stream's cumulative frequencies with the 32 KB CM sketch and
+    * notify (via [[Sinks.Notifier]] — SMTP in production, matching the
+    * reference's email-alert intent) when a watched token's estimate
+    * first reaches `threshold`.
+    *
+    * The engine owns the only unbounded-input state: the complete-mode
+    * sketch aggregate (checkpointed, exactly-once across restarts).
+    * Per micro-batch the sink sees ONE sketch-sized row — the sole
+    * driver-side materialization, 32 KB regardless of stream length —
+    * and probes the watchlist against it with the same
+    * [[graft.functions.CountMinAggregator]] bucket family as q132, so
+    * batch and streaming estimates agree exactly. CMS only over-counts,
+    * so an alert may fire early by the collision margin (≤ 2N/width),
+    * but a genuinely hot token is never missed — the safe direction for
+    * monitoring. Estimates are monotone (counts only add), so each
+    * token alerts ONCE per run via a driver-side fired set (bounded by
+    * the watchlist); after a restart a still-hot token re-alerts once —
+    * at-least-once notification, the delivery class every external
+    * alert sink has (the data-side state is still exactly-once).
+    *
+    * The watchlist is the CMS candidate set (a sketch cannot enumerate
+    * its members): contamination markers, PII sentinels, known-spam
+    * tokens. For OPEN-ended discovery, pair the sketch with per-batch
+    * candidates instead (probe each batch's tokens map-side against the
+    * broadcast sketch, as q135 does). */
+  def streamingHeavyHitterAlerts(tokens: DataFrame, watchlist: Seq[String],
+      threshold: Long, notifier: Sinks.Notifier, checkpointDir: String,
+      tokenCol: String = "token", width: Int = 1024, depth: Int = 4,
+      seedBase: Int = 601): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(watchlist.nonEmpty, "streamingHeavyHitterAlerts needs a watchlist")
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val agg = new graft.functions.CountMinAggregator(width, depth, seedBase)
+    val fired = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    streamingTokenSketch(tokens, tokenCol, width, depth, seedBase)
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // one row × depth·width longs — bounded regardless of stream size
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
+          val sk = rows(0).getSeq[Long](0)
+          watchlist.foreach { t =>
+            if (!fired.contains(t)) {
+              val est = agg.estimate(sk, t)
+              if (est >= threshold) {
+                fired.add(t)
+                notifier.send("graft-heavy-hitter",
+                  s"token=$t estimate=$est threshold=$threshold epoch=$epoch")
+              }
+            }
+          }
+        }
+      }
+      .start()
+  }
+
   /** Typed view of an events DataFrame (batch or stream). */
   def asEvents(df: DataFrame): Dataset[Event] =
     df.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]

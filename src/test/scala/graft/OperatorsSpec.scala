@@ -833,6 +833,61 @@ class OperatorsSpec extends SparkTestBase {
     assert(probe(s"$base/inc") === probe(s"$base/full"))
   }
 
+  test("compactIvfCells: probes bit-identical, hot cells rewritten to few files, cold cells untouched") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    val path = s"$base/idx"
+    // stage, then fragment the hot cells with many small appended batches
+    // (each append adds >=1 file per touched cell — the lifecycle problem)
+    Similarity.stageIvfIndex(emb.filter(col("vec_id") < 100), kCentroids = 4,
+      iters = 1, path = path, trainPred = Some(col("vec_id") < 100))
+    for (b <- 0 until 6)
+      Similarity.appendToIvfIndex(spark, path,
+        emb.filter(col("vec_id") >= 100 + b * 50 && col("vec_id") < 150 + b * 50))
+    def probe() = Similarity.ivfProbeStaged(spark, path,
+        emb.filter(col("vec_id") < 4), nprobe = 2, k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellFiles(): Map[String, Seq[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/assignment"))
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("cell="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .map(_.getPath.getName).toSeq.sorted
+        }.toMap
+    val before = probe()
+    val filesBefore = cellFiles()
+    val hot = filesBefore.filter(_._2.length > 3).keys.toSet
+    val cold = filesBefore.keySet -- hot
+    assert(hot.nonEmpty, "fixture must produce at least one fragmented cell")
+    // below-threshold call is a no-op that leaves every file byte-name
+    // identical — under-fragmented cells are never rewritten
+    assert(Similarity.compactIvfCells(spark, path, maxFiles = 100) === 0)
+    assert(cellFiles() === filesBefore)
+    val n = Similarity.compactIvfCells(spark, path, maxFiles = 3)
+    assert(n === hot.size)
+    val filesAfter = cellFiles()
+    // hot cells collapse to the byte-sized target (1 file at this scale)
+    hot.foreach(c => assert(filesAfter(c).length === 1, s"cell $c"))
+    // cold cells keep their exact file set — compaction never touches them
+    cold.foreach(c => assert(filesAfter(c) === filesBefore(c), s"cell $c"))
+    // compaction moves bytes, never data: probes are bit-identical
+    assert(probe() === before)
+    // idempotent: a second pass finds nothing over threshold
+    assert(Similarity.compactIvfCells(spark, path, maxFiles = 3) === 0)
+    // crash recovery: a stranded move-aside dir (died between the two
+    // renames) is restored by the next call
+    val cname = hot.head
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/assignment/$cname"),
+      new org.apache.hadoop.fs.Path(s"$path/assignment/.compact-old-$cname"))
+    assert(Similarity.compactIvfCells(spark, path, maxFiles = 3) === 0)
+    assert(cellFiles()(cname) === filesAfter(cname))
+    assert(probe() === before)
+  }
+
   test("kmeansCentroids trainPred: all-true equals full training; sample trains a complete quantizer") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // a predicate covering everything must be EXACTLY the default path

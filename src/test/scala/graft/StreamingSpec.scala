@@ -502,4 +502,31 @@ class StreamingSpec extends SparkTestBase {
       assert(agg.estimate(s2, "alpha") >= 3L)
     } finally q.stop()
   }
+
+  test("streamingHeavyHitterAlerts: hot watched token alerts once through the Notifier (U3 x T6)") {
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    Sinks.BufferingNotifier.buffer.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hh-ckpt").toString
+    val q = StatefulOps.streamingHeavyHitterAlerts(
+      ms.toDS().toDF("token"), watchlist = Seq("hot", "cold"),
+      threshold = 5L, notifier = new Sinks.BufferingNotifier, ckpt,
+      width = 64, depth = 3)
+    try {
+      // below threshold: no alert yet
+      ms.addData(Seq.fill(3)("hot") ++ Seq("cold", "noise"): _*)
+      q.processAllAvailable()
+      assert(Sinks.BufferingNotifier.buffer.isEmpty)
+      // crosses threshold (3 + 2 = 5): exactly one alert, for "hot" only
+      ms.addData("hot", "hot", "noise")
+      q.processAllAvailable()
+      val msgs = Sinks.BufferingNotifier.buffer.toArray.map(_.toString)
+      assert(msgs.length === 1)
+      assert(msgs(0).contains("token=hot") && msgs(0).contains("threshold=5"))
+      // still hot in later batches: fired set suppresses duplicates
+      ms.addData(Seq.fill(4)("hot"): _*)
+      q.processAllAvailable()
+      assert(Sinks.BufferingNotifier.buffer.size === 1)
+    } finally q.stop()
+  }
 }
