@@ -25,19 +25,34 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").write.format("noop")
       .mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Measure queries independently: defensively drop any cached blocks
-      // (operators no longer persist, but clearCache is cheap insurance).
-      spark.catalog.clearCache()
-      (name, dt, ok)
+    // Adjudication knobs (unset in driver runs — behavior is unchanged):
+    // SPARK_GRAFT_ONLY=q121,q52 restricts to name-prefix matches;
+    // SPARK_GRAFT_REPS=5 times each query that many times and reports the
+    // MIN — the noise-robust stat for variance-protocol re-measurement.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Measure queries independently: defensively drop any cached blocks
+        // (operators no longer persist, but clearCache is cheap insurance).
+        spark.catalog.clearCache()
+        (dt, ok)
+      }
+      val ok = times.forall(_._2)
+      (name, times.map(_._1).min, ok)
     }
     // Failed queries are reported explicitly (null time + a failed list)
     // and excluded from the total, so a crash can't silently understate

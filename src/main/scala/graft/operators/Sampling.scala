@@ -132,6 +132,30 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
   }
 
+  /** Resolve the `shardBits = -1` AUTO sentinel for the sharded-window
+    * samplers from the input's Catalyst size estimate: below
+    * [[autoShardThresholdBytes]] the whole input fits one task's sort
+    * with room to spare, so the single-window shape wins (the sharded
+    * form pays an extra subtotal aggregation + offset join — measured
+    * ~25% of q121's runtime at small scale); above it, shard 2^10 ways
+    * so no task ever sorts more than ~1/1024 of a dominant stratum.
+    * Unknown statistics report Long.MaxValue, which lands on the sharded
+    * side — the safe direction. Same decision style as
+    * autoBroadcastJoinThreshold: a size-statistic picks between two
+    * plans with identical results (equality is spec-proven both ways). */
+  private[graft] def resolveShardBits(df: DataFrame, shardBits: Int): Int = {
+    require(shardBits >= -1 && shardBits <= 20,
+      s"shardBits must be in [0, 20] or -1 (auto), got $shardBits")
+    if (shardBits >= 0) shardBits
+    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes
+      <= autoShardThresholdBytes) 0
+    else 10
+  }
+
+  /** 256 MB: a comfortable single-task sort; also well under the size
+    * where a stratum-serial window could stall a stage. */
+  private[graft] val autoShardThresholdBytes: Long = 1L << 28
+
   /** Token-budget stratified sample: within each stratum, take documents
     * in seeded-hash order (the same deterministic uniform draw as
     * [[stratifiedCap]]) while the running TOKEN sum stays ≤ `budget`.
@@ -170,13 +194,14 @@ object Sampling {
     * are identical to the single-window definition for any integral
     * token column (integer addition is associative; for fractional
     * token weights the re-association can differ in the last ulp).
-    * `shardBits = 0` degenerates to the one-window-per-stratum shape. */
+    * `shardBits = 0` IS the one-window-per-stratum shape (no subtotal
+    * pass, no join); `shardBits = -1` (the default) picks between the
+    * two from the input's size statistic ([[resolveShardBits]]). */
   def tokenBudgetSample(df: DataFrame, strata: Seq[String], idCol: String,
       tokens: Column, budget: Column, seed: Int,
-      shardBits: Int = 10): DataFrame = {
+      shardBits: Int = -1): DataFrame = {
     require(strata.nonEmpty, "tokenBudgetSample needs at least one stratum")
-    require(shardBits >= 0 && shardBits <= 20,
-      s"shardBits must be in [0, 20], got $shardBits")
+    val sb = resolveShardBits(df, shardBits)
     require(!df.columns.contains("cum_tokens"),
       "tokenBudgetSample emits a 'cum_tokens' column; input already has one")
     Seq("__h", "__b", "__off", "__btok").foreach(c =>
@@ -189,25 +214,35 @@ object Sampling {
         lit("tokenBudgetSample: negative token count for id "),
         col(idCol).cast("string"))).cast("long"))
       .otherwise(tokens)
-    // seededHash is 60-bit; the bucket is its top shardBits — monotone
-    val rows = df.withColumn("__h", seededHash(col(idCol), seed))
-      .withColumn("__b", shiftright(col("__h"), 60 - shardBits))
-    val offs = rows
-      .groupBy((strata.map(col) :+ col("__b")): _*)
-      .agg(sum(tok).as("__btok"))
-      .withColumn("__off", coalesce(
-        sum(col("__btok")).over(W.partitionBy(strata.map(col): _*)
-          .orderBy(col("__b").asc)
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .select((strata.map(col) :+ col("__b") :+ col("__off")): _*)
-    val wIn = W.partitionBy((strata.map(col) :+ col("__b")): _*)
-      .orderBy(col("__h").asc, col(idCol).asc)
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    rows.join(offs, strata :+ "__b")
-      .filter(col("__off") <= budget)
-      .withColumn("cum_tokens", col("__off") + sum(tok).over(wIn))
-      .filter(col("cum_tokens") <= budget)
-      .drop("__h", "__b", "__off")
+    if (sb == 0) {
+      val wIn = W.partitionBy(strata.map(col): _*)
+        .orderBy(col("__h").asc, col(idCol).asc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      df.withColumn("__h", seededHash(col(idCol), seed))
+        .withColumn("cum_tokens", sum(tok).over(wIn))
+        .filter(col("cum_tokens") <= budget)
+        .drop("__h")
+    } else {
+      // seededHash is 60-bit; the bucket is its top shardBits — monotone
+      val rows = df.withColumn("__h", seededHash(col(idCol), seed))
+        .withColumn("__b", shiftright(col("__h"), 60 - sb))
+      val offs = rows
+        .groupBy((strata.map(col) :+ col("__b")): _*)
+        .agg(sum(tok).as("__btok"))
+        .withColumn("__off", coalesce(
+          sum(col("__btok")).over(W.partitionBy(strata.map(col): _*)
+            .orderBy(col("__b").asc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select((strata.map(col) :+ col("__b") :+ col("__off")): _*)
+      val wIn = W.partitionBy((strata.map(col) :+ col("__b")): _*)
+        .orderBy(col("__h").asc, col(idCol).asc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      rows.join(offs, strata :+ "__b")
+        .filter(col("__off") <= budget)
+        .withColumn("cum_tokens", col("__off") + sum(tok).over(wIn))
+        .filter(col("cum_tokens") <= budget)
+        .drop("__h", "__b", "__off")
+    }
   }
 
   /** Distribution-matched sampling: within each `bucketCol` cell, keep
@@ -273,7 +308,10 @@ object Sampling {
     * every block of the stratum yields a pick — but no task ever sorts
     * more than ~1/2^shardBits of a stratum. Integer addition is
     * associative, so kept rows and `cum` are identical to the
-    * one-window definition; `shardBits = 0` degenerates to it.
+    * one-window definition; `shardBits = 0` IS that single-window shape
+    * (no subtotal pass, no join), and `shardBits = -1` (the default)
+    * picks between the two from the input's size statistic
+    * ([[resolveShardBits]]).
     *
     * Weights must be non-negative integers: a negative weight breaks
     * the boundary-straddle predicate (and the Spark `DIV`-vs-DuckDB
@@ -282,11 +320,10 @@ object Sampling {
     * loudly instead. */
   def systematicPps(df: DataFrame, strata: Seq[String], idCol: String,
       weight: Column, step: Long, seed: Int,
-      shardBits: Int = 10): DataFrame = {
+      shardBits: Int = -1): DataFrame = {
     require(step >= 1, s"step must be >= 1, got $step")
     require(strata.nonEmpty, "systematicPps needs at least one stratum")
-    require(shardBits >= 0 && shardBits <= 20,
-      s"shardBits must be in [0, 20], got $shardBits")
+    val sb = resolveShardBits(df, shardBits)
     (Seq("cum", "__w", "__h", "__b", "__off", "__btok")).foreach(c =>
       require(!df.columns.contains(c),
         s"systematicPps uses column '$c'; input already has one"))
@@ -298,23 +335,34 @@ object Sampling {
         raise_error(concat(lit("systematicPps: non-integral weight for id "),
           col(idCol).cast("string"))).cast("long"))
       .otherwise(weight.cast("long"))
-    val rows = df.withColumn("__w", wl)
-      .withColumn("__h", seededHash(col(idCol), seed))
-      .withColumn("__b", shiftright(col("__h"), 60 - shardBits))
-    val offs = rows
-      .groupBy((strata.map(col) :+ col("__b")): _*)
-      .agg(sum(col("__w")).as("__btok"))
-      .withColumn("__off", coalesce(
-        sum(col("__btok")).over(W.partitionBy(strata.map(col): _*)
-          .orderBy(col("__b").asc)
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .select((strata.map(col) :+ col("__b") :+ col("__off")): _*)
-    val wIn = W.partitionBy((strata.map(col) :+ col("__b")): _*)
-      .orderBy(col("__h").asc, col(idCol).asc)
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    rows.join(offs, strata :+ "__b")
-      .withColumn("cum", col("__off") + sum(col("__w")).over(wIn))
-      .filter(expr(s"cum DIV $step > (cum - __w) DIV $step"))
-      .drop("__w", "__h", "__b", "__off")
+    if (sb == 0) {
+      val wIn = W.partitionBy(strata.map(col): _*)
+        .orderBy(col("__h").asc, col(idCol).asc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      df.withColumn("__w", wl)
+        .withColumn("__h", seededHash(col(idCol), seed))
+        .withColumn("cum", sum(col("__w")).over(wIn))
+        .filter(expr(s"cum DIV $step > (cum - __w) DIV $step"))
+        .drop("__w", "__h")
+    } else {
+      val rows = df.withColumn("__w", wl)
+        .withColumn("__h", seededHash(col(idCol), seed))
+        .withColumn("__b", shiftright(col("__h"), 60 - sb))
+      val offs = rows
+        .groupBy((strata.map(col) :+ col("__b")): _*)
+        .agg(sum(col("__w")).as("__btok"))
+        .withColumn("__off", coalesce(
+          sum(col("__btok")).over(W.partitionBy(strata.map(col): _*)
+            .orderBy(col("__b").asc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select((strata.map(col) :+ col("__b") :+ col("__off")): _*)
+      val wIn = W.partitionBy((strata.map(col) :+ col("__b")): _*)
+        .orderBy(col("__h").asc, col(idCol).asc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      rows.join(offs, strata :+ "__b")
+        .withColumn("cum", col("__off") + sum(col("__w")).over(wIn))
+        .filter(expr(s"cum DIV $step > (cum - __w) DIV $step"))
+        .drop("__w", "__h", "__b", "__off")
+    }
   }
 }

@@ -413,7 +413,16 @@ object Similarity {
     *
     * Row content is preserved exactly (spec-proven: probes are
     * bit-identical before/after) — compaction changes file boundaries,
-    * never data. */
+    * never data.
+    *
+    * Scope: BATCH-written hive-partitioned layouts only (this one, and
+    * any like it). Do NOT point it at a streaming file-sink output
+    * (e.g. [[graft.streaming.Sinks.partitionedParquet]]'s event store):
+    * the file sink's `_spark_metadata` transaction log is the reader's
+    * source of truth there, and rewriting data files underneath it
+    * breaks every log-honoring read — that table needs a
+    * log-aware rewrite (a lakehouse table format's job, out of scope
+    * with parquet-only deps). */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFiles: Int = 8, targetBytes: Long = 128L << 20): Int = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")

@@ -332,7 +332,7 @@ class ScaleSpec extends SparkTestBase {
     // (stratum, __b) and (b) prune rows past the budget BEFORE the sort
     val df = (1L to 2000L).map(i => (i, "one", 10L)).toDF("id", "src", "nt")
     val out = graft.operators.Sampling.tokenBudgetSample(df, Seq("src"), "id",
-      col("nt"), lit(500L), seed = 5)
+      col("nt"), lit(500L), seed = 5, shardBits = 10)
     assert(out.count() === 50) // 500 / 10 tokens each
     val plan = out.queryExecution.executedPlan.toString
     assert("windowspecdefinition\\(src#\\d+, __b#\\d+".r.findFirstIn(plan).isDefined,
@@ -348,11 +348,38 @@ class ScaleSpec extends SparkTestBase {
     // — offsets make off + in-bucket running sum the exact global sum
     val df = (1L to 2000L).map(i => (i, "one", 10L)).toDF("id", "src", "w")
     val out = graft.operators.Sampling.systematicPps(df, Seq("src"), "id",
-      col("w"), step = 100L, seed = 5)
+      col("w"), step = 100L, seed = 5, shardBits = 10)
     assert(out.count() === 200) // 20000 tokens / 100-token step
     val plan = out.queryExecution.executedPlan.toString
     assert("windowspecdefinition\\(src#\\d+, __b#\\d+".r.findFirstIn(plan).isDefined,
       s"row window not sharded by bucket:\n$plan")
+  }
+
+  test("sampler shardBits auto rule: small stats pick the join-free single window, big stats shard") {
+    import graft.operators.Sampling
+    val tiny = (1L to 100L).map(i => (i, "one", 10L)).toDF("id", "src", "nt")
+    // a LocalRelation's stats are its actual bytes — far under 256 MB
+    assert(Sampling.resolveShardBits(tiny, -1) === 0)
+    // explicit shardBits always wins over the statistic
+    assert(Sampling.resolveShardBits(tiny, 10) === 10)
+    // range's stats are computed from its parameters (8 bytes/row), so
+    // 50M rows report ~400 MB without materializing anything
+    assert(Sampling.resolveShardBits(
+      spark.range(50000000L).toDF("id"), -1) === 10)
+    // the auto single-window plan really is join-free: no subtotal
+    // aggregation, no __b bucket column anywhere
+    val out = Sampling.tokenBudgetSample(tiny, Seq("src"), "id",
+      col("nt"), lit(500L), seed = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("__b"), s"auto path unexpectedly sharded:\n$plan")
+    assert(!plan.contains("Join"), s"auto path has a join:\n$plan")
+    assert(out.count() === 50)
+    // and it matches the sharded draw row-for-row (the standing
+    // equality contract between the two shapes)
+    val sharded = Sampling.tokenBudgetSample(tiny, Seq("src"), "id",
+      col("nt"), lit(500L), seed = 5, shardBits = 10)
+    assert(out.orderBy("id").collect().toSeq ===
+      sharded.select(out.columns.map(col): _*).orderBy("id").collect().toSeq)
   }
 
   test("clusteredWrite produces disjoint per-file ranges (file-skipping layout)") {
