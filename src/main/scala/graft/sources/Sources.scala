@@ -49,18 +49,55 @@ object Sources {
       .select(col("path"), col("length"), col("modificationTime"))
   }
 
+  /** Apply the file-source retention policy: `cleanSource = "delete"`
+    * reclaims each input file after the micro-batch that read it
+    * commits; `"archive"` moves it under `archiveDir` instead (audit /
+    * replay trail). Without one of these a spool or drop directory
+    * grows forever AND every trigger's listing slows with it — file
+    * retention is part of the source contract at production scale, not
+    * an ops afterthought. Cleaning runs on the engine's background
+    * cleaner threads, so reclamation lags the commit by a beat;
+    * exactly-once is unaffected either way (the processed-files log,
+    * not the directory, is the source of truth). */
+  private def withCleanup(
+      r: org.apache.spark.sql.streaming.DataStreamReader,
+      cleanSource: Option[String], archiveDir: Option[String]) = {
+    cleanSource.foreach { mode =>
+      require(Set("delete", "archive", "off")(mode),
+        s"cleanSource must be delete|archive|off, got $mode")
+      require(mode != "archive" || archiveDir.nonEmpty,
+        "cleanSource=archive needs an archiveDir")
+      r.option("cleanSource", mode)
+      archiveDir.foreach(d => r.option("sourceArchiveDir", d))
+    }
+    r
+  }
+
   /** S1 (dev form): file-stream source over an events directory; the
-    * production form is format("kafka") with identical downstream plan. */
-  def eventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    * production form is format("kafka") with identical downstream plan.
+    * `cleanSource`/`archiveDir`: see [[jsonEventStream]]. */
+  def eventStream(spark: SparkSession, dir: String, schema: StructType,
+      cleanSource: Option[String] = None,
+      archiveDir: Option[String] = None): DataFrame =
+    withCleanup(spark.readStream.schema(schema), cleanSource, archiveDir)
+      .parquet(dir)
 
   /** S5 spool consumer: NDJSON file-stream over a
     * [[graft.streaming.HttpIngest]] spool directory — one JSON event per
     * line, schema supplied (never inferred: streaming inference re-lists
     * the dir and an ingest endpoint's schema is a contract, not a
     * guess). Hidden `.tmp-*` spool files are skipped by Spark's lister;
-    * only atomically-renamed batches are visible. */
+    * only atomically-renamed batches are visible.
+    *
+    * `cleanSource = Some("delete")` reclaims each spool batch once the
+    * micro-batch that read it commits — the retention policy an
+    * always-on ingest edge needs (otherwise the spool grows without
+    * bound and each trigger's directory listing slows with it);
+    * `Some("archive")` + `archiveDir` moves batches aside instead,
+    * keeping a replayable ingest audit trail. */
   def jsonEventStream(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame =
-    spark.readStream.schema(schema).json(dir)
+      schema: StructType, cleanSource: Option[String] = None,
+      archiveDir: Option[String] = None): DataFrame =
+    withCleanup(spark.readStream.schema(schema), cleanSource, archiveDir)
+      .json(dir)
 }

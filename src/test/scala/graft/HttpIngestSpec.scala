@@ -52,6 +52,74 @@ class HttpIngestSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("spool retention: cleanSource=delete reclaims committed batches, archive keeps a trail") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-ingest-gc").toString
+    val arch = java.nio.file.Files.createTempDirectory("graft-ingest-arch").toString
+    val srv = HttpIngest.start(spool)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("value", DoubleType)))
+    def spoolBatches() = new java.io.File(spool).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("batch-")).map(_.getName)
+    def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+      val t0 = System.currentTimeMillis()
+      while (!cond && System.currentTimeMillis() - t0 < timeoutMs)
+        Thread.sleep(100)
+      cond
+    }
+    try {
+      assert(post(srv.port, """{"event_id":1,"value":1.0}""").statusCode() === 202)
+      val q = graft.sources.Sources.jsonEventStream(spark, spool, schema,
+          cleanSource = Some("delete"))
+        .writeStream.format("memory").queryName("gcspool")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("gcspool").count() === 1)
+        // the cleaner reclaims a batch's files once a LATER batch runs
+        // (and on background threads — poll): the guarantee is a spool
+        // bounded at ~one in-flight batch, not instant deletion
+        assert(post(srv.port, """{"event_id":2,"value":2.0}""").statusCode() === 202)
+        q.processAllAvailable()
+        assert(post(srv.port, """{"event_id":3,"value":3.0}""").statusCode() === 202)
+        q.processAllAvailable()
+        assert(eventually(20000)(spoolBatches().length <= 1),
+          s"spool grew instead of being reclaimed: ${spoolBatches().toSeq}")
+        // exactly-once unaffected: every event delivered despite deletion
+        assert(spark.table("gcspool").count() === 3)
+      } finally q.stop()
+      // archive mode: processed batches MOVE to the archive dir
+      assert(post(srv.port, """{"event_id":5,"value":5.0}""").statusCode() === 202)
+      val q2 = graft.sources.Sources.jsonEventStream(spark, spool, schema,
+          cleanSource = Some("archive"), archiveDir = Some(arch))
+        .writeStream.format("memory").queryName("arspool")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        // fresh checkpoint over the same spool may also pick up the
+        // delete-phase's bounded tail file — count is >= the new event
+        assert(spark.table("arspool").count() >= 1)
+        assert(post(srv.port, """{"event_id":6,"value":6.0}""").statusCode() === 202)
+        q2.processAllAvailable()
+        assert(eventually(20000)({ q2.processAllAvailable()
+          val d = new java.io.File(arch)
+          d.exists() && java.nio.file.Files.walk(d.toPath)
+            .filter(p => p.getFileName.toString.startsWith("batch-"))
+            .count() >= 1 }),
+          "no batch archived")
+      } finally q2.stop()
+      // bad mode fails loudly, archive without a dir fails loudly
+      intercept[IllegalArgumentException] {
+        graft.sources.Sources.jsonEventStream(spark, spool, schema,
+          cleanSource = Some("purge"))
+      }
+      intercept[IllegalArgumentException] {
+        graft.sources.Sources.jsonEventStream(spark, spool, schema,
+          cleanSource = Some("archive"))
+      }
+    } finally srv.stop()
+  }
+
   test("ingest rejects non-POST, empty bodies, and bad bearer tokens (S11 auth)") {
     val spool = java.nio.file.Files.createTempDirectory("graft-ingest-auth").toString
     // S11-for-S5: gate on a real RS256 JWT
