@@ -39,6 +39,20 @@ def norm(v):
     return v
 
 
+def pandas_sortable(name, tbl):
+    """Mirror the driver harness: it sorts result rows with pandas
+    sort_values, which dies on an array/ndarray cell (q137 was red a
+    whole round for this). Surface that failure mode locally."""
+    try:
+        import pandas as pd
+        df = tbl.to_pandas()
+        if len(df.columns):
+            df.sort_values(by=list(df.columns))
+    except Exception as e:
+        return f"PANDAS-SORT (driver harness would fail): {type(e).__name__}: {e}"
+    return None
+
+
 def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     if sorted(spark_cols) != sorted(duck_cols):
         return f"SCHEMA: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
@@ -87,7 +101,8 @@ def main():
                 n2 = "ts" if dt.startswith("timestamp") else dt
                 if n1 != n2:
                     print(f"  [type-warn] {name}.{c}: spark={st} duck={dt}")
-            err = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+            err = (pandas_sortable(name, tbl)
+                   or compare(name, spark_rows, spark_cols, duck_rows, duck_cols))
         except Exception as e:
             err = f"EXC: {e}"
         if err:

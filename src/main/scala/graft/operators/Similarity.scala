@@ -389,89 +389,19 @@ object Similarity {
     * [[appendToIvfIndex]] adds ≥1 file per touched cell per batch, so
     * months of ingest turn hot cells into thousands of small files —
     * which degrades exactly the scan [[ivfProbeStaged]]'s dynamic
-    * partition pruning is meant to keep cheap (per-file open/footer cost
-    * dominates once files shrink below a row group). This is the minor
-    * compaction every append-based layout needs (LSM stores and
-    * lakehouse table formats ship the same operation): rewrite ONLY the
-    * cells whose file count exceeds `maxFiles`, leaving cold cells'
-    * files byte-identical — cost is proportional to the fragmented
-    * fraction, never a full-index rewrite.
-    *
-    * Each selected cell is rewritten to `ceil(bytes / targetBytes)`
-    * files (compressed bytes as the proxy — the same ~128 MB-per-file
-    * sizing rule as [[stageIvfIndex]]'s `splits`) and committed by
-    * directory rename: new files land in a hidden sibling dir, the old
-    * cell dir is moved aside, the new one renamed in, then the old
-    * files are deleted. Renames are atomic per-directory on HDFS-like
-    * stores; a crash mid-swap is repaired by the recovery pass at the
-    * start of the next call (a missing cell dir with its trash present
-    * is moved back). Probes racing a swap can observe a cell's rows
-    * once-or-none for the swap instant — the same read-committed-ish
-    * contract concurrent [[appendToIvfIndex]] already has (parquet
-    * commits whole files); run compaction in the ingest maintenance
-    * window it belongs to. Returns the number of cells rewritten.
-    *
-    * Row content is preserved exactly (spec-proven: probes are
-    * bit-identical before/after) — compaction changes file boundaries,
-    * never data.
-    *
-    * Scope: BATCH-written hive-partitioned layouts only (this one, and
-    * any like it). Do NOT point it at a streaming file-sink output
-    * (e.g. [[graft.streaming.Sinks.partitionedParquet]]'s event store):
-    * the file sink's `_spark_metadata` transaction log is the reader's
-    * source of truth there, and rewriting data files underneath it
-    * breaks every log-honoring read — that table needs a
-    * log-aware rewrite (a lakehouse table format's job, out of scope
-    * with parquet-only deps). */
+    * partition pruning is meant to keep cheap. The shared minor-
+    * compaction machinery ([[graft.sources.Layout.compactHiveDirs]] —
+    * semantics, crash recovery, and the streaming-sink caveat documented
+    * there) rewrites ONLY the cells whose file count exceeds `maxFiles`
+    * and the ~`targetBytes`-per-file ideal (the same ~128 MB sizing rule
+    * as [[stageIvfIndex]]'s `splits`), leaving cold cells' files
+    * byte-identical. Returns the number of cells rewritten. Row content
+    * is preserved exactly (spec-proven: probes are bit-identical
+    * before/after). */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
-      maxFiles: Int = 8, targetBytes: Long = 128L << 20): Int = {
-    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
-    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    import org.apache.hadoop.fs.Path
-    val assignDir = new Path(s"$path/assignment")
-    val fs = assignDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = fs.listStatus(assignDir)
-    // crash recovery: a previous run that died between "move old aside"
-    // and "rename new in" left `.compact-old-cell=N` with no `cell=N` —
-    // restore the original; any other leftover temp dir is garbage
-    entries.filter(e => e.isDirectory &&
-        e.getPath.getName.startsWith(".compact-old-")).foreach { t =>
-      val orig = new Path(assignDir, t.getPath.getName.stripPrefix(".compact-old-"))
-      if (!fs.exists(orig)) fs.rename(t.getPath, orig)
-      else fs.delete(t.getPath, true)
-    }
-    entries.filter(e => e.isDirectory &&
-        e.getPath.getName.startsWith(".compact-new-"))
-      .foreach(t => fs.delete(t.getPath, true))
-    val cells = fs.listStatus(assignDir).filter(e =>
-      e.isDirectory && e.getPath.getName.startsWith("cell="))
-    var compacted = 0
-    cells.foreach { cd =>
-      val parts = fs.listStatus(cd.getPath).filter(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-      val bytes = parts.map(_.getLen).sum
-      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (parts.length > math.max(maxFiles, want)) {
-        val name = cd.getPath.getName
-        val newDir = new Path(assignDir, s".compact-new-$name")
-        val oldDir = new Path(assignDir, s".compact-old-$name")
-        // read THIS cell's files only; schema is the partition-stripped
-        // member schema (vec_id, embedding, n2) — written back as-is
-        spark.read.parquet(cd.getPath.toString)
-          .repartition(want)
-          .write.mode("overwrite").parquet(newDir.toString)
-        if (!fs.rename(cd.getPath, oldDir))
-          throw new java.io.IOException(s"compactIvfCells: cannot move aside $name")
-        if (!fs.rename(newDir, cd.getPath)) {
-          fs.rename(oldDir, cd.getPath) // roll back; leave cell untouched
-          throw new java.io.IOException(s"compactIvfCells: cannot commit $name")
-        }
-        fs.delete(oldDir, true)
-        compacted += 1
-      }
-    }
-    compacted
-  }
+      maxFiles: Int = 8, targetBytes: Long = 128L << 20): Int =
+    graft.sources.Layout.compactHiveDirs(spark, s"$path/assignment", "cell=",
+      maxFiles, targetBytes)
 
   /** IVF ANN top-k against a [[stageIvfIndex]] table: queries rank the
     * staged centroids (broadcast — k rows), keep `nprobe` cells, and the

@@ -34,4 +34,90 @@ object Layout {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Minor compaction for append-written hive-partitioned parquet dirs —
+    * the shared machinery behind `Similarity.compactIvfCells` and
+    * `Dedup.compactSignatureBuckets`. Every append-based layout needs
+    * this operation (LSM stores and lakehouse table formats ship the
+    * same): batch appends add ≥1 file per touched partition dir, so
+    * months of ingest turn hot dirs into thousands of small files, and
+    * per-file open/footer cost dominates once files shrink below a row
+    * group.
+    *
+    * Rewrites ONLY the dirs under `tableDir` (matching `prefix`, e.g.
+    * `"cell="` / `"bgrp="`) whose file count exceeds both `maxFiles` and
+    * the ~`targetBytes`-per-file ideal; cold dirs' files stay
+    * byte-identical — cost is proportional to the fragmented fraction,
+    * never a full-table rewrite. Each selected dir is rewritten to
+    * `ceil(bytes / targetBytes)` files and committed by directory
+    * rename: new files land in a hidden sibling dir, the old dir is
+    * moved aside, the new one renamed in, then the old files are
+    * deleted. Renames are atomic per-directory on HDFS-like stores; a
+    * crash mid-swap is repaired by the recovery pass at the start of the
+    * next call (a missing dir with its trash present is moved back).
+    * Readers racing a swap can observe a dir's rows once-or-none for the
+    * swap instant — the same read-committed-ish contract concurrent
+    * appends already have (parquet commits whole files); run compaction
+    * in the ingest maintenance window it belongs to. Returns the number
+    * of dirs rewritten. Row content is preserved exactly — compaction
+    * changes file boundaries, never data.
+    *
+    * Scope: BATCH-written hive-partitioned layouts only. Do NOT point it
+    * at a streaming file-sink output (e.g.
+    * `graft.streaming.Sinks.partitionedParquet`'s event store): the file
+    * sink's `_spark_metadata` transaction log is the reader's source of
+    * truth there, and rewriting data files underneath it breaks every
+    * log-honoring read — that table needs a log-aware rewrite (a
+    * lakehouse table format's job, out of scope with parquet-only
+    * deps). */
+  private[graft] def compactHiveDirs(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, prefix: String, maxFiles: Int,
+      targetBytes: Long): Int = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(root)
+    // crash recovery: a previous run that died between "move old aside"
+    // and "rename new in" left `.compact-old-<dir>` with no `<dir>` —
+    // restore the original; any other leftover temp dir is garbage
+    entries.filter(e => e.isDirectory &&
+        e.getPath.getName.startsWith(".compact-old-")).foreach { t =>
+      val orig = new Path(root, t.getPath.getName.stripPrefix(".compact-old-"))
+      if (!fs.exists(orig)) fs.rename(t.getPath, orig)
+      else fs.delete(t.getPath, true)
+    }
+    entries.filter(e => e.isDirectory &&
+        e.getPath.getName.startsWith(".compact-new-"))
+      .foreach(t => fs.delete(t.getPath, true))
+    val dirs = fs.listStatus(root).filter(e =>
+      e.isDirectory && e.getPath.getName.startsWith(prefix))
+    var compacted = 0
+    dirs.foreach { cd =>
+      val parts = fs.listStatus(cd.getPath).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      val bytes = parts.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (parts.length > math.max(maxFiles, want)) {
+        val name = cd.getPath.getName
+        val newDir = new Path(root, s".compact-new-$name")
+        val oldDir = new Path(root, s".compact-old-$name")
+        // read THIS dir's files only; schema is the partition-stripped
+        // row schema — written back as-is
+        spark.read.parquet(cd.getPath.toString)
+          .repartition(want)
+          .write.mode("overwrite").parquet(newDir.toString)
+        if (!fs.rename(cd.getPath, oldDir))
+          throw new java.io.IOException(s"compactHiveDirs: cannot move aside $name")
+        if (!fs.rename(newDir, cd.getPath)) {
+          fs.rename(oldDir, cd.getPath) // roll back; leave dir untouched
+          throw new java.io.IOException(s"compactHiveDirs: cannot commit $name")
+        }
+        fs.delete(oldDir, true)
+        compacted += 1
+      }
+    }
+    compacted
+  }
 }

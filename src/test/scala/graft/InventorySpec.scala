@@ -28,6 +28,26 @@ class InventorySpec extends SparkTestBase {
     }
   }
 
+  test("no query output column is array/map/struct (driver compare contract)") {
+    // the driver's correctness gate sorts result rows with pandas, which
+    // cannot hash/sort a numpy-array cell — q137 was red a whole round
+    // for exactly this. House pattern: ship arrays as array_join'd
+    // strings (q55/q65/q137) or fingerprints. Top-level output columns
+    // must stay atomic.
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, d).schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(bad.isEmpty,
+        s"$name emits non-atomic column(s) ${bad.map(_.name).mkString(",")}" +
+          " — the driver's pandas compare cannot sort these; array_join" +
+          " or fingerprint them (q55 pattern)")
+    }
+  }
+
   test("entry returns rows (driver t1 smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
