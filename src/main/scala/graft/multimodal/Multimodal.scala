@@ -38,13 +38,16 @@ final case class FrameSample(media_id: Long, frame_index: Int, offset: Int,
   * ([[decodeAudio]], JDK `javax.sound.sampled` — WAV/AIFF/AU PCM):
   * true sample rate + channel count and a windowed-RMS-energy feature
   * vector. `kind = "video"` decodes for REAL when the payload is an
-  * uncompressed AVI ([[decodeVideo]], hand-parsed RIFF container —
-  * true dimensions from `avih` + per-frame mean-luminance features from
-  * BI_RGB frame chunks); compressed video falls back to the labeled
+  * AVI carrying either an uncompressed (BI_RGB) or a Motion-JPEG
+  * stream ([[decodeVideo]], hand-parsed RIFF container — true
+  * dimensions + per-frame mean-luminance features; MJPEG frames are
+  * standalone JPEGs routed through the same `javax.imageio` machinery
+  * the image decoder uses, zero new dependencies). Only genuinely
+  * codec-requiring video (H.264, VP9, …) falls back to the labeled
   * STUB ([[decodeStub]]) because this container ships no codec
-  * libraries. Swapping a full codec changes only that function body —
-  * the distributed shape (schema in, partition-parallel map, schema
-  * out) is final.
+  * libraries. Swapping a full codec in changes only that function
+  * body — the distributed shape (schema in, partition-parallel map,
+  * schema out) is final.
   */
 object Multimodal {
 
@@ -199,17 +202,33 @@ object Multimodal {
   @inline private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** Real video decode for uncompressed AVI (RIFF container parsed with
-    * plain JDK byte ops — no codec library): (width, height, features)
-    * where features is `dim` mean-luminance values over frames sampled
-    * across the clip (each in [0,1]; piecewise-constant when the clip has
-    * fewer than `dim` frames, mirroring the audio decoder). Dimensions
-    * come from the `avih` main header; pixels from `00db`-style BI_RGB
-    * 24-bit frame chunks in the `movi` list (bottom-up rows, 4-byte
-    * padded), sampled on a ≤64×64 grid per frame like the image decoder.
-    * Compressed streams (any nonzero biCompression) return None — the
-    * container has no codec libraries, so those stay on the labeled stub
-    * path. */
+  /** biCompression values of Motion-JPEG streams: each frame chunk is a
+    * complete JPEG image, decodable by `javax.imageio` with no codec
+    * library. "MJPG" is the canonical fourcc; some muxers write it
+    * lowercase. */
+  private val MjpgFourccs: Set[Long] =
+    Set("MJPG", "mjpg").map(s => u32le(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0))
+
+  /** Real video decode for AVI (RIFF container parsed with plain JDK byte
+    * ops): (width, height, features) where features is `dim`
+    * mean-luminance values over frames sampled across the clip (each in
+    * [0,1]; piecewise-constant when the clip has fewer than `dim` frames,
+    * mirroring the audio decoder). Two stream formats decode for REAL:
+    *
+    *  - **BI_RGB** (biCompression = 0, 24-bit): pixels straight from
+    *    `00db`-style frame chunks in the `movi` list (bottom-up rows,
+    *    4-byte padded), dims from the `avih` main header;
+    *  - **MJPEG** (biCompression fourcc `MJPG`): each `00dc` frame chunk
+    *    is a standalone JPEG decoded through the same `javax.imageio`
+    *    path [[decodeImage]] uses, dims from the first decoded frame
+    *    (the frames' own truth, not the header's claim).
+    *
+    * Both sample pixels on a ≤64×64 grid per frame like the image
+    * decoder, and only the ≤`dim` distinct sampled frames are ever
+    * decoded — cost is bounded regardless of clip length. Genuinely
+    * codec-requiring formats (H.264, VP9, …) return None — this
+    * container ships no codec libraries, so those stay on the labeled
+    * stub path. */
   private[multimodal] def decodeVideo(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
     try {
       if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
@@ -220,6 +239,7 @@ object Multimodal {
       var compression = -1L
       var inVideoStream = false // last strh seen was fccType "vids"
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+      val jpegFrames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // 00dc (off, len)
 
       // chunk walk: (fourcc, size, payload); LISTs recurse, chunks are
       // even-padded per the RIFF spec. A legal AVI nests 3-4 LIST levels;
@@ -250,12 +270,16 @@ object Multimodal {
             compression = u32le(bytes, payload + 16)
           } else if (id.endsWith("db")) {
             frames += ((payload, sz)) // uncompressed DIB frame chunk
+          } else if (id.endsWith("dc")) {
+            jpegFrames += ((payload, sz)) // compressed frame chunk (JPEG if MJPG)
           }
           p = payload + sz + (sz & 1)
         }
       }
       walk(12, bytes.length, 0)
 
+      if (MjpgFourccs.contains(compression) && jpegFrames.nonEmpty)
+        return decodeMjpegFrames(bytes, jpegFrames, dim)
       if (width <= 0 || height <= 0 || compression != 0L || bitCount != 24 ||
         frames.isEmpty) return None
       val rowSize = ((width * 3 + 3) / 4) * 4
@@ -296,11 +320,68 @@ object Multimodal {
       Some((width, height, out))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** MJPEG branch of [[decodeVideo]]: each `00dc` chunk is a complete
+    * JPEG. Only the ≤`dim` distinct frames the luminance windows sample
+    * are decoded (memoized), so a 10-minute clip costs the same as a
+    * `dim`-frame one. Dimensions come from the first decoded frame.
+    * Any sampled frame that `javax.imageio` cannot decode (e.g. the
+    * table-less MJPEG variant some hardware muxers emit) fails the whole
+    * clip to None → callers degrade to the labeled stub rather than
+    * returning half-real features. */
+  private def decodeMjpegFrames(bytes: Array[Byte], jpegFrames: scala.collection.mutable.ArrayBuffer[(Int, Int)],
+      dim: Int): Option[(Int, Int, Array[Float])] = {
+    def decodeFrame(off: Int, len: Int): Option[(Int, Int, Float)] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val stepX = math.max((w + 63) / 64, 1)
+        val stepY = math.max((h + 63) / 64, 1)
+        var sum = 0.0
+        var n = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sum += (299 * r + 587 * g + 114 * b) / (1000.0 * 255.0)
+            n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        if (n == 0) None else Some((w, h, (sum / n).toFloat))
+      }
+    }
+    val cache = scala.collection.mutable.HashMap.empty[Int, Option[(Int, Int, Float)]]
+    val out = new Array[Float](dim)
+    var width = 0
+    var height = 0
+    var w = 0
+    while (w < dim) {
+      val fi = (w.toLong * jpegFrames.length / dim).toInt
+      val (off, len) = jpegFrames(fi)
+      cache.getOrElseUpdate(fi, decodeFrame(off, len)) match {
+        case Some((fw, fh, lum)) =>
+          if (width == 0) { width = fw; height = fh }
+          out(w) = lum
+        case None => return None
+      }
+      w += 1
+    }
+    if (width <= 0 || height <= 0) None else Some((width, height, out))
+  }
+
   /** Feature extraction: partition-parallel decode of opaque media bytes.
-    * Image, audio and uncompressed-AVI video rows decode for real
-    * (dimensions + RGB histogram / sample-rate + channels + RMS windows /
-    * avih dims + frame luminance); compressed video and undecodable
-    * payloads take the labeled stub path with -1 dims. */
+    * Image, audio, and AVI video rows (BI_RGB or MJPEG streams) decode
+    * for real (dimensions + RGB histogram / sample-rate + channels + RMS
+    * windows / frame dims + luminance); codec-requiring video and
+    * undecodable payloads take the labeled stub path with -1 dims. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] =
     media.mapPartitions { rows =>
       rows.map { m =>

@@ -214,6 +214,70 @@ class RegistrySourcesSpec extends SparkTestBase {
     assert((f(1).decoded_width, f(1).decoded_height) === (-1, -1))
   }
 
+  test("multimodal video codec decodes an MJPEG AVI through javax.imageio") {
+    // MJPEG AVI: same RIFF skeleton as the BI_RGB case, but biCompression
+    // = 'MJPG' and each frame chunk ('00dc') is a standalone JPEG. Three
+    // 8×6 frames: black, mid-gray (128), white — luminance must ramp.
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tpe: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("US-ASCII") ++ payload)
+    def jpegOf(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val (w, h) = (8, 6)
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(3), 0, avih, 16, 4)  // dwTotalFrames
+    System.arraycopy(le32(w), 0, avih, 32, 4)  // dwWidth
+    System.arraycopy(le32(h), 0, avih, 36, 4)  // dwHeight
+    val strh = "vids".getBytes("US-ASCII") ++ new Array[Byte](52)
+    val mjpg = "MJPG".getBytes("US-ASCII")
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      mjpg ++ new Array[Byte](20)              // biCompression = 'MJPG'
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      chunk("00dc", jpegOf(w, h, 0)) ++
+        chunk("00dc", jpegOf(w, h, 128)) ++
+        chunk("00dc", jpegOf(w, h, 255)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    // a claimed-MJPG AVI whose frame bytes are NOT decodable JPEGs must
+    // fail the whole clip to the stub, never return half-real features
+    val moviBad = list("movi", chunk("00dc", Array.tabulate(64)(_.toByte)))
+    val bodyBad = "AVI ".getBytes("US-ASCII") ++ hdrl ++ moviBad
+    val aviBad = "RIFF".getBytes("US-ASCII") ++ le32(bodyBad.length) ++ bodyBad
+
+    val media = Seq(
+      MediaRow(1, "video", avi, 0, 0),
+      MediaRow(2, "video", aviBad, 0, 0)
+    ).toDS().repartition(2)
+    val f = Multimodal.extractFeatures(media, dim = 3).collect().sortBy(_.media_id)
+    // real decode: exact dimensions from the decoded JPEG frames
+    assert((f(0).decoded_width, f(0).decoded_height) === (w, h))
+    // dim=3 over 3 frames: one window per frame; JPEG is lossy so allow
+    // a small tolerance around 0 / 128/255 / 1
+    val Array(l0, l1, l2) = f(0).features
+    assert(l0 < 0.05f, s"black frame luminance, got $l0")
+    assert(math.abs(l1 - 128f / 255f) < 0.05f, s"gray frame luminance, got $l1")
+    assert(l2 > 0.95f, s"white frame luminance, got $l2")
+    assert((f(1).decoded_width, f(1).decoded_height) === (-1, -1))
+    assert(f(1).features.length === 3)
+  }
+
   test("multimodal frame sampling fans out frames with offsets") {
     val media = Seq(MediaRow(1, "video", Array.tabulate(100)(_.toByte), 0, 0)).toDS()
     val frames = Multimodal.sampleFrames(media, stride = 25, frameSize = 10).collect()
