@@ -598,4 +598,90 @@ object Dedup {
     crossBatchVerdicts(bn, stagedSigs.select("doc_id", "sh", "band", "bkey"),
       threshold)
   }
+
+  // ---- duplicated-span statistics (ExactSubstr family, q86's operator) ----
+
+  /** Per-doc DISTINCT `span`-token window sets: (doc_id, sh). Docs
+    * shorter than `span` tokens get an empty set. */
+  private def spanSets(df: DataFrame, idCol: String, textCol: String,
+      span: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.GraftFunctions.wordShingles(col(textCol), span).as("sh"))
+
+  /** Exploded hashed spans: (doc_id, h). Spans hash to int64 so every
+    * downstream shuffle carries narrow (hash, id) pairs, never span
+    * text. Per-doc spans are distinct, so COUNT(*) per hash = document
+    * frequency. */
+  private def spanHashes(sets: DataFrame, seed: Int): DataFrame =
+    sets.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.hash64c(col("s"), seed).as("h"))
+
+  /** ExactSubstr-style duplicated-span statistics (q86's operator form —
+    * the query delegates here, so the DuckDB oracle gates this code):
+    * per doc, how many of its `span`-token windows also appear in OTHER
+    * docs. Output: (doc_id, n_spans, n_dup_spans, dup_span_frac). The
+    * span-frequency subtree is recomputed per run — production corpora
+    * stage it once with [[stageSpanStats]] and probe with
+    * [[dupSpanStatsStaged]]. */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      span: Int = 8, seed: Int = 11): DataFrame = {
+    val sets = spanSets(df, idCol, textCol, span)
+    val ex = spanHashes(sets, seed)
+    val common = ex.groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1).select("h")
+    val flag = ex.join(common, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    spanStatsTail(sets, flag)
+  }
+
+  private def spanStatsTail(sets: DataFrame, flag: DataFrame): DataFrame =
+    sets.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
+      .join(flag, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double")
+            / col("n_spans")).as("dup_span_frac"))
+
+  /** Stage the corpus's span-frequency table to parquet — the
+    * [[stageSignatures]] contract for the ExactSubstr family. The global
+    * span groupBy (corpus-token-count × 16 bytes of shuffle) is paid
+    * ONCE per corpus snapshot; the staged table is (h, n_docs) —
+    * span-vocabulary-sized, two int64 columns, no text — hash-range-
+    * clustered on `h` so file footers cover disjoint hash slices.
+    * Probe-side parameters (span/seed) must match the staging call:
+    * hashes from different parameters never collide correctly and a
+    * mismatch silently reports zero duplicated spans. */
+  def stageSpanStats(df: DataFrame, idCol: String, textCol: String,
+      path: String, span: Int = 8, seed: Int = 11, numFiles: Int = 8): Unit =
+    graft.sources.Layout.clusteredWrite(
+      spanHashes(spanSets(df, idCol, textCol, span), seed)
+        .groupBy("h").agg(count(lit(1)).as("n_docs")),
+      path, Seq("h"), numFiles)
+
+  /** [[dupSpanStats]] for an ingest batch against a [[stageSpanStats]]
+    * table: per NEW doc, a span is duplicated when it appears in any
+    * other document of corpus ∪ batch — bit-for-bit the rows
+    * [[dupSpanStats]] over the union would produce for the batch's
+    * doc_ids, but the plan scans only the new batch plus the staged
+    * table; the corpus is never re-tokenized. Join shape: the staged
+    * side is probed with a semi join against the batch's distinct span
+    * hashes — AQE broadcasts that (batch-sized) key set, so the
+    * corpus-span-sized staged table is scanned once and never
+    * shuffled; every later join is batch-sized. */
+  def dupSpanStatsStaged(stagedStats: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String, span: Int = 8, seed: Int = 11): DataFrame = {
+    val sets = spanSets(newDf, idCol, textCol, span)
+    val ex = spanHashes(sets, seed)
+    val batchDf = ex.groupBy("h").agg(count(lit(1)).as("n_new"))
+    val hits = stagedStats.select(col("h"), col("n_docs"))
+      .join(batchDf.select("h"), Seq("h"), "leftsemi")
+    val common = batchDf.join(hits, Seq("h"), "left")
+      .filter(col("n_new") + coalesce(col("n_docs"), lit(0L)) > 1)
+      .select("h")
+    val flag = ex.join(common, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    spanStatsTail(sets, flag)
+  }
 }

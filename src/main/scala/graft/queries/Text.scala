@@ -1200,9 +1200,11 @@ object Text extends QueryModule {
     // survive doc-level dedup). Spans are hashed to int64 (compiled
     // md5-derived hash64), so the global span groupBy shuffles narrow
     // (hash, doc_id) pairs, never span text. The span-frequency table is
-    // the op's real product — production stages it once and each
-    // consumer joins it (suffix-array ExactSubstr is the single-node
-    // analogue; hashed-span grouping is its shuffle-native form).
+    // the op's real product — production stages it once
+    // (Dedup.stageSpanStats) and each consumer probes it
+    // (Dedup.dupSpanStatsStaged; suffix-array ExactSubstr is the
+    // single-node analogue — hashed-span grouping is its shuffle-native
+    // form).
     Q("q86_dup_spans", Some(s"""
       WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
       sh AS (SELECT doc_id, CASE WHEN len(tk) >= 8 THEN
@@ -1222,23 +1224,10 @@ object Text extends QueryModule {
       FROM sh s LEFT JOIN flag f ON f.doc_id = s.doc_id
       ORDER BY s.doc_id""")) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        graft.functions.GraftFunctions.wordShingles(col("text"), 8).as("sh"))
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.hash64c(col("s"), 11).as("h"))
-      // per-doc spans are distinct, so COUNT(*) per hash = doc frequency
-      val common = ex.groupBy("h").agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") > 1).select("h")
-      val flag = ex.join(common, "h")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-      sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
-        .join(flag, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_spans"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
-          when(col("n_spans") === 0, lit(0.0))
-            .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double")
-              / col("n_spans")).as("dup_span_frac"))
+      // delegates to the operator so the oracle gates Dedup.dupSpanStats
+      // (and, via the staged≡inline spec, dupSpanStatsStaged too)
+      graft.operators.Dedup.dupSpanStats(
+          Tables.documents(s, d), "doc_id", "text", span = 8, seed = 11)
         .orderBy("doc_id")
     },
 

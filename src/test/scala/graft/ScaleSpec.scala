@@ -210,6 +210,42 @@ class ScaleSpec extends SparkTestBase {
     assert(df.collect().toSeq === inline.collect().toSeq)
   }
 
+  test("staged span stats ≡ inline dupSpanStats; probe never scans the corpus") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("span_stats_").toString
+    try {
+      // physically separate corpus and batch tables, so the plan itself
+      // can prove which one the probe reads
+      docs.filter(col("doc_id") < 250).write.parquet(s"$dir/corpus")
+      docs.filter(col("doc_id") >= 250).write.parquet(s"$dir/batch")
+      // the corpus's span groupBy is paid once, at staging time...
+      Dedup.stageSpanStats(spark.read.parquet(s"$dir/corpus"), "doc_id",
+        "text", s"$dir/stats", span = 8, seed = 11, numFiles = 4)
+      val staged = Dedup.dupSpanStatsStaged(
+        spark.read.parquet(s"$dir/stats"),
+        spark.read.parquet(s"$dir/batch"), "doc_id", "text",
+        span = 8, seed = 11)
+      // ...and the probe must match the full-union inline computation
+      // bit-for-bit on the batch's rows (the q112 staged≡inline contract)
+      val inline = Dedup.dupSpanStats(docs, "doc_id", "text", span = 8,
+        seed = 11).filter(col("doc_id") >= 250)
+      assert(staged.orderBy("doc_id").collect().toSeq ===
+        inline.orderBy("doc_id").collect().toSeq)
+      // the whole point of staging: the probe plan reads the batch and
+      // the staged stats table only — the corpus is never re-tokenized
+      // (the inline form scans it on every run)
+      val plan = staged.queryExecution.executedPlan.toString
+      assert(!plan.contains(s"$dir/corpus"),
+        s"probe plan re-scans the corpus:\n$plan")
+      assert(plan.contains(s"$dir/stats"),
+        s"staged span-stats table not in plan:\n$plan")
+      assert(plan.contains(s"$dir/batch"),
+        s"batch scan missing from plan:\n$plan")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("q112 staging is content-addressed: repeat invocations reuse the staged table") {
     val d = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q112_staged_incremental_dedup")
