@@ -1650,8 +1650,9 @@ object Text extends QueryModule {
     // hold docs containing a query term), df/weights are a
     // query-term-sized frame (broadcast), and the global top-10 is
     // TakeOrderedAndProject (per-partition heaps, q02's shape) — no
-    // global sort, no index needed; an inverted-index table (q56's
-    // machinery) staged once would make repeated queries scan-free.
+    // global sort, no index needed. Repeated queries go scan-free via
+    // the staged inverted index (operators.Postings.stagePostings /
+    // searchStaged — bit-identical results, proven in ScaleSpec).
     Q("q129_keyword_search", Some("""
       WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
       ft AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk

@@ -246,6 +246,37 @@ class ScaleSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("staged postings ≡ inline q129; probe reads only the index") {
+    import graft.operators.Postings
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("postings_").toString
+    try {
+      Postings.stagePostings(
+        spark.read.parquet(s"$d/documents.parquet"), "doc_id", "text", dir,
+        numFiles = 4)
+      val terms = Seq("vector", "stream", "filter", "spark", "customer")
+      val probe = Postings.searchStaged(spark, dir, terms, k = 10)
+      // bit-equality with the full-scan inline query (oracle-gated)
+      val inline = SparkEntry.queries("q129_keyword_search")(spark, d)
+      assert(probe.collect().toSeq === inline.collect().toSeq)
+      val plan = probe.queryExecution.executedPlan.toString
+      // scan-free over documents: only the index tables are in the plan
+      assert(!plan.contains("documents.parquet"),
+        s"probe plan scans the documents table:\n$plan")
+      assert(plan.contains(s"$dir/postings") && plan.contains(s"$dir/weights"),
+        s"index tables missing from plan:\n$plan")
+      // the IN predicate reaches the parquet scan, so the token-range
+      // clustering can footer-skip non-matching posting files
+      // (AQE renders the plan twice — initial + final — so 2 scans show
+      // ≥2 pushed-filter lines)
+      assert("PushedFilters: \\[In\\(tok".r.findAllIn(plan).size >= 2,
+        s"tok IN (...) not pushed to both index scans:\n$plan")
+      // top-k is per-partition heaps, never a global sort
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("q112 staging is content-addressed: repeat invocations reuse the staged table") {
     val d = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q112_staged_incremental_dedup")
