@@ -480,10 +480,14 @@ object StatefulOps {
     * so an alert may fire early by the collision margin (≤ 2N/width),
     * but a genuinely hot token is never missed — the safe direction for
     * monitoring. Estimates are monotone (counts only add), so each
-    * token alerts ONCE per run via a driver-side fired set (bounded by
-    * the watchlist); after a restart a still-hot token re-alerts once —
+    * token alerts ONCE via a fired set (bounded by the watchlist) that
+    * is PERSISTED as a ledger under the query's checkpoint dir — one
+    * empty marker file per alerted token, loaded on (re)start — so a
+    * restarted query does not re-alert still-hot tokens. Ordering is
+    * send-then-record: a crash in that window re-sends one alert —
     * at-least-once notification, the delivery class every external
-    * alert sink has (the data-side state is still exactly-once).
+    * alert sink has (the data-side state is still exactly-once), but
+    * now bounded to crash-mid-send instead of every restart.
     *
     * The watchlist is the CMS candidate set (a sketch cannot enumerate
     * its members): contamination markers, PII sentinels, known-spam
@@ -497,7 +501,22 @@ object StatefulOps {
     require(watchlist.nonEmpty, "streamingHeavyHitterAlerts needs a watchlist")
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     val agg = new graft.functions.CountMinAggregator(width, depth, seedBase)
+    // durable fired ledger: <checkpointDir>/fired/<urlencoded-token>.
+    // Lives on the same filesystem as the checkpoint (hadoop FS API, so
+    // HDFS/object stores work like local disk) and shares its lifecycle:
+    // wiping the checkpoint resets both the sketch and the alert dedup.
+    val ledgerDir = new org.apache.hadoop.fs.Path(checkpointDir, "fired")
+    val fs = ledgerDir.getFileSystem(
+      tokens.sparkSession.sparkContext.hadoopConfiguration)
     val fired = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    if (fs.exists(ledgerDir))
+      fs.listStatus(ledgerDir).foreach(st => fired.add(
+        java.net.URLDecoder.decode(st.getPath.getName, "UTF-8")))
+    else fs.mkdirs(ledgerDir)
+    def record(token: String): Unit =
+      try fs.create(new org.apache.hadoop.fs.Path(ledgerDir,
+        java.net.URLEncoder.encode(token, "UTF-8")), false).close()
+      catch { case _: java.io.IOException => () } // concurrent restart won
     streamingTokenSketch(tokens, tokenCol, width, depth, seedBase)
       .writeStream
       .outputMode("complete")
@@ -514,6 +533,7 @@ object StatefulOps {
                 fired.add(t)
                 notifier.send("graft-heavy-hitter",
                   s"token=$t estimate=$est threshold=$threshold epoch=$epoch")
+                record(t) // send-then-record: see scaladoc delivery note
               }
             }
           }

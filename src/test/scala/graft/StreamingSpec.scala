@@ -529,4 +529,34 @@ class StreamingSpec extends SparkTestBase {
       assert(Sinks.BufferingNotifier.buffer.size === 1)
     } finally q.stop()
   }
+
+  test("streamingHeavyHitterAlerts: fired ledger survives a checkpoint restart") {
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    Sinks.BufferingNotifier.buffer.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hh-ckpt2").toString
+    val q1 = StatefulOps.streamingHeavyHitterAlerts(
+      ms.toDS().toDF("token"), watchlist = Seq("hot"),
+      threshold = 3L, notifier = new Sinks.BufferingNotifier, ckpt,
+      width = 64, depth = 3)
+    try {
+      ms.addData("hot", "hot", "hot")
+      q1.processAllAvailable()
+      assert(Sinks.BufferingNotifier.buffer.size === 1)
+    } finally q1.stop()
+    // the alert is in the durable ledger, not just driver memory
+    assert(new java.io.File(s"$ckpt/fired", "hot").exists)
+    // restart from the same checkpoint: the still-hot token must NOT
+    // re-alert (round-7 behavior re-alerted once per restart)
+    val q2 = StatefulOps.streamingHeavyHitterAlerts(
+      ms.toDS().toDF("token"), watchlist = Seq("hot"),
+      threshold = 3L, notifier = new Sinks.BufferingNotifier, ckpt,
+      width = 64, depth = 3)
+    try {
+      ms.addData("hot", "hot")
+      q2.processAllAvailable()
+      assert(Sinks.BufferingNotifier.buffer.size === 1,
+        "restart re-alerted a token already in the fired ledger")
+    } finally q2.stop()
+  }
 }
