@@ -383,8 +383,23 @@ object Dedup {
     * payloads already carried through the band explode (no extra joins).
     * NOTE the LSH bands are tuned for Jaccard similarity: a pair whose
     * containment is high but Jaccard very low may not collide in any
-    * band (raise bands / lower rows-per-band, or shingle the short side
-    * only, to push recall for extreme length ratios).
+    * band — the union is dominated by the long side, so the short doc's
+    * shingles barely move the long doc's minhashes. `segmentTokens > 0`
+    * turns on ASYMMETRIC banding for exactly that regime: every doc is
+    * additionally banded per overlapping `segmentTokens`-token window
+    * (stride = half a window, so any quotation up to half a window long
+    * sits fully inside some window), and whole-doc bands join against
+    * segment bands. A short doc quoted inside a long one then collides
+    * at the SHORT side's scale — the long doc's covering segment is
+    * quotation-sized, its Jaccard with the short doc is high, and the
+    * Jaccard-tuned bands recover their collision probability ("shingle
+    * the short side" realized without knowing pair roles up front).
+    * Candidate generation stays linear: segment rows are
+    * O(corpus_tokens / stride) map-side, the asym join is the same
+    * (band, bkey) bucket join, and the full-set join-back for exact
+    * verification is candidate-pair-sized. Verification is unchanged —
+    * always the exact containments from the FULL shingle sets — so the
+    * option only ADDS recall, never changes a surviving pair's scores.
     * Returns (a, b, jaccard, containment_a, containment_b), a < b. */
   def containmentPairs(
       df: DataFrame,
@@ -394,15 +409,65 @@ object Dedup {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      shingler: Column => Column = null): DataFrame = {
+      shingler: Column => Column = null,
+      segmentTokens: Int = 0): DataFrame = {
     val banded = bandedSignatures(df, idCol, textCol, numHashes, bands,
       shingleSize, shingler)
+    val base = candidatePairs(banded, (_, _) => Seq.empty)
+    val cand =
+      if (segmentTokens <= 0) base
+      else {
+        require(segmentTokens > shingleSize,
+          s"segmentTokens ($segmentTokens) must exceed shingleSize ($shingleSize)")
+        val segB = segmentBands(df, idCol, textCol, numHashes, bands,
+          shingleSize, segmentTokens, shingler)
+        val fullSets = banded.select(col("doc_id"), col("sh"))
+          .dropDuplicates("doc_id")
+        val asym = banded.as("x").join(segB.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+          .dropDuplicates("a", "b")
+          .join(fullSets.select(col("doc_id").as("a"), col("sh").as("sh_a")),
+            Seq("a"))
+          .join(fullSets.select(col("doc_id").as("b"), col("sh").as("sh_b")),
+            Seq("b"))
+          .select("a", "b", "sh_a", "sh_b")
+        base.select("a", "b", "sh_a", "sh_b").unionByName(asym)
+          .dropDuplicates("a", "b")
+      }
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    withJaccard(candidatePairs(banded, (_, _) => Seq.empty))
+    withJaccard(cand)
       .withColumn("containment_a", inter.cast("double") / size(col("sh_a")))
       .withColumn("containment_b", inter.cast("double") / size(col("sh_b")))
       .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
       .drop("sh_a", "sh_b")
+  }
+
+  /** Per-doc SEGMENT band keys for [[containmentPairs]]' asymmetric
+    * option: the doc's tokens cut into overlapping `segmentTokens`-token
+    * windows (stride = half a window), each window shingled and banded
+    * by the SAME signature pipeline as whole docs — identical
+    * parameters, so segment band keys and whole-doc band keys live in
+    * one key space and the asym join is a plain bucket join. Distinct
+    * (doc_id, band, bkey): a doc repeating a window only needs one
+    * candidate row. Map-only; rows are O(tokens / stride) per doc. */
+  private def segmentBands(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int, segmentTokens: Int,
+      shingler: Column => Column): DataFrame = {
+    val stride = math.max(1, segmentTokens / 2)
+    val segs = df
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(stride)),
+          s => array_join(slice(col("w"), s + 1, lit(segmentTokens)), " ")))
+          .as("seg"))
+    bandedSignatures(segs, "doc_id", "seg", numHashes, bands, shingleSize,
+      shingler)
+      .select("doc_id", "band", "bkey")
+      .dropDuplicates("doc_id", "band", "bkey")
   }
 
   /** The shared scan→shingle→signature→band pipeline: one scan → compiled
@@ -598,6 +663,74 @@ object Dedup {
     crossBatchVerdicts(bn, stagedSigs.select("doc_id", "sh", "band", "bkey"),
       threshold)
   }
+
+  /** [[stageSignatures]] in the APPEND-able layout: the same
+    * (doc_id, sh, band, bkey) rows, hive-partitioned on a band-group
+    * column `bgrp = hash(band, bkey) mod nGroups` so later ingest
+    * batches can land by `mode=append` without rewriting the snapshot —
+    * the [[graft.operators.Similarity.stageIvfIndex]] lifecycle
+    * (stage → append per batch → compact in maintenance windows) for
+    * the text-dedup family. Within each dir rows sort on (band, bkey)
+    * to tighten row-group stats. `nGroups` bounds dir count (partition
+    * dirs must stay low-cardinality; raw bkeys are corpus-sized);
+    * `splits` spreads each group over that many writer tasks/files per
+    * batch — size it so group_files ≈ group_bytes / 128 MB at scale.
+    *
+    * Readers are layout-agnostic: `spark.read.parquet(path)` feeds
+    * [[incrementalNearDupsStaged]] unchanged (the extra `bgrp` column is
+    * dropped by its projection), and a stage/append `nGroups` mismatch
+    * costs only placement locality, never correctness — the candidate
+    * join keys on (band, bkey), not on the dir column. Signature
+    * parameters (numHashes/bands/shingleSize/shingler) must still match
+    * across stage, append and probe (see [[stageSignatures]]). */
+  def stageSignatureBuckets(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      nGroups: Int = 64, splits: Int = 1, shingler: Column => Column = null): Unit =
+    writeSignatureBuckets(df, idCol, textCol, path, numHashes, bands,
+      shingleSize, nGroups, splits, shingler, "overwrite")
+
+  /** Append an ingest batch's signatures to a [[stageSignatureBuckets]]
+    * store — map-only (band keys depend only on the signature
+    * parameters, never on the staged data, so no read of the existing
+    * store is needed): per-batch cost is batch-sized, the q113-style
+    * ingest contract. Probing after an append is row-identical to
+    * probing a restage over the union (spec-proven). */
+  def appendSignatureBuckets(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
+      nGroups: Int = 64, splits: Int = 1, shingler: Column => Column = null): Unit =
+    writeSignatureBuckets(df, idCol, textCol, path, numHashes, bands,
+      shingleSize, nGroups, splits, shingler, "append")
+
+  private def writeSignatureBuckets(df: DataFrame, idCol: String,
+      textCol: String, path: String, numHashes: Int, bands: Int,
+      shingleSize: Int, nGroups: Int, splits: Int,
+      shingler: Column => Column, mode: String): Unit = {
+    require(nGroups >= 1, s"nGroups must be >= 1, got $nGroups")
+    require(splits >= 1, s"splits must be >= 1, got $splits")
+    bandedSignatures(df, idCol, textCol, numHashes, bands, shingleSize,
+      shingler)
+      .select(col("doc_id"), col("sh"), col("band"), col("bkey"))
+      .withColumn("bgrp", pmod(hash(col("band"), col("bkey")), lit(nGroups)))
+      .repartition(col("bgrp"), pmod(hash(col("doc_id")), lit(splits)))
+      .sortWithinPartitions(col("band"), col("bkey"))
+      .write.mode(mode).partitionBy("bgrp").parquet(path)
+  }
+
+  /** Compact over-fragmented band-group dirs of a
+    * [[stageSignatureBuckets]] store: [[appendSignatureBuckets]] adds
+    * ≥1 file per touched group per batch, so months of ingest shrink
+    * files below a row group and per-file open cost dominates the probe
+    * scan. Delegates to the shared minor-compaction machinery
+    * ([[graft.sources.Layout.compactHiveDirs]] — semantics, crash
+    * recovery and the streaming-sink caveat documented there): only
+    * dirs over both `maxFiles` and the ~`targetBytes`-per-file ideal
+    * are rewritten, cold dirs stay byte-identical, row content is
+    * preserved exactly (spec-proven: probes are row-identical
+    * before/after). Returns the number of dirs rewritten. */
+  def compactSignatureBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFiles: Int = 8, targetBytes: Long = 128L << 20): Int =
+    graft.sources.Layout.compactHiveDirs(spark, path, "bgrp=", maxFiles,
+      targetBytes)
 
   // ---- duplicated-span statistics (ExactSubstr family, q86's operator) ----
 

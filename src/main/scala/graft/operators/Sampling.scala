@@ -142,7 +142,15 @@ object Sampling {
     * Unknown statistics report Long.MaxValue, which lands on the sharded
     * side — the safe direction. Same decision style as
     * autoBroadcastJoinThreshold: a size-statistic picks between two
-    * plans with identical results (equality is spec-proven both ways). */
+    * plans with identical results (equality is spec-proven both ways).
+    *
+    * Cost note: reading `optimizedPlan.stats` forces a DRIVER-side
+    * optimization pass of the input subtree per call — milliseconds for
+    * a scan-rooted input, but a sampler wrapped around an expensive
+    * unoptimized subtree pays it twice (once here, once at execution).
+    * Callers composing samplers over deep plans should pass an explicit
+    * `shardBits` (or cache/checkpoint the input first) to skip the
+    * probe. */
   private[graft] def resolveShardBits(df: DataFrame, shardBits: Int): Int = {
     require(shardBits >= -1 && shardBits <= 20,
       s"shardBits must be in [0, 20] or -1 (auto), got $shardBits")

@@ -708,6 +708,48 @@ class OperatorsSpec extends SparkTestBase {
     assert(ca < 0.5)
   }
 
+  test("containmentPairs segmentTokens: asymmetric bands catch a quotation the default bands miss") {
+    // a 12-token document quoted verbatim inside a ~120-token document:
+    // Jaccard is intersection/union ~ 10/118, so the quote barely moves
+    // the long doc's minhashes and the Jaccard-tuned bands never collide
+    val quote = "the quick brown fox jumps over the lazy dog near the river"
+    val longDoc = ((0 until 48).map(i => s"f$i") ++ quote.split(" ") ++
+      (0 until 60).map(i => s"g$i")).mkString(" ")
+    val df = Seq((1L, quote), (2L, longDoc),
+      (3L, "totally unrelated words here nothing shared at all qq ww ee"))
+      .toDF("doc_id", "text")
+
+    def pairs(segTokens: Int) = Dedup.containmentPairs(df, "doc_id", "text",
+        numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.9,
+        segmentTokens = segTokens)
+      .select("a", "b", "jaccard", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+
+    assert(pairs(0) === Seq.empty, "default Jaccard-tuned bands must miss")
+    // the quote sits at a stride-aligned offset and spans exactly one
+    // segment, so the covering window's shingle set EQUALS the short
+    // doc's — all bands collide deterministically
+    val asym = pairs(12)
+    assert(asym.length === 1)
+    val (a, b, jac, ca, cb) = asym(0)
+    assert((a, b) === ((1L, 2L)))
+    assert(ca === 1.0)  // every shingle of the quote is in the long doc
+    assert(jac < 0.1 && cb < 0.1)
+
+    // purely additive: on a corpus where the default bands already fire,
+    // the option returns the same pairs with identical exact scores
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    def run(st: Int) = Dedup.containmentPairs(base, "doc_id", "text",
+        numHashes = 8, bands = 8, shingleSize = 3, threshold = 0.9,
+        segmentTokens = st)
+      .select("a", "b", "jaccard", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(run(0).subsetOf(run(12)) && run(0).nonEmpty)
+  }
+
   test("snapshotDiff classifies added/removed/changed and survives NULL fps") {
     val old_ = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
       (4L, "gone")).toDF("id", "text")
@@ -886,6 +928,70 @@ class OperatorsSpec extends SparkTestBase {
     assert(Similarity.compactIvfCells(spark, path, maxFiles = 3) === 0)
     assert(cellFiles()(cname) === filesAfter(cname))
     assert(probe() === before)
+  }
+
+  test("signature bucket store: append equals restage, compaction preserves probes") {
+    val corpus = Seq(
+      (1L, "spark query join table scan filter sort merge"),
+      (2L, "completely different tokens here nothing shared zz yy")
+    ).toDF("doc_id", "text")
+    // five ingest batches — each append adds >=1 file per touched
+    // band-group dir, the fragmentation lifecycle the compactor exists for
+    val batches = (0 until 5).map { b =>
+      Seq((100L + b, s"spark query join table scan filter sort batch$b"),
+          (200L + b, s"novel content island number$b qq ww ee rr tt"))
+        .toDF("doc_id", "text")
+    }
+    val probe = Seq(
+      (900L, "spark query join table scan filter sort merge"), // dup of 1
+      (901L, "totally unrelated probe text aa bb cc dd ee")    // novel
+    ).toDF("doc_id", "text")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-sigbuckets").toString
+    val inc = s"$base/inc"; val full = s"$base/full"
+    Dedup.stageSignatureBuckets(corpus, "doc_id", "text", inc, nGroups = 4)
+    batches.foreach(b =>
+      Dedup.appendSignatureBuckets(b, "doc_id", "text", inc, nGroups = 4))
+    Dedup.stageSignatureBuckets(batches.foldLeft(corpus)(_ unionByName _),
+      "doc_id", "text", full, nGroups = 4)
+
+    def verdicts(p: String) = Dedup.incrementalNearDupsStaged(
+        spark.read.parquet(p), probe, "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    // band keys depend only on the signature parameters, so ingest by
+    // append is row-identical to restaging the union
+    val before = verdicts(inc)
+    assert(before === verdicts(full))
+    val m = before.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m.keySet === Set(900L) && m(900L) === ((1L, 1.0)))
+
+    val fs = new org.apache.hadoop.fs.Path(inc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def grpFiles(): Map[String, Seq[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(inc))
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("bgrp="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .map(_.getPath.getName).toSeq.sorted
+        }.toMap
+    val filesBefore = grpFiles()
+    val hot = filesBefore.filter(_._2.length > 2).keys.toSet
+    assert(hot.nonEmpty, "fixture must fragment at least one band-group dir")
+    // under-fragmented dirs are never rewritten
+    assert(Dedup.compactSignatureBuckets(spark, inc, maxFiles = 100) === 0)
+    assert(grpFiles() === filesBefore)
+    val n = Dedup.compactSignatureBuckets(spark, inc, maxFiles = 2)
+    assert(n === hot.size)
+    val filesAfter = grpFiles()
+    hot.foreach(g => assert(filesAfter(g).length === 1, s"dir $g"))
+    (filesBefore.keySet -- hot).foreach(g =>
+      assert(filesAfter(g) === filesBefore(g), s"dir $g"))
+    // compaction moves bytes, never data: probe verdicts are row-identical
+    assert(verdicts(inc) === before)
+    // idempotent
+    assert(Dedup.compactSignatureBuckets(spark, inc, maxFiles = 2) === 0)
   }
 
   test("kmeansCentroids trainPred: all-true equals full training; sample trains a complete quantizer") {
