@@ -133,6 +133,29 @@ object EngineProps extends Properties("graft") {
         .as[(Long, Long)].collect().toMap == full
     }
 
+  /** The asymmetric segment-banding option must be RECALL-ONLY additive:
+    * for any corpus, every pair the default Jaccard-tuned bands surface
+    * survives with bit-identical exact scores (verification is shared),
+    * and the option can only add pairs — never drop or rescore one. */
+  property("containment segment bands only add pairs, never change scores") =
+    forAll(for {
+      k <- Gen.choose(2, 5)
+      ds <- Gen.listOfN(k, for {
+        n <- Gen.choose(4, 30)
+        ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta",
+          "eps", "zeta", "eta", "theta", "iota", "kappa", "lam", "mu"))
+      } yield ws.mkString(" "))
+    } yield ds.zipWithIndex.map { case (d, i) => (i.toLong, d) }) { docs =>
+      val spk = spark; import spk.implicits._
+      val df = docs.toDF("doc_id", "text")
+      def run(st: Int) = Dedup.containmentPairs(df, "doc_id", "text",
+          numHashes = 8, bands = 4, shingleSize = 3, threshold = 0.2,
+          segmentTokens = st)
+        .select("a", "b", "jaccard", "containment_a", "containment_b")
+        .as[(Long, Long, Double, Double, Double)].collect().toSet
+      run(0).subsetOf(run(8))
+    }
+
   /** IVF with nprobe = kCentroids degenerates to exact search: probing
     * every cell must reproduce brute-force top-k exactly. */
   property("ivfTopK with full probe equals bruteForceTopK") =
