@@ -69,9 +69,16 @@ object Bench {
     // The driver scrapes the stdout line, but long runs' logs truncate
     // (round 7 lost q01–q40's official cells that way) — so also persist
     // the full per-query table where the judge can always read it.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException =>
+    // write-temp-then-atomic-rename: a crash or full disk mid-write must
+    // not truncate the previous run's table — truncation is the very
+    // failure mode this file guards against
+    try {
+      val tmp = java.nio.file.Paths.get("BENCH_full.json.tmp")
+      java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_full.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] BENCH_full.json not written: $e")
     }
     spark.stop()

@@ -76,12 +76,44 @@ object Multimodal {
     h
   }
 
+  /** Visit pixels on the shared ≤64×64 sampling grid and return the
+    * visit count. Ceil-step division: a 127×127 image must step 2, not
+    * 1 — floor would sample up to 127×127 pixels where ≤64×64 is the
+    * documented bound. All three decoders (image histogram, BI_RGB
+    * video, MJPEG video) sample through here so the bound and the step
+    * arithmetic can never drift apart. */
+  private def sampleGrid(w: Int, h: Int)(visit: (Int, Int) => Unit): Int = {
+    val stepX = math.max((w + 63) / 64, 1)
+    val stepY = math.max((h + 63) / 64, 1)
+    var n = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { visit(x, y); n += 1; x += stepX }
+      y += stepY
+    }
+    n
+  }
+
+  /** Rec-601 mean luminance in [0,1] of one frame sampled on
+    * [[sampleGrid]]; `rgb` returns a packed 0xRRGGBB pixel. */
+  private def gridMeanLum(w: Int, h: Int, rgb: (Int, Int) => Int): Float = {
+    var sum = 0.0
+    val n = sampleGrid(w, h) { (x, y) =>
+      val p = rgb(x, y)
+      sum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+        114 * (p & 0xff)) / (1000.0 * 255.0)
+    }
+    if (n == 0) 0f else (sum / n).toFloat
+  }
+
   /** Real image decode via JDK `javax.imageio`: (width, height, features)
     * where features is a per-channel (R,G,B) histogram of `dim/3` bins
-    * each, normalized to sum 1 per channel. Pixels are sampled on a grid
-    * of at most 64×64 so decode cost is bounded for arbitrarily large
-    * images. Returns None when the bytes are not a decodable image —
-    * callers fall back to the stub rather than failing the task. */
+    * each, normalized to sum 1 per channel. Pixels are sampled on the
+    * shared ≤64×64 [[sampleGrid]] so decode cost is bounded for
+    * arbitrarily large images. Returns None when the bytes are not a
+    * decodable image — callers fall back to the stub rather than failing
+    * the task. */
   private[multimodal] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -91,23 +123,11 @@ object Multimodal {
         val h = img.getHeight
         val bins = math.max(dim / 3, 1)
         val out = new Array[Float](dim)
-        // ceil division: a 127×127 image must step 2, not 1 — floor would
-        // sample up to 127×127 pixels where ≤64×64 is the documented bound
-        val stepX = math.max((w + 63) / 64, 1)
-        val stepY = math.max((h + 63) / 64, 1)
-        var n = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            out(math.min(((rgb >> 16) & 0xff) * bins / 256, bins - 1)) += 1f
-            out(bins + math.min(((rgb >> 8) & 0xff) * bins / 256, bins - 1)) += 1f
-            out(2 * bins + math.min((rgb & 0xff) * bins / 256, bins - 1)) += 1f
-            n += 1
-            x += stepX
-          }
-          y += stepY
+        val n = sampleGrid(w, h) { (x, y) =>
+          val rgb = img.getRGB(x, y)
+          out(math.min(((rgb >> 16) & 0xff) * bins / 256, bins - 1)) += 1f
+          out(bins + math.min(((rgb >> 8) & 0xff) * bins / 256, bins - 1)) += 1f
+          out(2 * bins + math.min((rgb & 0xff) * bins / 256, bins - 1)) += 1f
         }
         if (n > 0) { var i = 0; while (i < out.length) { out(i) /= n; i += 1 } }
         Some((w, h, out))
@@ -238,8 +258,14 @@ object Multimodal {
       var bitCount = -1
       var compression = -1L
       var inVideoStream = false // last strh seen was fccType "vids"
-      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
-      val jpegFrames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // 00dc (off, len)
+      var strhSeen = 0          // strl order assigns stream numbers
+      var videoStreamIdx = -1   // the first vids stream's number
+      // frame chunks keyed by their 2-digit stream prefix ('00db' →
+      // "00"): a second stream's chunks must not poison the video decode
+      val dbFrames = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+      val dcFrames = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Int)]]
 
       // chunk walk: (fourcc, size, payload); LISTs recurse, chunks are
       // even-padded per the RIFF spec. A legal AVI nests 3-4 LIST levels;
@@ -264,19 +290,39 @@ object Multimodal {
             // order its audio strl before the video strl, and reading a
             // WAVEFORMATEX as BITMAPINFOHEADER would mislabel the file
             inVideoStream = fourcc(bytes, payload) == "vids"
+            if (inVideoStream && videoStreamIdx == -1) videoStreamIdx = strhSeen
+            strhSeen += 1
           } else if (id == "strf" && sz >= 20 && inVideoStream &&
             compression == -1L) {
             bitCount = u16le(bytes, payload + 14)   // BITMAPINFOHEADER
             compression = u32le(bytes, payload + 16)
-          } else if (id.endsWith("db")) {
-            frames += ((payload, sz)) // uncompressed DIB frame chunk
-          } else if (id.endsWith("dc")) {
-            jpegFrames += ((payload, sz)) // compressed frame chunk (JPEG if MJPG)
+          } else if (id.endsWith("db")) { // uncompressed DIB frame chunk
+            dbFrames.getOrElseUpdate(id.take(2),
+              scala.collection.mutable.ArrayBuffer.empty) += ((payload, sz))
+          } else if (id.endsWith("dc")) { // compressed frame (JPEG if MJPG)
+            dcFrames.getOrElseUpdate(id.take(2),
+              scala.collection.mutable.ArrayBuffer.empty) += ((payload, sz))
           }
           p = payload + sz + (sz & 1)
         }
       }
       walk(12, bytes.length, 0)
+
+      // pick the VIDEO stream's frame chunks: the prefix matching the
+      // vids strl's stream number when present; a lone prefix otherwise
+      // (sloppy muxers number streams inconsistently — a single stream
+      // is unambiguous regardless of its label); ambiguous multi-stream
+      // files with no matching prefix degrade to the stub rather than
+      // decoding some other stream's frames as video
+      def streamFrames(m: scala.collection.mutable.LinkedHashMap[String,
+          scala.collection.mutable.ArrayBuffer[(Int, Int)]]) = {
+        val pfx = f"$videoStreamIdx%02d"
+        if (videoStreamIdx >= 0 && m.contains(pfx)) m(pfx)
+        else if (m.size == 1) m.head._2
+        else scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      }
+      val frames = streamFrames(dbFrames)
+      val jpegFrames = streamFrames(dcFrames)
 
       if (MjpgFourccs.contains(compression) && jpegFrames.nonEmpty)
         return decodeMjpegFrames(bytes, jpegFrames, dim)
@@ -286,28 +332,12 @@ object Multimodal {
       val usable = frames.filter(_._2 >= rowSize * height)
       if (usable.isEmpty) return None
 
-      def meanLum(off: Int): Float = {
-        val stepX = math.max((width + 63) / 64, 1)
-        val stepY = math.max((height + 63) / 64, 1)
-        var sum = 0.0
-        var n = 0
-        var y = 0
-        while (y < height) {
-          val row = off + (height - 1 - y) * rowSize // bottom-up rows
-          var x = 0
-          while (x < width) {
-            val p = row + x * 3 // BGR order
-            val bch = bytes(p) & 0xff
-            val g = bytes(p + 1) & 0xff
-            val r = bytes(p + 2) & 0xff
-            sum += (299 * r + 587 * g + 114 * bch) / (1000.0 * 255.0)
-            n += 1
-            x += stepX
-          }
-          y += stepY
-        }
-        if (n == 0) 0f else (sum / n).toFloat
-      }
+      def meanLum(off: Int): Float =
+        gridMeanLum(width, height, (x, y) => {
+          val p = off + (height - 1 - y) * rowSize + x * 3 // bottom-up BGR
+          ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 1) & 0xff) << 8) |
+            (bytes(p) & 0xff)
+        })
 
       val out = new Array[Float](dim)
       val cache = scala.collection.mutable.HashMap.empty[Int, Float]
@@ -333,30 +363,9 @@ object Multimodal {
     def decodeFrame(off: Int, len: Int): Option[(Int, Int, Float)] = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes, off, len))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val stepX = math.max((w + 63) / 64, 1)
-        val stepY = math.max((h + 63) / 64, 1)
-        var sum = 0.0
-        var n = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            sum += (299 * r + 587 * g + 114 * b) / (1000.0 * 255.0)
-            n += 1
-            x += stepX
-          }
-          y += stepY
-        }
-        if (n == 0) None else Some((w, h, (sum / n).toFloat))
-      }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some((img.getWidth, img.getHeight,
+        gridMeanLum(img.getWidth, img.getHeight, img.getRGB)))
     }
     val cache = scala.collection.mutable.HashMap.empty[Int, Option[(Int, Int, Float)]]
     val out = new Array[Float](dim)

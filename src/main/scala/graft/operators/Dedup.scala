@@ -735,20 +735,27 @@ object Dedup {
   // ---- duplicated-span statistics (ExactSubstr family, q86's operator) ----
 
   /** Per-doc DISTINCT `span`-token window sets: (doc_id, sh). Docs
-    * shorter than `span` tokens get an empty set. */
+    * shorter than `span` tokens get an empty set. Registers the compiled
+    * functions defensively (like [[bandedSignatures]]) so the span-stats
+    * entry points work on any session, not just ones built through
+    * GraftSession. */
   private def spanSets(df: DataFrame, idCol: String, textCol: String,
-      span: Int): DataFrame =
+      span: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("doc_id"),
       graft.functions.GraftFunctions.wordShingles(col(textCol), span).as("sh"))
+  }
 
   /** Exploded hashed spans: (doc_id, h). Spans hash to int64 so every
     * downstream shuffle carries narrow (hash, id) pairs, never span
     * text. Per-doc spans are distinct, so COUNT(*) per hash = document
     * frequency. */
-  private def spanHashes(sets: DataFrame, seed: Int): DataFrame =
+  private def spanHashes(sets: DataFrame, seed: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(sets.sparkSession)
     sets.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.hash64c(col("s"), seed).as("h"))
+  }
 
   /** ExactSubstr-style duplicated-span statistics (q86's operator form —
     * the query delegates here, so the DuckDB oracle gates this code):

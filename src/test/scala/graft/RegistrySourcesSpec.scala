@@ -261,11 +261,35 @@ class RegistrySourcesSpec extends SparkTestBase {
     val bodyBad = "AVI ".getBytes("US-ASCII") ++ hdrl ++ moviBad
     val aviBad = "RIFF".getBytes("US-ASCII") ++ le32(bodyBad.length) ++ bodyBad
 
+    // the same MJPEG movie carrying a SECOND (non-video) stream whose
+    // '01dc' chunks are not JPEGs: stream-number filtering must decode
+    // the 00dc video frames for real instead of sampling the junk
+    // stream's chunks and failing the whole clip to the stub
+    val strhAud = "auds".getBytes("US-ASCII") ++ new Array[Byte](52)
+    val strfWave = le16(85) ++ le16(2) ++ le32(44100) ++ le32(0) ++
+      le16(4) ++ le16(0) ++ le16(12) ++ new Array[Byte](12)
+    val hdrl2 = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)) ++
+      list("strl", chunk("strh", strhAud) ++ chunk("strf", strfWave)))
+    val movi2 = list("movi",
+      chunk("00dc", jpegOf(w, h, 0)) ++
+        chunk("01dc", Array.tabulate(64)(_.toByte)) ++
+        chunk("00dc", jpegOf(w, h, 128)) ++
+        chunk("01dc", Array.tabulate(64)(i => (255 - i).toByte)) ++
+        chunk("00dc", jpegOf(w, h, 255)))
+    val body2 = "AVI ".getBytes("US-ASCII") ++ hdrl2 ++ movi2
+    val avi2 = "RIFF".getBytes("US-ASCII") ++ le32(body2.length) ++ body2
+
     val media = Seq(
       MediaRow(1, "video", avi, 0, 0),
-      MediaRow(2, "video", aviBad, 0, 0)
+      MediaRow(2, "video", aviBad, 0, 0),
+      MediaRow(3, "video", avi2, 0, 0)
     ).toDS().repartition(2)
     val f = Multimodal.extractFeatures(media, dim = 3).collect().sortBy(_.media_id)
+    // second-stream junk chunks are filtered by stream number: the
+    // two-stream clip decodes identically to the single-stream one
+    assert((f(2).decoded_width, f(2).decoded_height) === (w, h))
+    assert(f(2).features.toSeq === f(0).features.toSeq)
     // real decode: exact dimensions from the decoded JPEG frames
     assert((f(0).decoded_width, f(0).decoded_height) === (w, h))
     // dim=3 over 3 frames: one window per frame; JPEG is lossy so allow

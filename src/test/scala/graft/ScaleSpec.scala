@@ -273,6 +273,22 @@ class ScaleSpec extends SparkTestBase {
         s"tok IN (...) not pushed to both index scans:\n$plan")
       // top-k is per-partition heaps, never a global sort
       assert(plan.contains("TakeOrderedAndProject"), plan)
+
+      // commit protocol: a crash stranded between the two commit renames
+      // leaves .old-<name> and no <name> — the next stage call restores
+      // it before restaging, and the committed index answers identically
+      val before = probe.collect().toSeq
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val aside = new org.apache.hadoop.fs.Path(root.getParent,
+        s".old-${root.getName}")
+      assert(fs.rename(root, aside))
+      Postings.stagePostings(
+        spark.read.parquet(s"$d/documents.parquet"), "doc_id", "text", dir,
+        numFiles = 4)
+      assert(!fs.exists(aside), "move-aside dir must be cleaned up")
+      assert(Postings.searchStaged(spark, dir, terms, k = 10)
+        .collect().toSeq === before)
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
