@@ -800,6 +800,38 @@ object Dedup {
         .groupBy("h").agg(count(lit(1)).as("n_docs")),
       path, Seq("h"), numFiles)
 
+  /** Fold an ingest batch INTO a staged span-frequency table — the
+    * q113-style incremental update completing the ExactSubstr family's
+    * lifecycle (stage once → probe batches → merge accepted batches),
+    * mirroring what [[appendSignatureBuckets]] does for signatures.
+    * The merged table is bit-for-bit what [[stageSpanStats]] over
+    * corpus ∪ batch would write (spec-proven): per-span counts add
+    * because batch doc_ids are NEW — merging a batch whose docs are
+    * already counted double-counts them, so this is for accepted fresh
+    * crawls only.
+    *
+    * Cost: one batch tokenization + a full-outer join against the
+    * staged table — span-vocabulary-sized (two int64 columns), never
+    * corpus-text-sized; the corpus is not re-tokenized. The rewrite
+    * commits through [[graft.sources.Layout.atomicStagedWrite]], so a
+    * crash mid-merge leaves the old snapshot whole (and the merge reads
+    * the old table lazily while writing the staging dir — safe by that
+    * contract). Parameters must match the staging call. */
+  def mergeSpanStats(stagedPath: String, newDf: DataFrame, idCol: String,
+      textCol: String, span: Int = 8, seed: Int = 11, numFiles: Int = 8): Unit = {
+    val spark = newDf.sparkSession
+    graft.sources.Layout.atomicStagedWrite(spark, stagedPath) { tmp =>
+      val batch = spanHashes(spanSets(newDf, idCol, textCol, span), seed)
+        .groupBy("h").agg(count(lit(1)).as("n_new"))
+      val staged = spark.read.parquet(stagedPath).select("h", "n_docs")
+      val merged = staged.join(batch, Seq("h"), "full")
+        .select(col("h"),
+          (coalesce(col("n_docs"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+            .as("n_docs"))
+      graft.sources.Layout.clusteredWrite(merged, tmp, Seq("h"), numFiles)
+    }
+  }
+
   /** [[dupSpanStats]] for an ingest batch against a [[stageSpanStats]]
     * table: per NEW doc, a span is duplicated when it appears in any
     * other document of corpus ∪ batch — bit-for-bit the rows

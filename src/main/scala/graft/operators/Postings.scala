@@ -37,55 +37,32 @@ object Postings {
     * [[Dedup.stageSignatures]] snapshot contract.
     *
     * The two tables are INTERDEPENDENT (weights derive from postings),
-    * so both are written under a hidden staging dir and committed by
-    * directory rename — the same swap-with-recovery protocol as
-    * [[graft.sources.Layout.compactHiveDirs]]. A crash mid-restage
+    * so the restage commits through
+    * [[graft.sources.Layout.atomicStagedWrite]] — a crash mid-restage
     * leaves either the old index whole or no index (readers fail
-    * loudly), never new postings paired with old weights — which would
-    * score wrong silently. A stranded move-aside dir from a crash
-    * between the two renames is restored on the next call. */
+    * loudly), never new postings paired with old weights, which would
+    * score wrong silently. */
   def stagePostings(docs: DataFrame, idCol: String, textCol: String,
       path: String, numFiles: Int = 8): Unit = {
-    import org.apache.hadoop.fs.Path
     val spark = docs.sparkSession
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parent = root.getParent
-    val tmp = new Path(parent, s".staging-${root.getName}")
-    val old = new Path(parent, s".old-${root.getName}")
-    // recovery: a prior run that died between "move old aside" and
-    // "rename new in" left .old-<name> with no <name> — restore it; any
-    // other leftover temp dir is garbage from an abandoned restage
-    if (fs.exists(old)) {
-      if (!fs.exists(root)) fs.rename(old, root) else fs.delete(old, true)
+    graft.sources.Layout.atomicStagedWrite(spark, path) { tmp =>
+      val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      val postings = toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      graft.sources.Layout.clusteredWrite(postings, s"$tmp/postings",
+        Seq("tok"), numFiles)
+      // (tok, doc_id) is unique in postings, so COUNT(*) per tok = df —
+      // derive weights FROM the staged postings (one narrow re-read)
+      // instead of re-exploding the corpus
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val dfr = spark.read.parquet(s"$tmp/postings")
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      graft.sources.Layout.clusteredWrite(
+        dfr.crossJoin(nd)
+          .select(col("tok"), col("df"),
+            expr("(1000000L * n_docs) DIV df").as("w")),
+        s"$tmp/weights", Seq("tok"), math.max(numFiles / 4, 1))
     }
-    fs.delete(tmp, true)
-
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("tok"))
-    val postings = toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
-    graft.sources.Layout.clusteredWrite(postings, s"$tmp/postings",
-      Seq("tok"), numFiles)
-    // (tok, doc_id) is unique in postings, so COUNT(*) per tok = df —
-    // derive weights FROM the staged postings (one narrow re-read)
-    // instead of re-exploding the corpus
-    val nd = docs.agg(count(lit(1)).as("n_docs"))
-    val dfr = spark.read.parquet(s"$tmp/postings")
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    graft.sources.Layout.clusteredWrite(
-      dfr.crossJoin(nd)
-        .select(col("tok"), col("df"),
-          expr("(1000000L * n_docs) DIV df").as("w")),
-      s"$tmp/weights", Seq("tok"), math.max(numFiles / 4, 1))
-
-    // commit: old aside → new in → drop old
-    if (fs.exists(root) && !fs.rename(root, old))
-      throw new java.io.IOException(s"stagePostings: cannot move aside $path")
-    if (!fs.rename(tmp, root)) {
-      fs.rename(old, root) // roll back; leave the old index in place
-      throw new java.io.IOException(s"stagePostings: cannot commit $path")
-    }
-    fs.delete(old, true)
   }
 
   /** Top-k TF-IDF retrieval against a [[stagePostings]] index:

@@ -35,6 +35,44 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Overwrite a staged table (or a directory of interdependent tables)
+    * ATOMICALLY: `write` produces the new content under a hidden
+    * staging dir, then the commit is two directory renames — old aside,
+    * new in — so readers observe either the whole old snapshot or the
+    * whole new one, never a torn mix (the failure mode that silently
+    * corrupts multi-table indexes like postings+weights). A crash
+    * stranded between the two renames leaves `.old-<name>` and no
+    * `<name>`; the recovery pass at the start of the next call restores
+    * it. A crash earlier leaves the old snapshot untouched plus an
+    * abandoned staging dir that the next call deletes. Renames are
+    * atomic per-directory on HDFS-like stores (same caveat set as
+    * [[compactHiveDirs]]).
+    *
+    * `write` may lazily READ the current table at `path` while
+    * producing the staging dir (merge-style updates): the old dir stays
+    * in place until `write` returns. */
+  def atomicStagedWrite(spark: org.apache.spark.sql.SparkSession,
+      path: String)(write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = root.getParent
+    val tmp = new Path(parent, s".staging-${root.getName}")
+    val old = new Path(parent, s".old-${root.getName}")
+    if (fs.exists(old)) {
+      if (!fs.exists(root)) fs.rename(old, root) else fs.delete(old, true)
+    }
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    if (fs.exists(root) && !fs.rename(root, old))
+      throw new java.io.IOException(s"atomicStagedWrite: cannot move aside $path")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(old, root) // roll back; leave the old snapshot in place
+      throw new java.io.IOException(s"atomicStagedWrite: cannot commit $path")
+    }
+    fs.delete(old, true)
+  }
+
   /** Minor compaction for append-written hive-partitioned parquet dirs —
     * the shared machinery behind `Similarity.compactIvfCells` and
     * `Dedup.compactSignatureBuckets`. Every append-based layout needs

@@ -242,6 +242,17 @@ class ScaleSpec extends SparkTestBase {
         s"staged span-stats table not in plan:\n$plan")
       assert(plan.contains(s"$dir/batch"),
         s"batch scan missing from plan:\n$plan")
+
+      // merge lifecycle: folding the batch into the staged table must be
+      // bit-for-bit a restage over the union — the corpus is never
+      // re-tokenized, only the span-vocab-sized table is rewritten
+      Dedup.mergeSpanStats(s"$dir/stats",
+        spark.read.parquet(s"$dir/batch"), "doc_id", "text",
+        span = 8, seed = 11, numFiles = 4)
+      Dedup.stageSpanStats(docs, "doc_id", "text", s"$dir/stats_full",
+        span = 8, seed = 11, numFiles = 4)
+      assert(spark.read.parquet(s"$dir/stats").orderBy("h").collect().toSeq ===
+        spark.read.parquet(s"$dir/stats_full").orderBy("h").collect().toSeq)
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
