@@ -236,6 +236,62 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("remaining bounded-state ops run on the RocksDB state store (100 TB state path)") {
+    // streamingNearDupBounded, keepLatestPerUserTws and
+    // dedupWithinWatermark already have RocksDB permutations; this
+    // covers the rest of the bounded-state family — the point is only
+    // that each op's state classes serialize on the disk-backed
+    // provider, their semantics have their own tests
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // sharded Bloom bitmap state: cross-batch duplicate still dropped
+      val ms1 = MemoryStream[(String, String)]
+      val q1 = StatefulOps.streamingBloomDedup(ms1.toDS(), shards = 4)
+        .writeStream.format("memory").queryName("rk_bloom")
+        .outputMode("update").start()
+      try {
+        ms1.addData(("a", "f1")); q1.processAllAvailable()
+        ms1.addData(("b", "f1"), ("c", "f2")); q1.processAllAvailable()
+        assert(spark.table("rk_bloom").as[(String, String)]
+          .collect().map(_._1).toSet === Set("a", "c"))
+      } finally q1.stop()
+      // hash-ranked reservoir state: cap respected across batches
+      val ms2 = MemoryStream[(String, Long)]
+      val out = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+      val q2 = StatefulOps.streamingStratifiedSample(ms2.toDS(), cap = 2, seed = 7)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[(String, Seq[Long])], _: Long) =>
+          df.collect().foreach { case (k, ids) => out.put(k, ids) }
+        }
+        .outputMode("update").start()
+      try {
+        ms2.addData(("s", 1L), ("s", 2L)); q2.processAllAvailable()
+        ms2.addData(("s", 3L)); q2.processAllAvailable()
+        assert(out.get("s").length === 2)
+      } finally q2.stop()
+      // complete-mode CMS grid state: merged partials equal batch sketch
+      val ms3 = MemoryStream[String]
+      val q3 = StatefulOps.streamingTokenSketch(
+          ms3.toDS().toDF("token"), width = 64, depth = 3)
+        .writeStream.format("memory").queryName("rk_cms")
+        .outputMode("complete").start()
+      try {
+        ms3.addData("x", "y"); q3.processAllAvailable()
+        ms3.addData("x"); q3.processAllAvailable()
+        val agg = new graft.functions.CountMinAggregator(64, 3, 601)
+        assert(spark.table("rk_cms").as[Seq[Long]].head() ===
+          Seq("x", "y", "x").foldLeft(agg.zero)((b, t) => agg.reduce(b, t)).toSeq)
+      } finally q3.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join pairs events within the time bound (T3 x J3)") {
     val clicks = newEvents()
     val buys = newEvents()
