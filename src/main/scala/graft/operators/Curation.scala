@@ -84,7 +84,18 @@ object Curation {
         s"adaptiveQualityFloor emits a '$c' column; input already has one"))
     val byStratum = org.apache.spark.sql.expressions.Window
       .partitionBy(strata.map(col): _*)
-    val ranked = df.withColumn("score", scoreCol)
+    // a NULL score would rank FIRST (Spark ASC NULLS FIRST, DuckDB
+    // defaults NULLS LAST — the cross-engine parity this op promises
+    // breaks), and a stratum whose floor rank lands on a NULL-score row
+    // gets floor = NULL → kept = NULL for every row, silently dropping
+    // the whole stratum through a kept-filter. Corrupt input for a
+    // cutoff operator — fail loudly, wired through the ranked column so
+    // every row passes the guard
+    val ranked = df.withColumn("score",
+        when(scoreCol.isNull, raise_error(concat(
+          lit("adaptiveQualityFloor: NULL score for id "),
+          col(idCol).cast("string"))))
+        .otherwise(scoreCol))
       .withColumn("__rn", row_number()
         .over(byStratum.orderBy(col("score"), col(idCol))).cast("long"))
       .withColumn("__n", count(lit(1)).over(byStratum))

@@ -281,6 +281,12 @@ object Dedup {
           lit("keepOneByPriority: no metadata row for id "), col("id"))))
         .when(col("__cnt") > 1, raise_error(concat(
           lit("keepOneByPriority: duplicate metadata rows for id "), col("id"))))
+        // a metadata row whose priority EXPRESSION is NULL (missed map
+        // lookup) is as corrupt as a missing row — and min_by's struct
+        // ordering puts NULL first, so it would silently WIN the keeper
+        // election over priority 0
+        .when(col("__prio").isNull, raise_error(concat(
+          lit("keepOneByPriority: NULL priority for id "), col("id"))))
         .otherwise(col("__prio")))
     joined
       .withColumn("keeper", min_by(col("id"), struct(col("__prio"), col("id")))
@@ -637,10 +643,12 @@ object Dedup {
   def stageSignatures(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
       numFiles: Int = 8, shingler: Column => Column = null): Unit =
-    graft.sources.Layout.clusteredWrite(
-      bandedSignatures(df, idCol, textCol, numHashes, bands, shingleSize,
-        shingler).select("doc_id", "sh", "band", "bkey"),
-      path, Seq("band", "bkey"), numFiles)
+    graft.sources.Layout.atomicStagedWrite(df.sparkSession, path) { tmp =>
+      graft.sources.Layout.clusteredWrite(
+        bandedSignatures(df, idCol, textCol, numHashes, bands, shingleSize,
+          shingler).select("doc_id", "sh", "band", "bkey"),
+        tmp, Seq("band", "bkey"), numFiles)
+    }
 
   /** [[incrementalNearDups]] with the old side read from a
     * [[stageSignatures]] table: the plan scans the NEW batch's documents
@@ -686,8 +694,10 @@ object Dedup {
   def stageSignatureBuckets(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
       nGroups: Int = 64, splits: Int = 1, shingler: Column => Column = null): Unit =
-    writeSignatureBuckets(df, idCol, textCol, path, numHashes, bands,
-      shingleSize, nGroups, splits, shingler, "overwrite")
+    graft.sources.Layout.atomicStagedWrite(df.sparkSession, path) { tmp =>
+      writeSignatureBuckets(df, idCol, textCol, tmp, numHashes, bands,
+        shingleSize, nGroups, splits, shingler, "overwrite")
+    }
 
   /** Append an ingest batch's signatures to a [[stageSignatureBuckets]]
     * store — map-only (band keys depend only on the signature
@@ -712,7 +722,11 @@ object Dedup {
       .select(col("doc_id"), col("sh"), col("band"), col("bkey"))
       .withColumn("bgrp", pmod(hash(col("band"), col("bkey")), lit(nGroups)))
       .repartition(col("bgrp"), pmod(hash(col("doc_id")), lit(splits)))
-      .sortWithinPartitions(col("band"), col("bkey"))
+      // bgrp leads the sort: partitionBy requires the partition column
+      // ordered, so without it the file writer would insert its OWN full
+      // sort per batch — with it, one sort serves both the writer and
+      // the documented (band, bkey) row-group clustering
+      .sortWithinPartitions(col("bgrp"), col("band"), col("bkey"))
       .write.mode(mode).partitionBy("bgrp").parquet(path)
   }
 
@@ -795,10 +809,12 @@ object Dedup {
     * mismatch silently reports zero duplicated spans. */
   def stageSpanStats(df: DataFrame, idCol: String, textCol: String,
       path: String, span: Int = 8, seed: Int = 11, numFiles: Int = 8): Unit =
-    graft.sources.Layout.clusteredWrite(
-      spanHashes(spanSets(df, idCol, textCol, span), seed)
-        .groupBy("h").agg(count(lit(1)).as("n_docs")),
-      path, Seq("h"), numFiles)
+    graft.sources.Layout.atomicStagedWrite(df.sparkSession, path) { tmp =>
+      graft.sources.Layout.clusteredWrite(
+        spanHashes(spanSets(df, idCol, textCol, span), seed)
+          .groupBy("h").agg(count(lit(1)).as("n_docs")),
+        tmp, Seq("h"), numFiles)
+    }
 
   /** Fold an ingest batch INTO a staged span-frequency table — the
     * q113-style incremental update completing the ExactSubstr family's

@@ -40,7 +40,10 @@ import org.apache.spark.sql.functions._
   * Drop-in parity with the built-in on degenerate inputs: groups whose
   * values are all NULL emit the built-in's NULL-array row (derived from
   * the same stats pass — no extra scan); rows with NULL values are
-  * ignored like the built-in. NaN values FAIL LOUDLY instead — NaN
+  * ignored like the built-in; a NULL GROUP KEY is a group like any
+  * other (the key rides in a one-field struct internally so the
+  * candidate-bin joins are null-safe — a bare key join would silently
+  * drop that group where groupBy keeps it). NaN values FAIL LOUDLY instead — NaN
   * poisons the equal-width bin expression (max = NaN ⇒ bin width NaN),
   * so rather than return silently wrong bins the scan raises; filter
   * NaN upstream if NaN-last built-in ordering is wanted. Returns
@@ -53,9 +56,16 @@ object Quantiles {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentages must be in [0,1], got $ps")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val g = col(groupCol)
+    require(!df.columns.contains("__g"),
+      "exactPercentiles uses internal column '__g'; input already has one")
+    // the group key rides inside a one-field struct: struct equality
+    // compares NULL fields as equal, so every equi-join below keeps the
+    // NULL group — a bare join on the key would silently DROP it (the
+    // built-in percentile emits a row for the NULL group; drop-in
+    // parity must too). Unwrapped in the final projection.
+    val g = col("__g")
     val vr = col(valueCol).cast("double")
-    val guarded = df.select(g,
+    val guarded = df.select(struct(col(groupCol)).as("__g"),
       when(isnan(vr), raise_error(lit(
         s"exactPercentiles: NaN in '$valueCol' — NaN has no exact rank " +
           "in the histogram bins; filter NaN upstream")).cast("double"))
@@ -74,7 +84,7 @@ object Quantiles {
         floor((col("__v") - col("__mn"))
           / ((col("__mx") - col("__mn")) / lit(buckets.toDouble))),
         lit(buckets - 1L)))
-    val binned = rows.join(broadcast(stats), Seq(groupCol))
+    val binned = rows.join(broadcast(stats), Seq("__g"))
       .withColumn("__b", bin)
     val hist = binned.groupBy(g, col("__b")).agg(count(lit(1)).as("__c"))
     val offs = hist.withColumn("__off", coalesce(
@@ -87,17 +97,17 @@ object Quantiles {
       .withColumn("__t", (col("__n") - 1).cast("double") * col("__p"))
       .withColumn("__lo", floor(col("__t")))
       .withColumn("__hi", ceil(col("__t")))
-    val wanted = offs.join(tgt.select(g, col("__lo"), col("__hi")), Seq(groupCol))
+    val wanted = offs.join(tgt.select(g, col("__lo"), col("__hi")), Seq("__g"))
       .filter((col("__lo") >= col("__off") && col("__lo") < col("__off") + col("__c")) ||
         (col("__hi") >= col("__off") && col("__hi") < col("__off") + col("__c")))
       .select(g, col("__b"), col("__off")).distinct()
     // second pass: sort ONLY the candidate bins; bin-major + in-bin
     // order IS the global value order, so __off + in-bin rank is the
     // global 0-based position (ties share a bin and an equal value)
-    val cand = binned.join(broadcast(wanted), Seq(groupCol, "__b"))
+    val cand = binned.join(broadcast(wanted), Seq("__g", "__b"))
       .withColumn("__pos", col("__off") - 1 +
         row_number().over(Window.partitionBy(g, col("__b")).orderBy(col("__v").asc)))
-    val hits = cand.join(broadcast(tgt), Seq(groupCol))
+    val hits = cand.join(broadcast(tgt), Seq("__g"))
       .filter(col("__pos") === col("__lo") || col("__pos") === col("__hi"))
       .groupBy(g, col("__pi"), col("__t"), col("__lo"), col("__hi"))
       .agg(min(when(col("__pos") === col("__lo"), col("__v"))).as("__vlo"),
@@ -113,5 +123,6 @@ object Quantiles {
     val allNull = allStats.filter(col("__n") === 0)
       .select(g, lit(null).cast("array<double>").as("ps"))
     present.unionByName(allNull)
+      .select(col("__g").getField(groupCol).as(groupCol), col("ps"))
   }
 }

@@ -217,8 +217,13 @@ object Sampling {
         s"tokenBudgetSample uses internal column '$c'; input already has one"))
     val W = org.apache.spark.sql.expressions.Window
     // a negative token count breaks the prefix-monotonicity the bucket
-    // prune relies on — fail loudly instead of silently mis-sampling
-    val tok = when(tokens < 0, raise_error(concat(
+    // prune relies on, and a NULL would slip past the comparison guard
+    // (NULL < 0 is NULL → false) and be silently summed as 0, keeping
+    // the row "for free" — both fail loudly instead of mis-sampling
+    val tok = when(tokens.isNull, raise_error(concat(
+        lit("tokenBudgetSample: NULL token count for id "),
+        col(idCol).cast("string"))).cast("long"))
+      .when(tokens < 0, raise_error(concat(
         lit("tokenBudgetSample: negative token count for id "),
         col(idCol).cast("string"))).cast("long"))
       .otherwise(tokens)
@@ -270,17 +275,30 @@ object Sampling {
   def matchedSample(df: DataFrame, sideCol: String, bucketCol: String,
       idCol: String, nSides: Int, seed: Int): DataFrame = {
     require(nSides >= 2, s"matching needs at least 2 sides, got $nSides")
-    val wSB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(bucketCol), col(sideCol))
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(bucketCol))
+    // a NULL side would form its own window partition — it shrinks every
+    // side's cap through the per-bucket min AND leaks its rows into the
+    // output (collect_set drops NULLs, so __nsides still matches); a
+    // NULL bucket would match rows across "unknown" strata. Both are
+    // corrupt metadata for a matching design — fail loudly (the
+    // [[keepOneByPriority]] contract), wired through the window keys so
+    // every row passes the guard
+    val side = when(col(sideCol).isNull, raise_error(concat(
+        lit("matchedSample: NULL side for id "), col(idCol).cast("string")))
+        .cast(df.schema(sideCol).dataType))
+      .otherwise(col(sideCol))
+    val bucket = when(col(bucketCol).isNull, raise_error(concat(
+        lit("matchedSample: NULL bucket for id "), col(idCol).cast("string")))
+        .cast(df.schema(bucketCol).dataType))
+      .otherwise(col(bucketCol))
+    val wSB = org.apache.spark.sql.expressions.Window.partitionBy(bucket, side)
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(bucket)
     df.withColumn("__rn", row_number()
         .over(wSB.orderBy(seededHash(col(idCol), seed).asc, col(idCol).asc))
         .cast("long"))
       .withColumn("__cnt", count(lit(1)).over(wSB))
       .withColumn("__cap", min(col("__cnt")).over(wB))
       .withColumn("__nsides",
-        size(collect_set(col(sideCol)).over(wB)).cast("int"))
+        size(collect_set(side).over(wB)).cast("int"))
       .filter(col("__nsides") === nSides && col("__rn") <= col("__cap"))
       .drop("__rn", "__cnt", "__cap", "__nsides")
   }
@@ -336,7 +354,10 @@ object Sampling {
       require(!df.columns.contains(c),
         s"systematicPps uses column '$c'; input already has one"))
     val W = org.apache.spark.sql.expressions.Window
-    val wl = when(weight < 0, raise_error(concat(
+    val wl = when(weight.isNull, raise_error(concat(
+        lit("systematicPps: NULL weight for id "),
+        col(idCol).cast("string"))).cast("long"))
+      .when(weight < 0, raise_error(concat(
         lit("systematicPps: negative weight for id "),
         col(idCol).cast("string"))).cast("long"))
       .when(weight.cast("double") =!= weight.cast("long").cast("double"),

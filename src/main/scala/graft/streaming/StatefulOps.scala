@@ -435,16 +435,25 @@ object StatefulOps {
     * .appendToIvfIndex]] ingest (parquet commits whole files, so a probe
     * sees a consistent file set). Per-batch cost is the batch-sized
     * probe with dynamic partition pruning — the streaming twin of q131
-    * exactly as streamingNearDup twins q31. */
+    * exactly as streamingNearDup twins q31.
+    *
+    * `checkpointDir` persists source progress like every sibling entry
+    * point — without it a restart forgets which query batches were
+    * probed (file sources reprocess everything, offset-based sources
+    * resume at latest and drop the gap), so `emit` would see duplicated
+    * or missing batches. `None` (dev/ad-hoc only) runs on a
+    * Spark-generated temporary checkpoint. */
   def streamingIvfProbe(queries: DataFrame, indexPath: String,
-      nprobe: Int, k: Int)(emit: DataFrame => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    queries.writeStream
+      nprobe: Int, k: Int, checkpointDir: Option[String] = None)
+      (emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = queries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         emit(graft.operators.Similarity.ivfProbeStaged(
           batch.sparkSession, indexPath, batch, nprobe, k))
       }
-      .start()
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 
   /** Streaming Count-Min sketch over a token column: a complete-mode
     * global aggregate whose ONLY state is the depth×width counter grid

@@ -216,6 +216,17 @@ class OperatorsSpec extends SparkTestBase {
       Curation.adaptiveQualityFloor(df.withColumnRenamed("q", "score"),
         Seq("src"), col("score"), "id")
     }
+    // a NULL score ranks NULLS FIRST in Spark (DuckDB defaults last —
+    // parity breaks) and can NULL a whole stratum's floor — loud failure
+    val nul = df.unionByName(
+      Seq(("A", 99L, None: Option[Double])).toDF("src", "id", "q"))
+    val e = intercept[Exception] {
+      Curation.adaptiveQualityFloor(nul, Seq("src"), col("q"), "id",
+        pct = 20).collect()
+    }
+    val m = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(m.contains("NULL score"), m)
   }
 
   test("tokenBudgetSample: budget-prefix monotone, repartition-stable, per-stratum") {
@@ -264,6 +275,15 @@ class OperatorsSpec extends SparkTestBase {
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
     assert(msgs.contains("negative token count"), msgs)
+    // NULL token counts: sum() would skip them, keeping the row for free
+    val nul = Seq((1L, "x", Some(5L)), (2L, "x", None)).toDF("id", "src", "nt")
+    val e2 = intercept[Exception] {
+      Sampling.tokenBudgetSample(nul, Seq("src"), "id", col("nt"), lit(10L),
+        seed = 1).collect()
+    }
+    val m2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(m2.contains("NULL token count"), m2)
   }
 
   test("Quantiles.exactPercentiles is bit-identical to the percentile aggregate") {
@@ -306,6 +326,18 @@ class OperatorsSpec extends SparkTestBase {
     val m = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
     assert(m.contains("NaN"), m)
+    // a NULL GROUP KEY is a group like any other: groupBy keeps it, so
+    // the candidate-bin joins must too (a bare equi-join would silently
+    // drop the whole group from the output)
+    val df3 = df.unionByName(
+      (1 to 40).map(i => (None: Option[String], i.toDouble)).toDF("g", "v"))
+    val built3 = df3.groupBy("g")
+      .agg(percentile(col("v"), array(ps.map(lit): _*)).as("ps"))
+      .select("g", "ps").as[(Option[String], Seq[Double])].collect().toMap
+    val two3 = Quantiles.exactPercentiles(df3, "g", "v", ps)
+      .select("g", "ps").as[(Option[String], Seq[Double])].collect().toMap
+    assert(two3 === built3)
+    assert(two3.contains(None), "NULL group must appear in the output")
   }
 
   test("nearDupClusters/updateClusters reliable-checkpoint option: same labels, data on disk") {
@@ -360,6 +392,18 @@ class OperatorsSpec extends SparkTestBase {
       sum(when(col("side"), 1).otherwise(0)).as("p"),
       sum(when(!col("side"), 1).otherwise(0)).as("n"))
     assert(hist.filter(col("p") =!= col("n")).count() === 0)
+    // a NULL side would form its own window partition: it shrinks every
+    // real side's cap via the per-bucket min AND leaks into the output
+    // (collect_set drops NULLs so __nsides still matches) — loud failure
+    val nulSide = df.unionByName(
+      Seq((99L, None: Option[Boolean], 0L)).toDF("id", "side", "bucket"))
+    val e = intercept[Exception] {
+      Sampling.matchedSample(nulSide, "side", "bucket", "id",
+        nSides = 2, seed = 9).collect()
+    }
+    val m = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(m.contains("NULL side"), m)
   }
 
   test("hash sampling is repartition-stable and splits are exhaustive") {
@@ -688,6 +732,14 @@ class OperatorsSpec extends SparkTestBase {
         seed = 1).collect()
     }
     assert(msgs(e2).contains("non-integral weight"), msgs(e2))
+    // a NULL weight slips past both comparisons (NULL < 0 is false) and
+    // would be silently summed as 0 — never sampled, no error
+    val nul = Seq((1L, "x", Some(5L)), (2L, "x", None)).toDF("id", "src", "w")
+    val e3 = intercept[Exception] {
+      Sampling.systematicPps(nul, Seq("src"), "id", col("w"), step = 10L,
+        seed = 1).collect()
+    }
+    assert(msgs(e3).contains("NULL weight"), msgs(e3))
   }
 
   test("containmentPairs flags a contained excerpt that Jaccard misses") {
@@ -813,6 +865,15 @@ class OperatorsSpec extends SparkTestBase {
         "doc_id", when(col("src") === "curated", 0).otherwise(1)).collect()
     }
     assert(msgOf(dup).contains("duplicate metadata rows"))
+
+    // ...and a present row whose priority EXPRESSION is NULL would WIN
+    // the min_by election (NULL struct fields compare smallest) — as
+    // corrupt as a missing row, so equally loud
+    val nulPrio = intercept[Exception] {
+      Dedup.keepOneByPriority(clusters, meta, "doc_id",
+        when(col("src") === "curated", 0)).collect() // crawl rows → NULL
+    }
+    assert(msgOf(nulPrio).contains("NULL priority"))
   }
 
   test("bloomBitmap/bloomFlags: no false negatives, bounded false positives") {

@@ -90,7 +90,8 @@ class StreamingSpec extends SparkTestBase {
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
     val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     val q = StatefulOps.streamingIvfProbe(
-        ms.toDF().toDF("vec_id", "embedding"), dir, nprobe = 2, k = 3) { out =>
+        ms.toDF().toDF("vec_id", "embedding"), dir, nprobe = 2, k = 3,
+        checkpointDir = Some(s"$dir/ckpt")) { out =>
       got.synchronized { got ++= out.orderBy("qid", "rank").collect() }
     }
     try {
