@@ -60,9 +60,14 @@ object GraftFunctions {
     "graft_simhash" -> checked("graft_simhash", 2)(e =>
       SimHashBits(e(0), foldedInt(e(1)))),
     "graft_fpvec_sum" -> checked("graft_fpvec_sum", 1)(e => FixedPointVectorSum(e(0))),
+    // list args arrive U+001F-joined (see tokenStats below): a comma
+    // delimiter corrupted comma-bearing stopwords, and "".split gave
+    // Seq("") — the empty token, counted as a stopword — where an empty
+    // LIST was meant
     "graft_token_stats" -> checked("graft_token_stats", 4)(e =>
       TokenStats(e(0), foldedInt(e(1)),
-        foldedString(e(2)).split(",").toSeq, foldedString(e(3)).split(",").toSeq)),
+        foldedString(e(2)).split('\u001F').toSeq.filter(_.nonEmpty),
+        foldedString(e(3)).split('\u001F').toSeq.filter(_.nonEmpty))),
     "graft_rolling_fp" -> checked("graft_rolling_fp", 1)(e => RollingFingerprint(e(0))))
 
   def register(spark: SparkSession): Unit = {
@@ -126,9 +131,15 @@ object GraftFunctions {
     * struct(n_tokens, n_distinct, n_shingles, n_stop, n_marker) — the
     * values of the five HOF stats in TextFunctions, one tokenization. */
   def tokenStats(text: Column, shingleN: Int,
-      stopwords: Seq[String], markers: Seq[String]): Column =
+      stopwords: Seq[String], markers: Seq[String]): Column = {
+    // U+001F (unit separator) cannot appear in a whitespace-delimited
+    // token, so the list round-trip is lossless — including the empty
+    // list and comma-bearing entries like "1,000"
+    require(stopwords.forall(_.nonEmpty) && markers.forall(_.nonEmpty),
+      "tokenStats: empty-string stopwords/markers are not representable")
     call_function("graft_token_stats", text, lit(shingleN),
-      lit(stopwords.mkString(",")), lit(markers.mkString(",")))
+      lit(stopwords.mkString("\u001F")), lit(markers.mkString("\u001F")))
+  }
 
   /** Order-sensitive rolling-hash document fingerprint (compiled; same
     * values as TextFunctions.rollingFingerprint). */

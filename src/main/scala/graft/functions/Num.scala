@@ -41,12 +41,19 @@ object Num {
 
   /** Deterministic sample variance from exact fixed-point sums:
     * (Σx² − (Σx)²/n) / (n−1). Raw `var_samp`/`stddev` stream the update
-    * formula over doubles and are order-dependent; this is not. */
+    * formula over doubles and are order-dependent; this is not.
+    *
+    * The two floors bias Σx² and (Σx)² INDEPENDENTLY, so the numerator
+    * can dip epsilon-negative for (near-)constant columns whose squares
+    * floor badly on the 1e-6 grid — clamped at 0, or [[dstddevSamp]]
+    * would return NaN where the truth is 0. n ≤ 1 returns NULL like
+    * `var_samp` in both engines (the raw division gave 0/0 or ±Inf from
+    * a floor-biased numerator). Mirrored in [[sqlVarSamp]]. */
   def dvarSamp(c: Column): Column = {
     val n = count(c).cast("double")
     val sx = sum(floor(c * S)).cast("double") / S
     val sxx = sum(floor(c * c * S)).cast("double") / S
-    (sxx - sx * sx / n) / (n - lit(1.0))
+    when(n > 1, greatest(lit(0.0), sxx - sx * sx / n) / (n - lit(1.0)))
   }
 
   def dstddevSamp(c: Column): Column = sqrt(dvarSamp(c))
@@ -54,27 +61,40 @@ object Num {
   /** Deterministic Pearson correlation from exact fixed-point sums, over
     * COMPLETE pairs only (rows where both inputs are non-null — standard
     * corr semantics). Mixing a count(*) n with null-skipping sums would
-    * produce a number that is the correlation of nothing in particular. */
+    * produce a number that is the correlation of nothing in particular.
+    * The same floor-bias clamps as [[dvarSamp]]: the per-variable
+    * variance terms clamp at 0 before sqrt (NaN guard) and the ratio
+    * clamps into [−1, 1] (the bias can push |r| past 1 by an ulp) —
+    * NaN from a genuinely zero denominator passes through unclamped in
+    * both engines (NaN compares greater than any value in Spark AND
+    * DuckDB, so the > / < clamp branches must test isnan first). */
   def dcorr(x: Column, y: Column): Column = {
     val both = x.isNotNull && y.isNotNull
     val n = count(when(both, 1)).cast("double")
     def s(e: Column) = sum(floor(when(both, e) * S)).cast("double") / S
     val (sx, sy, sxy, sxx, syy) = (s(x), s(y), s(x * y), s(x * x), s(y * y))
-    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+    val vx = greatest(lit(0.0), n * sxx - sx * sx)
+    val vy = greatest(lit(0.0), n * syy - sy * sy)
+    val r = (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+    when(isnan(r), r).when(r > 1.0, lit(1.0)).when(r < -1.0, lit(-1.0))
+      .otherwise(r)
   }
 
   /** DuckDB mirrors for the dispersion helpers. */
   def sqlVarSamp(x: String): String = {
     val n = s"CAST(COUNT($x) AS DOUBLE)"
-    s"((${sqlSum(s"($x) * ($x)")}) - (${sqlSum(x)}) * (${sqlSum(x)}) / $n) / ($n - 1.0)"
+    s"(CASE WHEN $n > 1 THEN GREATEST(0.0, (${sqlSum(s"($x) * ($x)")})" +
+      s" - (${sqlSum(x)}) * (${sqlSum(x)}) / $n) / ($n - 1.0) END)"
   }
   def sqlCorr(x: String, y: String): String = {
     val both = s"($x) IS NOT NULL AND ($y) IS NOT NULL"
     val n = s"CAST(COUNT(CASE WHEN $both THEN 1 END) AS DOUBLE)"
     def cs(e: String) = sqlSum(s"CASE WHEN $both THEN ($e) END")
-    s"($n * (${cs(s"($x) * ($y)")}) - (${cs(x)}) * (${cs(y)}))" +
-      s" / (sqrt($n * (${cs(s"($x) * ($x)")}) - (${cs(x)}) * (${cs(x)}))" +
-      s" * sqrt($n * (${cs(s"($y) * ($y)")}) - (${cs(y)}) * (${cs(y)})))"
+    val r = s"(($n * (${cs(s"($x) * ($y)")}) - (${cs(x)}) * (${cs(y)}))" +
+      s" / (sqrt(GREATEST(0.0, $n * (${cs(s"($x) * ($x)")}) - (${cs(x)}) * (${cs(x)})))" +
+      s" * sqrt(GREATEST(0.0, $n * (${cs(s"($y) * ($y)")}) - (${cs(y)}) * (${cs(y)})))))"
+    s"(CASE WHEN isnan($r) THEN $r WHEN $r > 1.0 THEN 1.0" +
+      s" WHEN $r < -1.0 THEN -1.0 ELSE $r END)"
   }
 
   /** SQL-text mirrors for oracle queries (DuckDB side). */

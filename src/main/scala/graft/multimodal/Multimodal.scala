@@ -114,7 +114,11 @@ object Multimodal {
     * arbitrarily large images. Returns None when the bytes are not a
     * decodable image — callers fall back to the stub rather than failing
     * the task. */
-  private[multimodal] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+  private[multimodal] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] = {
+    // dim < 3 cannot hold one bin per channel: the G/B writes would
+    // index past `out` and the AIOOBE would silently send every VALID
+    // image to the stub via the NonFatal catch — fail the call instead
+    require(dim >= 3, s"decodeImage needs dim >= 3 (one bin per RGB channel), got $dim")
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
@@ -133,6 +137,7 @@ object Multimodal {
         Some((w, h, out))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Real audio decode via JDK `javax.sound.sampled`: (sampleRate,
     * channels, features) where features is `dim` windowed RMS energies of
@@ -391,7 +396,11 @@ object Multimodal {
     * for real (dimensions + RGB histogram / sample-rate + channels + RMS
     * windows / frame dims + luminance); codec-requiring video and
     * undecodable payloads take the labeled stub path with -1 dims. */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] =
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    // validated on the DRIVER: the image decoder needs one bin per RGB
+    // channel, and a per-task require would fail the job only after
+    // tasks launch
+    require(dim >= 3, s"extractFeatures needs dim >= 3, got $dim")
     media.mapPartitions { rows =>
       rows.map { m =>
         val decoded = m.kind match {
@@ -410,6 +419,7 @@ object Multimodal {
         }
       }
     }
+  }
 
   /** Frame sampling: every `stride` bytes becomes a "frame" (STUB for a
     * video frame-extractor; one input row fans out to many frame rows). */

@@ -36,15 +36,23 @@ object Sources {
     * Spark's file index also skips `_`-prefixed entries (its own metadata
     * convention); the reference skips only dot-files. */
   def listFilesRecursive(spark: SparkSession, path: String): DataFrame = {
-    val base = path.stripSuffix("/")
+    // normalize through hadoop Path so the base renders EXACTLY like the
+    // listing's path column does (e.g. "file:///x" and the column's
+    // "file:/x" are the same location in two spellings — a raw string
+    // prefix-match between them fails)
+    val base = new org.apache.hadoop.fs.Path(path.stripSuffix("/")).toString
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", true)
       .load(path)
       .withColumn("__rel",
         // RFC 3986 scheme grammar — schemes with digits/dots/uppercase
         // (s3, s3a, o3fs, WASB) must strip too, or the dot-filter would
-        // regress to full-path matching on those filesystems
-        regexp_replace(col("path"), "^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?" + java.util.regex.Pattern.quote(base), ""))
+        // regress to full-path matching on those filesystems. The whole
+        // scheme+authority group is OPTIONAL: a scheme-qualified base
+        // (the only way to address an object store) already carries it,
+        // and a mandatory prefix would never match — every file would be
+        // silently filtered by its dotted ancestors
+        regexp_replace(col("path"), "^([A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?)?" + java.util.regex.Pattern.quote(base), ""))
       .filter(!col("__rel").rlike("/\\.[^/]*$") && !col("__rel").rlike("/\\.[^/]*/"))
       .select(col("path"), col("length"), col("modificationTime"))
   }

@@ -188,6 +188,20 @@ class FunctionsSpec extends SparkTestBase {
     val nr = spark.sql("SELECT CAST(NULL AS STRING) AS t")
       .select(TextFunctions.tokenStatsOf(col("t"))).head()
     assert(nr.isNullAt(0))
+    // the list round-trip is lossless: an EMPTY stopword list must not
+    // become Seq("") (which counted double-space empty tokens as
+    // stopwords), and a comma-bearing stopword must survive intact
+    graft.functions.GraftFunctions.register(spark)
+    val emptyList = Seq("x  y").toDF("t")
+      .select(graft.functions.GraftFunctions
+        .tokenStats(col("t"), 3, Seq.empty, Seq.empty).getField("n_stop"))
+      .as[Int].head()
+    assert(emptyList === 0, "empty stopword list must match nothing")
+    val commaWord = Seq("price 1,000 dollars").toDF("t")
+      .select(graft.functions.GraftFunctions
+        .tokenStats(col("t"), 3, Seq("1,000"), Seq.empty).getField("n_stop"))
+      .as[Int].head()
+    assert(commaWord === 1, "comma-bearing stopword must survive the round-trip")
     // derived stats keep their HOF values
     val derived = df.select(
       TextFunctions.stopwordRatio(col("t")).as("sw"),
@@ -364,5 +378,23 @@ class FunctionsSpec extends SparkTestBase {
       h1.foldLeft(agg.zero)((b, w) => agg.reduce(b, w)),
       h2.foldLeft(agg.zero)((b, w) => agg.reduce(b, w))).toSeq
     assert(m === seqSk)
+  }
+
+  test("dispersion helpers: degenerate groups are NULL-or-zero, never NaN or Infinity") {
+    import graft.functions.Num
+    // 0.0015² floors badly on the 1e-6 grid: before the clamp the
+    // variance numerator went epsilon-NEGATIVE and stddev returned NaN
+    // where the truth is 0; a single-row group divided by n-1 = 0
+    val df = Seq(("a", 0.0015), ("a", 0.0015), ("a", 0.0015), ("b", 7.0))
+      .toDF("g", "v")
+    val rows = df.groupBy("g")
+      .agg(Num.dvarSamp(col("v")).as("var"), Num.dstddevSamp(col("v")).as("std"))
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(rows("a") === ((0.0, 0.0)), "constant column: variance 0, not NaN")
+    assert(rows("b") === ((null, null)), "n = 1: NULL like var_samp, not Infinity")
+    // dcorr: perfectly linear data must not exceed 1 by a floor-bias ulp
+    val r = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+      .agg(Num.dcorr(col("x"), col("y"))).as[Double].head()
+    assert(r <= 1.0 && r >= 0.999, s"got $r")
   }
 }

@@ -69,6 +69,18 @@ class RegistrySourcesSpec extends SparkTestBase {
     val rec = Sources.listFilesRecursive(spark, dir.toString)
       .select("path").as[String].collect()
     assert(rec.length === 2 && rec.forall(!_.contains(".hidden")))
+
+    // scheme-qualified base — the only way to address an object store:
+    // the dot filter must still apply BELOW the base only, so a dotted
+    // ANCESTOR of the base cannot hide every file (the regression mode:
+    // an unstripped base leaves "/.anc/" in the relative path)
+    val anc = java.nio.file.Files.createDirectory(dir.resolve(".anc"))
+    val corpus = java.nio.file.Files.createDirectory(anc.resolve("corpus"))
+    java.nio.file.Files.write(corpus.resolve("c.bin"), Array[Byte](7))
+    java.nio.file.Files.write(corpus.resolve(".hid"), Array[Byte](8))
+    val rec2 = Sources.listFilesRecursive(spark, "file://" + corpus.toString)
+      .select("path").as[String].collect()
+    assert(rec2.length === 1 && rec2(0).endsWith("c.bin"), rec2.mkString(","))
   }
 
   test("whole-document JSON scan (S6)") {
@@ -92,6 +104,12 @@ class RegistrySourcesSpec extends SparkTestBase {
     assert(f1.map(_.features.toSeq) === f2.map(_.features.toSeq))
     assert(f1.forall(_.features.length === 8))
     assert(f1.map(_.n_bytes).toSeq === Seq(64, 128))
+    // dim < 3 cannot hold one histogram bin per RGB channel — it used to
+    // AIOOBE per image and silently stub every valid decode; now it
+    // fails on the driver before any task launches
+    intercept[IllegalArgumentException] {
+      Multimodal.extractFeatures(media, dim = 2)
+    }
   }
 
   test("multimodal image codec decodes a real PNG: dimensions + RGB histogram") {
