@@ -240,14 +240,22 @@ object Extras extends QueryModule {
       // Corrupt input uses LEADING garbage: Spark's JSON parsers tolerate
       // trailing bytes after a complete object, DuckDB's json_valid does
       // not — leading garbage is invalid in both engines.
+      // Validity is tested by parsing as a MAP — from_json(map) returns
+      // NULL for unparseable input, so isNotNull IS "valid JSON object"
+      // (probing a field would also miss valid objects that merely lack
+      // the field, or carry it as null — not a validity test at all).
       def parsed(c: org.apache.spark.sql.Column) =
         from_json(c, org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.LongType))))
+      def valid(c: org.apache.spark.sql.Column) =
+        from_json(c, org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).isNotNull
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(
-          count(parsed(col("props")).getField("k")).as("n_valid"),
-          count(parsed(concat(lit("x"), col("props"))).getField("k"))
+          count(when(valid(col("props")), 1)).as("n_valid"),
+          count(when(valid(concat(lit("x"), col("props"))), 1))
             .as("n_valid_corrupt"),
           sum(parsed(col("props")).getField("k")).as("sum_k"))
         .orderBy("event_type")

@@ -11,11 +11,8 @@ import graft.operators.{Dedup, Similarity}
   * SQL surface (GROUPING SETS via registered views). */
 object Pipeline extends QueryModule {
 
-  private def dkHash(v: String, seed: Int): String =
-    s"CAST(('0x'||substr(md5($v||':$seed'),1,15)) AS BIGINT)"
-
-  private def dkMix(i: Int): String =
-    s"CAST(('0x'||substr(md5('mix:$i'),1,15)) AS BIGINT)"
+  // the shared DuckDB-mirror hash derivations (DkSql)
+  import DkSql.{dkHash, dkMix}
 
   val all: Seq[Q] = Seq(
 

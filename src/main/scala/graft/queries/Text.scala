@@ -14,13 +14,9 @@ import graft.operators.Dedup
   */
 object Text extends QueryModule {
 
-  /** DuckDB mirror of Dedup.mixConstant (xor-permutation family). */
-  private def dkMix(i: Int): String =
-    s"CAST(('0x'||substr(md5('mix:$i'),1,15)) AS BIGINT)"
-
-  /** DuckDB mirror of TextFunctions.hash64. */
-  private def dkHash(v: String, seed: Int): String =
-    s"CAST(('0x'||substr(md5($v||':$seed'),1,15)) AS BIGINT)"
+  // the shared DuckDB-mirror hash derivations — one definition for every
+  // query module (DkSql), so a parity fix reaches all oracles at once
+  import DkSql.{dkHash, dkMix}
 
   /** DuckDB: distinct 3-token shingles of `text` (requires tk = tokens). */
   private val dkShingles =
@@ -873,9 +869,11 @@ object Text extends QueryModule {
       val src = new java.io.File(s"$d/documents.parquet")
       // v1 = stageSignatures' bkey-clustered parquet layout: salting the
       // key with the format version means a future layout change can
-      // never silently reuse an incompatible staged table left in tmpdir
+      // never silently reuse an incompatible staged table left in tmpdir.
+      // Content enters via the per-file tree fingerprint — a top-level
+      // (length, mtime) missed part-file rewrites in directory datasets
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"v1|$d|h=8|b=4|sh=3|${src.length}|${src.lastModified}"
+        .digest(s"v1|$d|h=8|b=4|sh=3|${graft.core.Staging.contentFingerprint(src)}"
           .getBytes("UTF-8")).map("%02x".format(_)).mkString
       val staged =
         s"${System.getProperty("java.io.tmpdir")}/graft_staged_sigs_$key"
@@ -1136,16 +1134,19 @@ object Text extends QueryModule {
           coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
       val tot = allt.agg(sum(col("cnt_old")).as("tot_old"),
         sum(col("cnt_new")).as("tot_new"), count(lit(1)).as("v"))
-      // same int64 exactness bound as q123: factors ≤ tot + v ≤ 2·tot,
-      // so the cross products are exact through ~2e9 total token
-      // instances per side; beyond that fail loudly (DuckDB's checked
-      // BIGINT multiply errors at the same boundary)
+      // int64 exactness bound: v counts the UNION vocabulary, so with
+      // S = tot_old + tot_new each factor is ≤ 2S and the cross product
+      // ≤ 2S² — exact through S = 2e9 COMBINED token instances (2·(2e9)²
+      // < 2^63); the q123-style per-side bound was too lax because there
+      // v is counted within the side it is added to. Beyond the bound
+      // fail loudly (DuckDB's checked BIGINT multiply errors too; Spark's
+      // non-ANSI multiply would wrap silently)
       allt.crossJoin(broadcast(tot))
         .select(col("token"), col("cnt_old"), col("cnt_new"),
-          when(greatest(col("tot_old"), col("tot_new")) > 2000000000L,
-            raise_error(lit("q116: a corpus side exceeds 2e9 token " +
-              "instances — integer rate-ratio would overflow; use the " +
-              "double path at this scale")).cast("double"))
+          when(col("tot_old") + col("tot_new") > 2000000000L,
+            raise_error(lit("q116: the two sides exceed 2e9 combined " +
+              "token instances — integer rate-ratio would overflow; use " +
+              "the double path at this scale")).cast("double"))
           .otherwise(
             ((col("cnt_new") + 1) * (col("tot_old") + col("v"))).cast("double")
               / ((col("cnt_old") + 1) * (col("tot_new") + col("v")))

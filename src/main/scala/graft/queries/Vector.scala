@@ -56,9 +56,9 @@ object Vector extends QueryModule {
         FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
         WHERE d.dot/(sqrt(na.n2)*sqrt(nb.n2)) >= 0.3 GROUP BY d.b)"""
 
-  /** DuckDB mirror of Sampling.seededHash (same value as Text.dkHash). */
-  private def dkHash(v: String, seed: Int): String =
-    s"CAST(('0x'||substr(md5($v||':$seed'),1,15)) AS BIGINT)"
+  // the shared DuckDB-mirror hash derivation (DkSql) — same value as
+  // Sampling.seededHash
+  import DkSql.dkHash
 
   /** One unrolled Lloyd iteration over long-format centroids `prev`
     * (cid, j, comp) → `next`: fixed-point assignment + per-cell
@@ -456,7 +456,7 @@ object Vector extends QueryModule {
       // ivf-v1 = {centroids/, assignment/ hive-partitioned on cell};
       // key = layout version + dataset + quantizer params + content
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"ivf-v1|$d|k=8|it=2|tp=7:50|${src.length}|${src.lastModified}"
+        .digest(s"ivf-v1|$d|k=8|it=2|tp=7:50|${graft.core.Staging.contentFingerprint(src)}"
           .getBytes("UTF-8")).map("%02x".format(_)).mkString
       val staged =
         s"${System.getProperty("java.io.tmpdir")}/graft_staged_ivf_$key"

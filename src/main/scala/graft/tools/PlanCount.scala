@@ -7,13 +7,12 @@ import org.apache.spark.sql.SparkSession
 object PlanCount {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the standard engine tuning (incl. the 64 MB broadcast threshold):
+    // a hand-rolled config block reported smj where every real session
+    // plans bhj for 10-64 MB dims — plan evidence must describe the
+    // plans the engine actually runs
+    val spark = graft.core.GraftSession.tuned(
+      SparkSession.builder().master("local[8]"), 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)

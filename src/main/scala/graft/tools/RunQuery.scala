@@ -9,13 +9,10 @@ object RunQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args.drop(1)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the standard engine tuning — results and plans must match the
+    // sessions Verify/Bench run, not a hand-rolled config block
+    val spark = graft.core.GraftSession.tuned(
+      SparkSession.builder().master("local[8]"), 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"== $n ==")

@@ -12,24 +12,25 @@ object SteadyBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 2
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.core.GraftSession.tuned(
+      SparkSession.builder().master("local[32]"), 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // a failed rep must NOT record its time-to-exception as a steady-state
+    // cell — a regression that breaks a query would read as a performance
+    // win. Failures are counted and surfaced in the JSON line.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // fresh plan per run: planning + execution
-      val times = (0 to reps).map { _ =>
+      val times = (0 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case scala.util.control.NonFatal(_) =>
+            failed(name) = failed.getOrElse(name, 0) + 1; false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }
       // warm rerun: re-execute the cached physical plan. NOTE this also
       // reuses shuffle outputs from the first run, so upstream stages are
@@ -43,14 +44,22 @@ object SteadyBench {
         val t0 = System.nanoTime()
         rdd.foreachPartition(_ => ())
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 } finally spark.catalog.clearCache()
-      name -> (times.drop(1).min, execT)
+      } catch { case scala.util.control.NonFatal(_) => -1.0
+      } finally spark.catalog.clearCache()
+      // best post-warmup SUCCESSFUL time; -1 marks an all-failed query
+      val steady =
+        if (times.isEmpty) -1.0
+        else if (times.length == 1) times.head
+        else times.drop(1).min
+      name -> (steady, execT)
     }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val es = results.map { case (k, (_, e)) => "\"" + k + "\":" + f"$e%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"steady_total","value":${results.map(_._2._1).sum},"unit":"sec","queries":$qs,"warm_rerun_total":${results.map(_._2._2).sum},"warm_rerun":$es,"sf":"$sfDir"}""")
+    val fs = failed.map { case (k, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"steady_total","value":${results.map(_._2._1).filter(_ >= 0).sum},"unit":"sec","queries":$qs,"warm_rerun_total":${results.map(_._2._2).filter(_ >= 0).sum},"warm_rerun":$es,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
