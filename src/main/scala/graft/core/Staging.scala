@@ -10,7 +10,18 @@ package graft.core
   * length, mtime-millis): any part-file change, addition, removal or
   * rename changes the key. Callers hash the returned string into their
   * MD5 key, so its size (one line per file) never leaks into path
-  * length. */
+  * length.
+  *
+  * Residual caveat — mtime granularity: on filesystems with coarse
+  * mtime resolution (1 s on ext3/older HFS+, 2 s on FAT), a part file
+  * rewritten IN PLACE to the same byte length within the same
+  * timestamp tick leaves (path, length, mtime) unchanged, and the
+  * skip-if-current reuse serves the stale staged table. Spark's own
+  * writers never do this (every job writes fresh part-file names via
+  * task attempt IDs, so the path component changes), but an external
+  * tool that rewrites a file in place can. Same trust model as
+  * rsync's quick-check or make's mtime comparison; force a restage
+  * (delete the staged dir) after any such out-of-band rewrite. */
 object Staging {
   def contentFingerprint(f: java.io.File): String = {
     val sb = new StringBuilder

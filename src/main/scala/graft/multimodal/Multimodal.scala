@@ -314,15 +314,20 @@ object Multimodal {
       walk(12, bytes.length, 0)
 
       // pick the VIDEO stream's frame chunks: the prefix matching the
-      // vids strl's stream number when present; a lone prefix otherwise
-      // (sloppy muxers number streams inconsistently — a single stream
-      // is unambiguous regardless of its label); ambiguous multi-stream
-      // files with no matching prefix degrade to the stub rather than
-      // decoding some other stream's frames as video
+      // vids strl's stream number when present — decimal per the AVI
+      // spec, with the uppercase-hex spelling some muxers emit for
+      // streams >= 10 accepted as a fallback (identical for 0-9); a
+      // lone prefix otherwise (sloppy muxers number streams
+      // inconsistently — a single stream is unambiguous regardless of
+      // its label); ambiguous multi-stream files with no matching
+      // prefix degrade to the stub rather than decoding some other
+      // stream's frames as video
       def streamFrames(m: scala.collection.mutable.LinkedHashMap[String,
           scala.collection.mutable.ArrayBuffer[(Int, Int)]]) = {
-        val pfx = f"$videoStreamIdx%02d"
-        if (videoStreamIdx >= 0 && m.contains(pfx)) m(pfx)
+        val dec = f"$videoStreamIdx%02d"
+        val hex = f"$videoStreamIdx%02X"
+        if (videoStreamIdx >= 0 && m.contains(dec)) m(dec)
+        else if (videoStreamIdx >= 0 && m.contains(hex)) m(hex)
         else if (m.size == 1) m.head._2
         else scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       }

@@ -350,19 +350,31 @@ object Similarity {
     * nprobe·|queries| probed cells' files, ~nprobe/k of the index
     * regardless of corpus size (plan-asserted in ScaleSpec). `splits`
     * spreads each cell over that many writer tasks/files — size it so
-    * cell_files ≈ cell_bytes / 128 MB at scale. */
+    * cell_files ≈ cell_bytes / 128 MB at scale.
+    *
+    * The two subtables are INTERDEPENDENT (assignment cells are defined
+    * by the centroids), so the write — including a RESTAGE over an
+    * existing index — commits through
+    * [[graft.sources.Layout.atomicStagedWrite]]: readers see either the
+    * whole old index or the whole new one, never new centroids paired
+    * with old assignments (which would probe the wrong cells silently);
+    * a crash mid-restage is repaired by the recovery pass at the start
+    * of the next call (FaultSpec-proven). Single-writer per path, per
+    * that contract. */
   def stageIvfIndex(emb: DataFrame, kCentroids: Int, iters: Int,
       path: String, trainPred: Option[Column] = None, splits: Int = 1): Unit = {
     require(splits >= 1, s"splits must be >= 1, got $splits")
-    val e = withNorm2(emb)
-    val cents = kmeansCentroids(emb, kCentroids, iters, trainPred)
-      .withColumn("c_n2", norm2Exact(col("c_emb")))
-    cents.coalesce(1).write.parquet(s"$path/centroids")
-    val assign = assignCells(e, cents)
-    e.join(assign, "vec_id")
-      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
-      .repartition(col("cell"), pmod(hash(col("vec_id")), lit(splits)))
-      .write.partitionBy("cell").parquet(s"$path/assignment")
+    graft.sources.Layout.atomicStagedWrite(emb.sparkSession, path) { tmp =>
+      val e = withNorm2(emb)
+      val cents = kmeansCentroids(emb, kCentroids, iters, trainPred)
+        .withColumn("c_n2", norm2Exact(col("c_emb")))
+      cents.coalesce(1).write.parquet(s"$tmp/centroids")
+      val assign = assignCells(e, cents)
+      e.join(assign, "vec_id")
+        .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
+        .repartition(col("cell"), pmod(hash(col("vec_id")), lit(splits)))
+        .write.partitionBy("cell").parquet(s"$tmp/assignment")
+    }
   }
 
   /** Assign a NEW batch of vectors against a staged index's FROZEN

@@ -231,8 +231,11 @@ object Extras extends QueryModule {
     // ---- JSON validity / error-tolerant extraction ----
     Q("q60_json_validity", Some("""
       SELECT event_type,
-        COUNT(CASE WHEN json_valid(props) THEN 1 END) AS n_valid,
-        COUNT(CASE WHEN json_valid('x' || props) THEN 1 END) AS n_valid_corrupt,
+        COUNT(CASE WHEN json_valid(props) THEN
+          CASE WHEN json_type(props) = 'OBJECT' THEN 1 END END) AS n_valid,
+        COUNT(CASE WHEN json_valid('x' || props) THEN
+          CASE WHEN json_type('x' || props) = 'OBJECT' THEN 1 END END)
+          AS n_valid_corrupt,
         CAST(SUM(CASE WHEN json_valid(props)
           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT)
           AS sum_k
@@ -244,6 +247,12 @@ object Extras extends QueryModule {
       // NULL for unparseable input, so isNotNull IS "valid JSON object"
       // (probing a field would also miss valid objects that merely lack
       // the field, or carry it as null — not a validity test at all).
+      // Both engines therefore test the SAME predicate — "valid JSON
+      // object", not "any valid JSON value": the oracle guards
+      // json_type(props)='OBJECT' behind json_valid (nested CASE, which
+      // DuckDB evaluates with selection vectors, so json_type never sees
+      // malformed input), mirroring from_json(MapType).isNotNull, which
+      // is false for valid non-object JSON (scalars, arrays, null).
       def parsed(c: org.apache.spark.sql.Column) =
         from_json(c, org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",

@@ -50,12 +50,40 @@ object Layout {
     *
     * `write` may lazily READ the current table at `path` while
     * producing the staging dir (merge-style updates): the old dir stays
-    * in place until `write` returns. */
+    * in place until `write` returns.
+    *
+    * SINGLE-WRITER ONLY. Two concurrent callers targeting the same
+    * `path` share the same `.staging-<name>`/`.old-<name>` names: the
+    * second caller's cleanup deletes the first's in-flight staging dir,
+    * and their interleaved renames can drop the live snapshot entirely.
+    * Within one JVM this is enforced — a second concurrent call on the
+    * same path throws `ConcurrentModificationException` instead of
+    * corrupting the other writer. ACROSS processes it is the caller's
+    * contract: restage jobs for one staged table must be serialized by
+    * the scheduler that owns them (the usual arrangement for table
+    * maintenance — compaction/optimize jobs in lakehouse stacks carry
+    * the same single-writer-per-table requirement unless a commit
+    * coordinator exists). */
   def atomicStagedWrite(spark: org.apache.spark.sql.SparkSession,
       path: String)(write: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockKey = fs.makeQualified(root).toString
+    if (!activeWrites.add(lockKey))
+      throw new java.util.ConcurrentModificationException(
+        s"atomicStagedWrite: concurrent restage of $lockKey (single-writer only)")
+    try atomicStagedWriteLocked(fs, root)(write)
+    finally activeWrites.remove(lockKey)
+  }
+
+  /** In-process single-writer enforcement for [[atomicStagedWrite]]. */
+  private val activeWrites =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def atomicStagedWriteLocked(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)(write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
     val parent = root.getParent
     val tmp = new Path(parent, s".staging-${root.getName}")
     val old = new Path(parent, s".old-${root.getName}")
@@ -65,10 +93,10 @@ object Layout {
     fs.delete(tmp, true)
     write(tmp.toString)
     if (fs.exists(root) && !fs.rename(root, old))
-      throw new java.io.IOException(s"atomicStagedWrite: cannot move aside $path")
+      throw new java.io.IOException(s"atomicStagedWrite: cannot move aside $root")
     if (!fs.rename(tmp, root)) {
       fs.rename(old, root) // roll back; leave the old snapshot in place
-      throw new java.io.IOException(s"atomicStagedWrite: cannot commit $path")
+      throw new java.io.IOException(s"atomicStagedWrite: cannot commit $root")
     }
     fs.delete(old, true)
   }

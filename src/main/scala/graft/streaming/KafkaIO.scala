@@ -10,10 +10,15 @@ import org.apache.spark.sql.types._
   * path is the Spark Kafka connector).
   *
   * NOTE: this container ships no spark-sql-kafka connector jar and no
-  * broker, so these builders are compile-time surface only — deployments
-  * add `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>`.
-  * Everything downstream of the source (parsing, windows, state, sinks)
-  * is identical to the file/memory-stream paths that ARE tested.
+  * broker, so `.load()`/`.start()` cannot execute here — deployments add
+  * `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>`. The
+  * REST of the surface is runtime-verified without a broker
+  * (KafkaContractSpec): the option maps the builders bind
+  * ([[sourceOptions]]/[[sinkOptions]] — the public contract a deployment
+  * picks up) and the wire transforms ([[encodePayload]]/[[decodeEvents]]
+  * — pure DataFrame→DataFrame, spec-proven to round-trip). Everything
+  * downstream of the source (parsing, windows, state, sinks) is
+  * identical to the file/memory-stream paths that ARE tested.
   */
 object KafkaIO {
 
@@ -26,30 +31,57 @@ object KafkaIO {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** S1: subscribe to a topic; value bytes → parsed event columns, with
-    * (broker, topic) carried as the reference's compound key. */
-  def eventSource(spark: SparkSession, servers: String, topic: String): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
-      .load()
-      .select(
+  /** The option map the S1 reader binds: connector-addressed broker list,
+    * topic subscription, and tail-start offsets. Public so environments
+    * (and KafkaContractSpec) can verify the contract without the
+    * connector jar present. */
+  def sourceOptions(servers: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> servers,
+    "subscribe" -> topic,
+    "startingOffsets" -> "latest")
+
+  /** The option map the S2 writer binds: broker list, target topic, and
+    * the checkpoint dir that makes delivery exactly-once per T1. */
+  def sinkOptions(servers: String, topic: String,
+      checkpointDir: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> servers,
+    "topic" -> topic,
+    "checkpointLocation" -> checkpointDir)
+
+  /** Decode a Kafka wire batch — (topic, value bytes) rows as the
+    * connector delivers them — into typed event rows with the
+    * reference's (broker, topic) compound key. Pure transform, shared by
+    * [[eventSource]] and runtime-tested broker-free. */
+  def decodeEvents(raw: DataFrame, servers: String): DataFrame =
+    raw.select(
         lit(servers).as("broker"), col("topic"),
         from_json(col("value").cast("string"), eventSchema).as("e"))
       .select(col("broker"), col("topic"), col("e.*"))
 
+  /** Encode rows into the (key, value) wire shape S2 publishes: the key
+    * column as a string key, the whole row as a JSON value. Pure
+    * transform, shared by [[sink]] and runtime-tested broker-free. */
+  def encodePayload(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** S1: subscribe to a topic; value bytes → parsed event columns, with
+    * (broker, topic) carried as the reference's compound key. */
+  def eventSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    decodeEvents(
+      spark.readStream
+        .format("kafka")
+        .options(sourceOptions(servers, topic))
+        .load(),
+      servers)
+
   /** S2: publish rows as JSON values keyed by a column. */
   def sink(df: DataFrame, servers: String, topic: String, keyCol: String,
       checkpointDir: String): StreamingQuery =
-    df.select(
-        col(keyCol).cast("string").as("key"),
-        to_json(struct(df.columns.map(col): _*)).as("value"))
+    encodePayload(df, keyCol)
       .writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpointDir)
+      .options(sinkOptions(servers, topic, checkpointDir))
       .start()
 }

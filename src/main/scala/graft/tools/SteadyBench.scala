@@ -20,8 +20,13 @@ object SteadyBench {
     // win. Failures are counted and surfaced in the JSON line.
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // fresh plan per run: planning + execution
-      val times = (0 to reps).flatMap { _ =>
+      // fresh plan per run: planning + execution. Rep index travels with
+      // each sample — rep 0 is ALWAYS the discarded warmup, even when it
+      // fails: dropping failures first would silently promote the first
+      // post-failure success into the warmup slot (or record a cold
+      // planning-inclusive run as the steady cell when only one rep
+      // succeeds).
+      val times = (0 to reps).flatMap { rep =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -30,7 +35,7 @@ object SteadyBench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        if (ok) Some(dt) else None
+        if (ok) Some((rep, dt)) else None
       }
       // warm rerun: re-execute the cached physical plan. NOTE this also
       // reuses shuffle outputs from the first run, so upstream stages are
@@ -46,11 +51,10 @@ object SteadyBench {
         (System.nanoTime() - t0) / 1e9
       } catch { case scala.util.control.NonFatal(_) => -1.0
       } finally spark.catalog.clearCache()
-      // best post-warmup SUCCESSFUL time; -1 marks an all-failed query
-      val steady =
-        if (times.isEmpty) -1.0
-        else if (times.length == 1) times.head
-        else times.drop(1).min
+      // best SUCCESSFUL time among post-warmup reps (rep >= 1); -1 marks
+      // a query with no successful post-warmup rep
+      val post = times.collect { case (rep, dt) if rep >= 1 => dt }
+      val steady = if (post.isEmpty) -1.0 else post.min
       name -> (steady, execT)
     }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }

@@ -92,12 +92,35 @@ object EngineProps extends Properties("graft") {
         !clean.matches(".*[0-9]{6,}.*") && once == twice
     }
 
-  property("compiled NgramShingles == HOF shingles/charNgrams on random text") =
-    forAll(Gen.listOf(Gen.oneOf("a", "bb", "ccc", "", " ", "dd d", "ée€"))) { parts =>
+  // ---- generator-backed pins for the compiled-expression reuse skips ----
+  // The TokenStats/NgramShingles shingle loops and the three md5-60
+  // derivations (HOF mirror, compiled codegen, java.security reference)
+  // are deliberate duplication, pinned by bit-equality. The pins below
+  // cover the INPUT SPACE, not fixtures: random unicode glyphs (CJK,
+  // surrogate-pair emoji, combining marks, soft hyphen), empty docs,
+  // 1-token docs, double-space runs producing empty tokens.
+
+  private val glyphGen: Gen[String] = Gen.oneOf(
+    "a", "z", "Q", "0", "9", ".", ",", "@", "#", ":",
+    "é", "ß", "ñ", "日", "本", "語", "中", "€", "¥",
+    "🚀", "😀", "é", "­", "’", "—")  // emoji (surrogate pairs), combining acute, soft hyphen
+  private val tokenGen: Gen[String] = Gen.frequency(
+    5 -> Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, glyphGen).map(_.mkString)),
+    // real stopword/marker tokens so n_stop/n_marker exercise nonzero
+    2 -> Gen.oneOf("the", "a", "of", "and", "is"))
+  private val unicodeDocGen: Gen[String] = Gen.frequency(
+    1 -> Gen.const(""),   // empty doc → split yields one empty token
+    2 -> tokenGen,        // 1-token doc → below every shingle n
+    6 -> (for {
+      toks <- Gen.listOf(tokenGen)
+      sep <- Gen.oneOf(" ", "  ") // double space → empty middle tokens
+    } yield toks.mkString(sep)))
+
+  property("compiled NgramShingles == HOF shingles/charNgrams on random unicode") =
+    forAll(unicodeDocGen) { s =>
       val spk = spark; import spk.implicits._
       import graft.functions.{GraftFunctions, TextFunctions}
       GraftFunctions.register(spk)
-      val s = parts.mkString(" ")
       val r = Seq(s).toDF("t").select(
         TextFunctions.shingles(col("t"), 3).as("wh"),
         GraftFunctions.wordShingles(col("t"), 3).as("wc"),
@@ -105,6 +128,39 @@ object EngineProps extends Properties("graft") {
         GraftFunctions.charNgrams(col("t"), 4).as("cc"))
         .as[(Seq[String], Seq[String], Seq[String], Seq[String])].head()
       r._1 == r._2 && r._3 == r._4
+    }
+
+  property("compiled Md5Hash60 == HOF mirror == java MD5 on random unicode") =
+    forAll(unicodeDocGen, Gen.choose(0, 99)) { (s, seed) =>
+      val spk = spark; import spk.implicits._
+      import graft.functions.{GraftFunctions, TextFunctions}
+      GraftFunctions.register(spk)
+      val (cg, hof) = Seq(s).toDF("v").select(
+        GraftFunctions.hash64c(col("v"), seed).as("cg"),
+        TextFunctions.hash64(col("v"), seed).as("hof"))
+        .as[(Long, Long)].head()
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$s:$seed".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      cg == hof && cg == java.lang.Long.parseLong(hex, 16)
+    }
+
+  property("compiled TokenStats == the five HOF stats on random unicode docs") =
+    forAll(unicodeDocGen) { s =>
+      val spk = spark; import spk.implicits._
+      import graft.functions.{GraftFunctions, TextFunctions}
+      GraftFunctions.register(spk)
+      val st = TextFunctions.tokenStatsOf(col("t"))
+      val toks = split(col("t"), " ")
+      val r = Seq(s).toDF("t").select(
+        st.getField("n_tokens"), st.getField("n_distinct"),
+        st.getField("n_shingles"), st.getField("n_stop"), st.getField("n_marker"),
+        size(toks), size(array_distinct(toks)),
+        size(TextFunctions.shingles(col("t"), 3)),
+        size(filter(toks, t => t.isin("the", "a"))),
+        size(filter(toks, t => t.isin("the", "a", "of", "and", "is"))))
+        .head()
+      (0 until 5).forall(i => r.getInt(i) == r.getInt(i + 5))
     }
 
   /** Incremental CC (updateClusters) must equal the full recompute for
