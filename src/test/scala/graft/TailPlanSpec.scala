@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape pins for the expensive tail of BENCH_full (every query
+  * ≥1.5 s at sf0.1 not already pinned in ScaleSpec): q52, q60, q66,
+  * q68, q72, q79, q93, q97, q128. These assert the SHAPE that makes
+  * each query survive a 100× scale-up — bounded scans, no cartesians,
+  * pruned read schemas, broadcast only on provably-small sides — so a
+  * regression shows up as a failed pin, not a silent slow bench cell.
+  *
+  * All assertions run on the FINAL adaptive plan (post-execution
+  * render), so they pin what AQE actually decided, not the static
+  * planner's guess. */
+class TailPlanSpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** Execute the query, then render the final adaptive physical plan.
+    * The render is cut at the `== Initial Plan ==` marker: the adaptive
+    * toString prints BOTH the final and the pre-AQE plan, and pins must
+    * judge what actually ran, not the static guess (which the final
+    * section may have replaced — e.g. SortMergeJoin → BroadcastHashJoin). */
+  private def executedPlan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, d)
+    df.collect() // force execution so AQE finalizes every stage
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  private def scans(plan: String, table: String): Int =
+    s"$table\\.parquet".r.findAllIn(plan).size
+
+  // the unbounded built-in exact-percentile aggregate (buffers every
+  // distinct value per group); approx_percentile is fine and must not
+  // trip the match
+  private def usesUnboundedPercentile(plan: String): Boolean =
+    "(?<!approx_)percentile\\(".r.findAllIn(plan).nonEmpty
+
+  test("q52 exact percentiles: two bounded passes, no per-group value buffers") {
+    val plan = executedPlan("q52_percentiles")
+    // the selection is a bounded CONSTANT number of 2-column pruned
+    // scans (stats pass, histogram pass, candidate-bin re-scan, the
+    // last shared by two consumers → 4 physical scans today) — never
+    // O(quantiles) or O(groups) scans, and never a per-group buffer
+    assert(scans(plan, "lineitem") <= 4, s"extra lineitem scans:\n$plan")
+    assert(!usesUnboundedPercentile(plan),
+      s"unbounded percentile() aggregate crept back in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // column pruning must reach the scan: the 2-column projection never
+    // reads join keys or quantities
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_quantity"),
+      s"lineitem read schema not pruned to (l_returnflag, l_extendedprice):\n$plan")
+  }
+
+  test("q68 approx percentiles: bounded sketch + two-pass exact, constant scans") {
+    val plan = executedPlan("q68_approx_percentiles")
+    // exact leg's 4 bounded scans + the one-pass mergeable sketch scan
+    // (+1 for a shared subtree consumed twice) — constant, all pruned
+    assert(scans(plan, "lineitem") <= 6, s"extra lineitem scans:\n$plan")
+    assert(plan.contains("approx_percentile"),
+      s"approx sketch path missing:\n$plan")
+    assert(!usesUnboundedPercentile(plan),
+      s"unbounded percentile() aggregate crept back in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q60 json validity: one events scan, pruned schema, partial agg") {
+    val plan = executedPlan("q60_json_validity")
+    assert(scans(plan, "events") === 1, s"events scanned more than once:\n$plan")
+    assert(!plan.contains("user_id") && !plan.contains("value"),
+      s"events read schema not pruned to (event_type, props):\n$plan")
+    // map-side combine before the group-by exchange: HashAggregate must
+    // appear at least twice (partial + final)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation before the shuffle:\n$plan")
+  }
+
+  test("q66 map ops: one events scan, pruned schema, no shuffle before sort") {
+    val plan = executedPlan("q66_map_ops")
+    assert(scans(plan, "events") === 1, s"events scanned more than once:\n$plan")
+    assert(!plan.contains("user_id"),
+      s"events read schema not pruned to (event_id, props):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q72 training pipeline: banded pair join only — no cartesian, no nested loop") {
+    val plan = executedPlan("q72_training_pipeline")
+    assert(!plan.contains("CartesianProduct"),
+      s"global cartesian in the curation chain:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the curation chain (pair gen must stay banded):\n$plan")
+  }
+
+  test("q79 trained IVF: centroid sides broadcast, candidate join keyed on cell") {
+    val plan = executedPlan("q79_ann_ivf_trained")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-sized cartesian in IVF training:\n$plan")
+    // every nested-loop join must be a centroid broadcast (k rows): the
+    // Lloyd iterations + final assignment + probe, each possibly
+    // duplicated by two consumers — bound generously but finitely
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 10, s"unexpected nested-loop joins ($nested):\n$plan")
+  }
+
+  test("q128 sample-trained IVF: same shape with the sampled training scan") {
+    val plan = executedPlan("q128_ann_ivf_sampled")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 10, s"unexpected nested-loop joins ($nested):\n$plan")
+  }
+
+  test("q93 priority keep-one: pair gen stays banded, policy join is equi") {
+    val plan = executedPlan("q93_priority_keep_one")
+    assert(!plan.contains("CartesianProduct"),
+      s"global cartesian in CC/keep-one:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in CC/keep-one:\n$plan")
+  }
+
+  test("q97 hybrid curation: semantic pair join stays cell-keyed") {
+    val plan = executedPlan("q97_hybrid_curation")
+    assert(!plan.contains("CartesianProduct"),
+      s"global cartesian in hybrid curation:\n$plan")
+    // the only nested-loop joins are broadcasts of provably-tiny sides
+    // (the k-row centroid frame from the semantic-dedup leg)
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 4, s"unexpected nested-loop joins ($nested):\n$plan")
+    // the vector-pair comparison must be an equi-join on cell — never an
+    // unkeyed corpus×corpus comparison
+    assert("Join \\[cell".r.findAllIn(plan).nonEmpty,
+      s"pair join not keyed on cell:\n$plan")
+  }
+}
