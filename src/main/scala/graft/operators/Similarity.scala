@@ -530,14 +530,35 @@ object Similarity {
     * `maxBroadcastQueries` — counts EXPLODED rows, i.e. sets × queries).
     * Candidates dedup on (qid, vid) BEFORE scoring, so a pair colliding
     * in several tables is scored exactly once and the top-k window sees
-    * no duplicates. Returns (qid, vid, cosine, rank). */
+    * no duplicates. Returns (qid, vid, cosine, rank).
+    *
+    * `targetOccupancy = Some(t)` activates the SCALING.md planes rule:
+    * per-bucket verify cost is occupancy², so at a corpus-sized query
+    * set a FIXED plane count is O(n²/2^planes) — quadratic in the
+    * corpus (measured 38× for 10× rows in the sf1 soak). The rule holds
+    * expected occupancy near `t` by growing the plane count with the
+    * corpus: planesUsed = max(planes, bitLength(⌈n/t⌉ − 1)) — smallest
+    * P with t·2^P ≥ n, all-integer so an oracle mirror derives the
+    * identical P from COUNT(*) (float log2 could round differently at
+    * exact powers of two across engines). Costs one narrow count pass;
+    * `planes` becomes the floor. `None` keeps the caller's fixed count
+    * (right for bounded query sets, where cost is queries × occupancy —
+    * already linear). */
   def lshTopKMulti(emb: DataFrame, queryPred: Column, planes: Int, dim: Int,
       k: Int, sets: Int = 2, broadcastQueries: Option[Boolean] = None,
-      maxBroadcastQueries: Long = 65536L): DataFrame = {
+      maxBroadcastQueries: Long = 65536L,
+      targetOccupancy: Option[Long] = None): DataFrame = {
     require(sets >= 1, s"sets must be >= 1, got $sets")
+    val planesUsed = targetOccupancy.fold(planes) { t =>
+      require(t >= 1, s"targetOccupancy must be >= 1, got $t")
+      val n = emb.count()
+      val p = math.max(planes,
+        java.lang.Long.toBinaryString(math.max((n + t - 1) / t - 1, 0L)).length)
+      math.min(p, 30) // bucket bits must fit a long with headroom
+    }
     val eb = withNorm2(emb).select(col("vec_id"), col("embedding"), col("n2"),
       posexplode(array((0 until sets).map(s =>
-        lshBucket(col("embedding"), planes, dim, s * planes)): _*))
+        lshBucket(col("embedding"), planesUsed, dim, s * planesUsed)): _*))
         .as(Seq("bset", "bucket")))
     val q = eb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),

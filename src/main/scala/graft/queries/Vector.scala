@@ -240,16 +240,19 @@ object Vector extends QueryModule {
     // Same signature family, dedup-before-score and ranking contract as
     // q120, so the one oracle chain gates both join strategies.
     Q("q125_ann_corpus_neighbors", Some(s"""
-      WITH w AS (SELECT p.p, j.j,
+      WITH np AS (SELECT greatest(4,
+          length(bin((COUNT(*) + 31) // 32 - 1))) AS p FROM embeddings),
+      w AS (SELECT p.p, j.j,
         (CAST(CAST(('0x'||substr(md5('plane:'||p.p||':'||j.j),1,15)) AS BIGINT) AS DOUBLE)
           / 1152921504606846976.0) * 2.0 - 1.0 AS w
-        FROM generate_series(0, 7) p(p), generate_series(1, 64) j(j)),
+        FROM generate_series(0, 63) p(p), generate_series(1, 64) j(j), np
+        WHERE p.p < 2 * np.p),
       pd AS (SELECT e.vec_id, w.p,
         ${dkDecSum("CAST(e.embedding[w.j] AS DOUBLE) * w.w")} AS d
         FROM embeddings e, w GROUP BY e.vec_id, w.p),
-      sig AS (SELECT vec_id, p // 4 AS bset,
-        CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (p % 4)) ELSE 0 END) AS BIGINT) AS bucket
-        FROM pd GROUP BY vec_id, p // 4),
+      sig AS (SELECT vec_id, pd.p // np.p AS bset,
+        CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (pd.p % np.p)) ELSE 0 END) AS BIGINT) AS bucket
+        FROM pd, np GROUP BY vec_id, pd.p // np.p),
       $dkNorm2,
       cand AS (SELECT DISTINCT q.vec_id AS qid, e.vec_id AS vid
         FROM sig q JOIN sig e
@@ -266,9 +269,16 @@ object Vector extends QueryModule {
         FROM dots d JOIN n2 a ON a.vec_id = d.qid JOIN n2 b ON b.vec_id = d.vid)
       SELECT qid, vid, cosine, CAST(rn AS INT) AS rank
       FROM cos WHERE rn <= 2 ORDER BY qid, rank""")) { (s, d) =>
+      // targetOccupancy engages the planes rule (SCALING.md): every
+      // vector is a query here, so candidates are Σ occupancy² over
+      // buckets — fixed planes=4 measured 38× for 10× rows in the sf1
+      // soak; the rule grows planes with log2(n) to hold occupancy (and
+      // per-bucket verify cost) constant. The mirror's np CTE derives
+      // the identical plane count from COUNT(*) via the same
+      // integer-exact bit-length rule.
       Similarity.lshTopKMulti(Tables.embeddings(s, d), col("vec_id") >= 0,
           planes = 4, dim = 64, k = 2, sets = 2,
-          broadcastQueries = Some(false))
+          broadcastQueries = Some(false), targetOccupancy = Some(32L))
         .orderBy("qid", "rank")
     },
 
