@@ -253,20 +253,30 @@ object Extras extends QueryModule {
       // DuckDB evaluates with selection vectors, so json_type never sees
       // malformed input), mirroring from_json(MapType).isNotNull, which
       // is false for valid non-object JSON (scalars, arrays, null).
-      def parsed(c: org.apache.spark.sql.Column) =
-        from_json(c, org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType))))
-      def valid(c: org.apache.spark.sql.Column) =
-        from_json(c, org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType)).isNotNull
-      Tables.events(s, d).groupBy(col("event_type"))
+      //
+      // ONE full parse per row: validity and k-extraction share the same
+      // from_json(map) result, materialized in a Project below the
+      // aggregate (CollapseProject never inlines a non-cheap producer
+      // referenced twice, so the parse stays single). The corrupt-input
+      // probe is a second from_json, but Jackson rejects leading garbage
+      // at the first token — near-zero cost. try_element_at/try_cast
+      // keep missing-key and non-numeric values NULL under ANSI mode,
+      // matching json_extract_string's NULL and the permissive struct
+      // coercion this replaced.
+      val mapTy = org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), mapTy).as("m"),
+          from_json(concat(lit("x"), col("props")), mapTy).isNotNull
+            .as("corrupt_ok"))
+        .groupBy(col("event_type"))
         .agg(
-          count(when(valid(col("props")), 1)).as("n_valid"),
-          count(when(valid(concat(lit("x"), col("props"))), 1))
-            .as("n_valid_corrupt"),
-          sum(parsed(col("props")).getField("k")).as("sum_k"))
+          count(when(col("m").isNotNull, 1)).as("n_valid"),
+          count(when(col("corrupt_ok"), 1)).as("n_valid_corrupt"),
+          sum(try_element_at(col("m"), lit("k"))
+            .try_cast(org.apache.spark.sql.types.LongType)).as("sum_k"))
         .orderBy("event_type")
     }
   )

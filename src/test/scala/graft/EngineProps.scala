@@ -163,6 +163,87 @@ object EngineProps extends Properties("graft") {
       (0 until 5).forall(i => r.getInt(i) == r.getInt(i + 5))
     }
 
+  // ---- remaining compiled expressions vs their reference mirrors ----
+  // NgramShingles/Md5Hash60/TokenStats are generator-pinned above; these
+  // close the set: every custom codegen expression now has a property
+  // comparing it against an independent formulation (HOF built-ins or
+  // plain JVM code) over random unicode, not just fixture examples.
+
+  private val tokenArrGen: Gen[List[String]] = Gen.listOf(tokenGen)
+
+  property("compiled MinHashSlots == HOF minhashSig on random unicode sets") =
+    forAll(tokenArrGen, Gen.choose(1, 8)) { (toks, k) =>
+      val spk = spark; import spk.implicits._
+      import graft.functions.{GraftFunctions, TextFunctions}
+      GraftFunctions.register(spk)
+      val df = Seq(Tuple1(toks)).toDF("set")
+      val cg = df.select(GraftFunctions.minhashSlots(col("set"), k))
+        .as[Option[Seq[Long]]].head()
+      val hof = df.select(array(TextFunctions.minhashSig(col("set"), k): _*))
+        .as[Seq[Option[Long]]].head()
+      // both sides agree slot-by-slot; an empty set is NULL-for-NULL
+      // (HOF array_min over no elements is NULL per slot)
+      if (toks.isEmpty) cg.isEmpty && hof.forall(_.isEmpty)
+      else cg.contains(hof.map(_.get))
+    }
+
+  property("compiled SimHashBits == HOF simhash on random unicode docs") =
+    forAll(unicodeDocGen, Gen.choose(1, 16)) { (s, bits) =>
+      val spk = spark; import spk.implicits._
+      import graft.functions.{GraftFunctions, TextFunctions}
+      GraftFunctions.register(spk)
+      val (cg, hof) = Seq(s).toDF("t").select(
+        GraftFunctions.simhashBits(
+          array_distinct(split(col("t"), " ")), bits).as("cg"),
+        TextFunctions.simhash(col("t"), bits).as("hof"))
+        .as[(Long, Long)].head()
+      cg == hof
+    }
+
+  property("compiled RollingFingerprint == HOF fold on random unicode docs") =
+    forAll(unicodeDocGen) { s =>
+      val spk = spark; import spk.implicits._
+      import graft.functions.TextFunctions
+      val (cg, hof) = Seq(s).toDF("t").select(
+        TextFunctions.rollingFingerprint(col("t")).as("cg"),
+        TextFunctions.rollingFingerprintHof(col("t")).as("hof"))
+        .as[(Long, Long)].head()
+      cg == hof
+    }
+
+  property("compiled HammingDistance == JVM popcount on arbitrary longs") =
+    forAll(Gen.oneOf(Gen.long, Gen.oneOf(0L, -1L, Long.MinValue, Long.MaxValue)),
+        Gen.long) { (a, b) =>
+      val spk = spark; import spk.implicits._
+      import graft.functions.GraftFunctions
+      Seq((a, b)).toDF("a", "b")
+        .select(GraftFunctions.hamming(col("a"), col("b")))
+        .as[Int].head() == java.lang.Long.bitCount(a ^ b)
+    }
+
+  /** fpVecSum must equal the posexplode → per-component-sum mirror it
+    * replaces (the q37 oracle shape) for ANY equal-width non-null input
+    * under ANY partitioning — long addition is associative, so map-side
+    * partials cannot change the result. */
+  property("fpVecSum == posexplode per-component mirror under repartition") =
+    forAll(for {
+      dim <- Gen.choose(1, 5)
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, Gen.listOfN(dim,
+        Gen.choose(-100.0, 100.0)))
+      parts <- Gen.choose(1, 7)
+    } yield (rows, parts)) { case (rows, parts) =>
+      val spk = spark; import spk.implicits._
+      import graft.functions.GraftFunctions
+      val df = rows.map(Tuple1(_)).toDF("v").repartition(parts)
+      val cg = df.agg(GraftFunctions.fpVecSum(col("v")))
+        .as[Seq[Long]].head()
+      val mirror = df.select(posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy("j").agg(sum(floor(col("x") * 1099511627776.0).cast("long")).as("s"))
+        .orderBy("j").as[(Int, Long)].collect().map(_._2).toSeq
+      cg == mirror
+    }
+
   /** Incremental CC (updateClusters) must equal the full recompute for
     * ANY split of the edge list into old/new batches — including empty
     * old (bootstrap) and empty new (idempotence): star-edge replay
