@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.{call_function, lit}
-import graft.functions.expressions.{FixedPointDot, FixedPointVectorSum, HammingDistance, Md5Hash60, MinHashSlots, NgramShingles, RollingFingerprint, SimHashBits, TokenStats}
+import graft.functions.expressions.{FixedPointDot, FixedPointVectorSum, HammingDistance, Md5Hash60, MinHashSlots, NgramShingles, RollingFingerprint, ShingleRepetition, SimHashBits, TokenStats}
 
 /** Engine function registry: exposes custom Catalyst expressions to both
   * the SQL surface (`SELECT graft_hamming(a, b)`) and the Column API
@@ -68,7 +68,9 @@ object GraftFunctions {
       TokenStats(e(0), foldedInt(e(1)),
         foldedString(e(2)).split('\u001F').toSeq.filter(_.nonEmpty),
         foldedString(e(3)).split('\u001F').toSeq.filter(_.nonEmpty))),
-    "graft_rolling_fp" -> checked("graft_rolling_fp", 1)(e => RollingFingerprint(e(0))))
+    "graft_rolling_fp" -> checked("graft_rolling_fp", 1)(e => RollingFingerprint(e(0))),
+    "graft_shingle_rep" -> checked("graft_shingle_rep", 2)(e =>
+      ShingleRepetition(e(0), foldedInt(e(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -145,4 +147,10 @@ object GraftFunctions {
     * values as TextFunctions.rollingFingerprint). */
   def rollingFp(text: Column): Column =
     call_function("graft_rolling_fp", text)
+
+  /** Per-doc n-token-shingle repetition stats struct(top_c, total_c) —
+    * the most-frequent-n-gram share signal computed row-local (compiled;
+    * same counts as explode(wordShinglesAll) + groupBy). */
+  def shingleRep(text: Column, n: Int): Column =
+    call_function("graft_shingle_rep", text, lit(n))
 }

@@ -98,6 +98,68 @@ case class TokenStats(
     copy(child = newChild)
 }
 
+/** Per-document n-token-shingle repetition stats in ONE compiled pass:
+  * struct(top_c, total_c) where total_c is the number of (overlapping,
+  * duplicates kept) n-token shingles — max(tokens − n + 1, 0) — and
+  * top_c is the multiplicity of the most frequent shingle (0 when the
+  * doc is shorter than n tokens). top_c/total_c is the Gopher-style
+  * most-frequent-n-gram share quality signal (q80).
+  *
+  * Replaces the corpus-shaped explode(wordShinglesAll) →
+  * groupBy(doc_id, shingle) → groupBy(doc_id) pipeline: (doc_id,
+  * shingle) is nearly unique, so partial aggregation cannot collapse the
+  * exchange and the shuffle carries ~tokens-per-doc rows PER DOCUMENT —
+  * measured superlinear in the sf1 soak from shuffle pressure alone.
+  * The stat only ever depends on one row, so this computes it row-local:
+  * zero shuffles, corpus scale irrelevant. Shingle identity matches the
+  * explode form exactly — tokens cannot contain the space delimiter, so
+  * adjacent-token equality is space-joined-string equality. NULL text
+  * yields NULL (the explode form's join-miss is handled by the caller's
+  * zero-guard, same as here). */
+case class ShingleRepetition(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_c", IntegerType, nullable = false),
+    StructField("total_c", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_shingle_rep"
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(s: UTF8String): GenericInternalRow = {
+    val toks = s.split(space, -1)
+    val total = math.max(toks.length - n + 1, 0)
+    var top = 0
+    if (total > 0) {
+      val counts = new java.util.HashMap[UTF8String, Integer]()
+      var j = 0
+      while (j + n <= toks.length) {
+        val slice = new Array[UTF8String](n)
+        System.arraycopy(toks, j, slice, 0, n)
+        val c = counts.merge(UTF8String.concatWs(space, slice: _*), 1,
+          (a: Integer, b: Integer) => Integer.valueOf(a + b))
+        if (c > top) top = c
+        j += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](top, total))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shrep", this, classOf[ShingleRepetition].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.compute($input);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleRepetition =
+    copy(child = newChild)
+}
+
 /** Order-sensitive rolling (polynomial) document fingerprint, compiled:
   * fold h -> (h*31 + (hash60(t) mod M)) mod M over the whitespace token
   * stream, seeded with 7, M = 2^31-1 — bit-identical to

@@ -179,17 +179,43 @@ object Similarity {
             - mean(col("i")) * mean(col("j"))).as("cov"))
   }
 
+  /** The SCALING.md occupancy rule, shared by every knob that must grow
+    * with the corpus (LSH plane counts, coarse-quantizer k): the number
+    * of bits needed so that `t · 2^bits >= n` — all-integer
+    * (bitLength(⌈n/t⌉ − 1)), so a DuckDB mirror derives the identical
+    * value from COUNT(*) via `length(bin(greatest((n + t-1) // t - 1,
+    * 0)))`; float log2 could round differently at exact powers of two
+    * across engines. */
+  private[graft] def occupancyBits(n: Long, t: Long): Int = {
+    require(t >= 1, s"occupancy target must be >= 1, got $t")
+    java.lang.Long.toBinaryString(math.max((n + t - 1) / t - 1, 0L)).length
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from shared
     * random-hyperplane buckets (the scale path — no n² comparison), exact
-    * fixed-point cosine verification. Returns (a, b, cosine), a < b. */
+    * fixed-point cosine verification. Returns (a, b, cosine), a < b.
+    *
+    * This is a corpus × corpus bucket self-join, so a FIXED plane count
+    * is quadratic in the corpus: candidate pairs are Σ occupancy² over
+    * buckets ≈ n²/2^planes (the q125 shape — measured superlinear in the
+    * sf1 soak at planes=4). `targetOccupancy = Some(t)` engages the
+    * [[occupancyBits]] rule — planesUsed = max(planes,
+    * occupancyBits(n, t)) — holding expected bucket occupancy (and with
+    * it per-bucket verify cost) near `t` as the corpus grows, at the
+    * usual LSH price: more planes ⇒ fewer candidate pairs ⇒ recall of
+    * weak-cosine pairs drops while strong pairs keep colliding. Costs
+    * one narrow count pass; `None` keeps the caller's fixed count. */
   def nearDupPairs(emb: DataFrame, planes: Int, dim: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, targetOccupancy: Option[Long] = None): DataFrame = {
+    val planesUsed = targetOccupancy.fold(planes) { t =>
+      math.min(math.max(planes, occupancyBits(emb.count(), t)), 30)
+    }
     // NOT persisted: both self-join sides shuffle on `bucket` over an
     // identical subtree, so ReusedExchange computes it once; a .persist()
     // here would leak cached blocks across invocations (nothing owns the
     // unpersist) — material memory pressure at corpus scale.
     val e = withNorm2(emb)
-      .withColumn("bucket", lshBucket(col("embedding"), planes, dim))
+      .withColumn("bucket", lshBucket(col("embedding"), planesUsed, dim))
       .select("vec_id", "embedding", "n2", "bucket")
     val a = e.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
       col("n2").as("n2_a"), col("bucket"))
@@ -456,15 +482,36 @@ object Similarity {
     * lowest vec_id — deterministic, retry-stable).
     *
     * Scale: the all-pairs comparison is cluster-scoped, never global —
-    * cost is Σ|cell|², bounded by growing kCentroids ~ √n (SCALING.md);
+    * cost is Σ|cell|², bounded by growing kCentroids with the corpus;
     * assignment is one broadcast pass, the pair join shuffles on `cell`
     * once, and the keep-one verdict is a partial-agg min per dropped id.
+    *
+    * `targetCell = Some(t)` makes that growth automatic: a FIXED k is
+    * quadratic (Σ|cell|² ≈ n²/k — measured superlinear in the sf1 soak
+    * at k=8), so the rule grows the quantizer to kUsed = max(kCentroids,
+    * 2^occupancyBits(n, t)), holding expected cell size near `t` and
+    * within-cell pair cost near t·n — linear. Power-of-two k keeps the
+    * rule integer-exact for the oracle mirror (same [[occupancyBits]]
+    * derivation from COUNT(*)); seeds stay the deterministic
+    * `vec_id < kUsed` sample. Costs one narrow count pass. Semantics at
+    * larger k: vectors quantized into different cells are never
+    * compared, exactly as a FAISS-style SemDeDup shards its comparison —
+    * the verdict is parameterized by the same rule in both engines.
+    * `None` keeps the caller's fixed k. At 1000× scale pair cost stays
+    * t·n, while assignment cost grows n·k = n²/t — past ~10⁸ vectors,
+    * train/assign against a staged index with a two-level quantizer
+    * ([[stageIvfIndex]] + cell-scoped sub-assignment) instead of one
+    * flat broadcast.
+    *
     * Returns one row per corpus vector: (vec_id, cell, dup_of, kept)
     * with dup_of = lowest-id duplicate partner (null when kept). */
   def semanticDedup(emb: DataFrame, kCentroids: Int, iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, targetCell: Option[Long] = None): DataFrame = {
+    val kUsed = targetCell.fold(kCentroids) { t =>
+      math.max(kCentroids, 1 << math.min(occupancyBits(emb.count(), t), 20))
+    }
     val e = withNorm2(emb)
-    val assign = assignCells(e, kmeansCentroids(emb, kCentroids, iters)
+    val assign = assignCells(e, kmeansCentroids(emb, kUsed, iters)
       .withColumn("c_n2", norm2Exact(col("c_emb"))))
     val ev = e.join(assign, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"), col("n2"))
@@ -550,11 +597,8 @@ object Similarity {
       targetOccupancy: Option[Long] = None): DataFrame = {
     require(sets >= 1, s"sets must be >= 1, got $sets")
     val planesUsed = targetOccupancy.fold(planes) { t =>
-      require(t >= 1, s"targetOccupancy must be >= 1, got $t")
-      val n = emb.count()
-      val p = math.max(planes,
-        java.lang.Long.toBinaryString(math.max((n + t - 1) / t - 1, 0L)).length)
-      math.min(p, 30) // bucket bits must fit a long with headroom
+      // bucket bits must fit a long with headroom, hence the 30 cap
+      math.min(math.max(planes, occupancyBits(emb.count(), t)), 30)
     }
     val eb = withNorm2(emb).select(col("vec_id"), col("embedding"), col("n2"),
       posexplode(array((0 until sets).map(s =>

@@ -17,11 +17,22 @@ object Pipeline extends QueryModule {
   val all: Seq[Q] = Seq(
 
     // ---- embedding-cosine near-duplicate pairs (LSH buckets + exact) ----
+    // Corpus × corpus self-join ⇒ the SCALING.md occupancy rule applies
+    // (planes grow with log2(n) to hold bucket occupancy — and with it
+    // the n²/2^planes candidate count — near 128; fixed planes=4
+    // measured superlinear in the sf1 soak). t=128 keeps planesUsed=4,
+    // bit-identical output, at every driver gate SF (n <= 2000); the np
+    // CTE derives the identical plane count integer-exactly from
+    // COUNT(*).
     Q("q48_embedding_near_dup", Some(s"""
-      WITH w AS (SELECT p.p, j.j,
+      WITH np AS (SELECT greatest(4,
+          length(bin(greatest((COUNT(*) + 127) // 128 - 1, 0)))) AS p
+        FROM embeddings),
+      w AS (SELECT p.p, j.j,
         (CAST(CAST(('0x'||substr(md5('plane:'||p.p||':'||j.j),1,15)) AS BIGINT) AS DOUBLE)
           / 1152921504606846976.0) * 2.0 - 1.0 AS w
-        FROM generate_series(0, 3) p(p), generate_series(1, 64) j(j)),
+        FROM generate_series(0, 29) p(p), generate_series(1, 64) j(j), np
+        WHERE p.p < np.p),
       pd AS (SELECT e.vec_id, w.p,
         CAST(CAST(SUM(CAST(floor((CAST(e.embedding[w.j] AS DOUBLE) * w.w) * 2.88230376151711744e17) AS BIGINT)) AS BIGINT) AS DOUBLE) / 2.88230376151711744e17 AS d
         FROM embeddings e, w GROUP BY e.vec_id, w.p),
@@ -42,7 +53,8 @@ object Pipeline extends QueryModule {
       FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
       WHERE d.dot/(sqrt(na.n2)*sqrt(nb.n2)) >= 0.2 ORDER BY a, b""")) { (s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d),
-          planes = 4, dim = 64, threshold = 0.2)
+          planes = 4, dim = 64, threshold = 0.2,
+          targetOccupancy = Some(128L))
         .orderBy("a", "b")
     },
 

@@ -730,16 +730,24 @@ object Text extends QueryModule {
       FROM base ORDER BY doc_id""")) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       val sp = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      // bigram explode is per-doc-bounded; both groupBys partial-agg
-      // map-side, so the shuffle carries (doc_id, bigram) counts only
-      val rep = sp.select(col("doc_id"),
-          explode(graft.functions.GraftFunctions.wordShinglesAll(col("text"), 2)).as("sh"))
-        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("total_c"))
+      // the repetition stat depends on ONE row, so it is computed
+      // row-local (compiled ShingleRepetition) — the earlier
+      // explode(bigrams) → groupBy(doc_id, sh) → groupBy(doc_id)
+      // pipeline shuffled ~one row PER TOKEN of the corpus ((doc_id,
+      // bigram) is nearly unique, so partial aggregation collapsed
+      // nothing) and measured superlinear in the sf1 soak; this plan has
+      // zero shuffles before the final sort. The when-guard mirrors the
+      // oracle's LEFT-JOIN-miss COALESCE: total_c = 0 (and NULL text) ⇒
+      // 0.0, never a 0/0 NaN.
+      val rep = graft.functions.GraftFunctions.shingleRep(col("text"), 2)
       val st = tokenStatsOf(col("text"))
-      sp.join(rep, Seq("doc_id"), "left")
+      sp
+        .select(col("doc_id"), col("text"),
+          rep.getField("top_c").as("top_c"),
+          rep.getField("total_c").as("total_c"))
         .select(col("doc_id"),
-          coalesce(col("top_c").cast("double") / col("total_c"), lit(0.0))
+          when(col("total_c") > 0,
+            col("top_c").cast("double") / col("total_c")).otherwise(lit(0.0))
             .as("top_bigram_frac"),
           (lit(1.0) - st.getField("n_distinct").cast("double")
             / st.getField("n_tokens")).as("dup_token_frac"),

@@ -29,10 +29,23 @@ object Vector extends QueryModule {
   /** The ONE SemDeDup CTE chain (1 Lloyd iteration quantizer → cell
     * assignment → within-cell cosine → drops(b, dup_of)) shared by q82
     * and q97 — a parity fix applied here reaches every consumer.
-    * Requires dkNorm2 in scope; threshold 0.3, k = 8 sampled seeds. */
+    * Requires dkNorm2 in scope; threshold 0.3.
+    *
+    * k is NOT fixed: the kk CTE derives the quantizer size from
+    * COUNT(*) by the SCALING.md occupancy rule (k = smallest power of
+    * two holding expected cell size near 256, floored at 8) — a fixed
+    * k=8 made the within-cell pair cost Σ|cell|² ≈ n²/8, measured
+    * superlinear in the sf1 soak. The integer-exact bit-length
+    * derivation matches Similarity.occupancyBits, so both engines train
+    * the same k seeds (vec_id < k) at every scale; at every driver gate
+    * SF (n <= 2000) kk yields exactly 8 — outputs unchanged. */
   private lazy val dkSemDedup = s"""
+      kk AS (SELECT greatest(8, 1 << least(
+          length(bin(greatest((COUNT(*) + 255) // 256 - 1, 0))), 20)) AS kv
+        FROM embeddings),
       c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
-        FROM embeddings, generate_series(1, 64) g(j) WHERE vec_id < 8),
+        FROM embeddings, generate_series(1, 64) g(j)
+        WHERE vec_id < (SELECT kv FROM kk)),
       ${dkKmIter("c0", "c1")},
       fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c1 GROUP BY cid),
       fd AS (SELECT e.vec_id, c.cid,
@@ -506,8 +519,12 @@ object Vector extends QueryModule {
       SELECT f.vec_id, f.cell, dr.dup_of, dr.dup_of IS NULL AS kept
       FROM fassign f LEFT JOIN drops dr ON dr.b = f.vec_id
       ORDER BY f.vec_id""")) { (s, d) =>
+      // targetCell engages the auto-k rule (see dkSemDedup): k = 8 at
+      // every gate SF, grows as n/256 rounded up to a power of two —
+      // within-cell pair cost stays ~256·n instead of n²/8
       Similarity.semanticDedup(Tables.embeddings(s, d),
-          kCentroids = 8, iters = 1, threshold = 0.3)
+          kCentroids = 8, iters = 1, threshold = 0.3,
+          targetCell = Some(256L))
         .orderBy("vec_id")
     },
 
@@ -626,7 +643,8 @@ object Vector extends QueryModule {
           TextFunctions.qualityScore(col("text")) >= 0.5)
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
       val sem = Similarity.semanticDedup(Tables.embeddings(s, d),
-          kCentroids = 8, iters = 1, threshold = 0.3)
+          kCentroids = 8, iters = 1, threshold = 0.3,
+          targetCell = Some(256L))
         .select(col("vec_id").as("doc_id"), col("cell"), col("kept"))
       // INNER join is the contract, not an accident: the embeddings table
       // covers a subset of documents by design (at sf0.1 only ids < 2000

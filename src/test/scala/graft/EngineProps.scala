@@ -221,6 +221,19 @@ object EngineProps extends Properties("graft") {
         .as[Int].head() == java.lang.Long.bitCount(a ^ b)
     }
 
+  property("compiled ShingleRepetition == plain-Scala bigram counts") =
+    forAll(unicodeDocGen, Gen.choose(1, 3)) { (s, n) =>
+      val spk = spark; import spk.implicits._
+      import graft.functions.GraftFunctions
+      GraftFunctions.register(spk)
+      val r = Seq(s).toDF("t")
+        .select(GraftFunctions.shingleRep(col("t"), n)).head().getStruct(0)
+      val toks = s.split(" ", -1).toSeq
+      val sh = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val top = if (sh.isEmpty) 0 else sh.groupBy(identity).map(_._2.size).max
+      r.getInt(0) == top && r.getInt(1) == math.max(toks.size - n + 1, 0)
+    }
+
   /** fpVecSum must equal the posexplode → per-component-sum mirror it
     * replaces (the q37 oracle shape) for ANY equal-width non-null input
     * under ANY partitioning — long addition is associative, so map-side
