@@ -60,13 +60,27 @@ def pandas_sortable(name, tbl):
     return None
 
 
+def row_key(row):
+    # total order over mixed/None cells: the driver's pandas sort_values
+    # places NaN/None consistently in both frames; repr gives a stable
+    # (arbitrary but identical) order for everything else
+    return tuple((v is None, repr(v)) for v in row)
+
+
 def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     if sorted(spark_cols) != sorted(duck_cols):
         return f"SCHEMA: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-    s = [tuple(norm(r[i]) for i in order) for r in spark_rows]
-    d = [tuple(norm(r[i]) for i in dorder) for r in duck_rows]
+    # rows are sorted before comparison — mirroring the driver harness,
+    # which hashes pandas-sorted frames. Without this, a NULL-bearing
+    # ORDER BY column fails the zip spuriously: Spark defaults to NULLS
+    # FIRST on ASC, DuckDB to NULLS LAST — an ordering-cosmetics
+    # difference the driver's sorted hash never sees.
+    s = sorted((tuple(norm(r[i]) for i in order) for r in spark_rows),
+               key=row_key)
+    d = sorted((tuple(norm(r[i]) for i in dorder) for r in duck_rows),
+               key=row_key)
     if len(s) != len(d):
         return f"ROWS: spark={len(s)} duck={len(d)}"
     for i, (a, b) in enumerate(zip(s, d)):
@@ -87,7 +101,19 @@ def main():
     n_ok = n_bad = 0
     declared = [d for d in sorted(os.listdir(OUT))
                 if os.path.isdir(f"{OUT}/{d}")]
+    # GRAFT_EXPECT_RAISE: comma-separated query names whose input
+    # CONTRACT requires them to raise on the corpus under test (the
+    # sampling family raise_error-guards NULL scores/weights/tokens —
+    # null_check.py sets this). For those, a MISSING spark output is the
+    # contract firing (ok); a present one means the guard silently
+    # passed bad input (fail).
+    expect_raise = set(
+        x for x in os.environ.get("GRAFT_EXPECT_RAISE", "").split(",") if x)
     for name in declared:
+        if name in expect_raise:
+            n_bad += 1
+            print(f"[FAIL] {name}: expected contract raise, but query produced output")
+            continue
         if name not in oracle:
             print(f"[rows-only] {name}")
             continue
@@ -120,8 +146,12 @@ def main():
             print(f"[ok]   {name} ({len(spark_rows)} rows)")
     missing = [k for k in oracle if k not in declared]
     for m in missing:
-        n_bad += 1
-        print(f"[FAIL] {m}: spark output missing (query crashed?)")
+        if m in expect_raise:
+            n_ok += 1
+            print(f"[ok]   {m} (contract raise on invalid input)")
+        else:
+            n_bad += 1
+            print(f"[FAIL] {m}: spark output missing (query crashed?)")
     print(f"\n== {n_ok} ok, {n_bad} fail ==")
     sys.exit(1 if n_bad else 0)
 

@@ -28,6 +28,7 @@ What NEVER gets nulled — columns with an enforced non-null contract:
 
 Usage: python3 scripts/null_check.py [src_sf_dir]
 """
+import json
 import os
 import subprocess
 import sys
@@ -77,6 +78,39 @@ for t in TABLES:
 
 print(f"[null] corpus rewritten with injected NULLs at {DST}")
 
+# The sampling family raise_error-guards NULL quality scores / token
+# counts / weights / strata (documented input contracts): on the nulled
+# corpus the CORRECT behavior is the loud failure, not output.
+# check_oracle turns these into [ok (contract raise)] and fails if any
+# of them silently produces rows instead.
+CONTRACT_RAISE = ",".join([
+    "q114_adaptive_quality_floor",   # NULL quality score
+    "q121_token_budget_sample",      # NULL token count
+    "q122_matched_contrast_sample",  # NULL stratum/bucket key
+    "q138_pps_sample",               # NULL token weight
+])
+
+env = dict(os.environ, GRAFT_EXPECT_RAISE=CONTRACT_RAISE)
 r = subprocess.run([sys.executable, "scripts/check_oracle.py", DST,
-                    f"{DST}/verify_out"], cwd="/root/repo")
+                    f"{DST}/verify_out"], cwd="/root/repo", env=env,
+                   capture_output=True, text=True)
+sys.stdout.write(r.stdout)
+sys.stderr.write(r.stderr[-2000:] if r.returncode else "")
+
+# committed artifact, house style (SOAK_sf1.json / LEAKCHECK.json)
+lines = r.stdout.splitlines()
+summary = {
+    "src_sf": SRC,
+    "nulled_columns": NULLED,
+    "null_stride": 7,
+    "n_ok": sum(1 for l in lines if l.startswith("[ok]")),
+    "n_fail": sum(1 for l in lines if l.startswith("[FAIL]")),
+    "contract_raises": CONTRACT_RAISE.split(","),
+    "failed": [l.split()[1].rstrip(":") for l in lines
+               if l.startswith("[FAIL]")],
+}
+with open("/root/repo/NULLCHECK.json", "w") as f:
+    json.dump(summary, f, indent=1)
+print(f"[null] summary -> NULLCHECK.json "
+      f"({summary['n_ok']} ok, {summary['n_fail']} fail)")
 sys.exit(r.returncode)

@@ -59,7 +59,12 @@ object Analytic extends QueryModule {
       val approx = slim.groupBy(col("l_returnflag"))
         .agg(approx_percentile(col("l_extendedprice"),
           array(lit(0.5), lit(0.9)), lit(10000)).as("as"))
-      exact.join(approx, Seq("l_returnflag"))
+        .withColumnRenamed("l_returnflag", "__rf")
+      // <=> (null-safe equality): both aggregates emit a row for the
+      // NULL return-flag group (exactPercentiles keeps it by design, as
+      // does groupBy) — a bare equi-join would silently drop that group
+      // while the oracle's GROUP BY keeps it (caught by null_check.py)
+      exact.join(approx, col("l_returnflag") <=> col("__rf"))
         .select(col("l_returnflag"), col("p50"), col("p90"),
           (abs(element_at(col("as"), 1) - col("p50")) / col("p50") <= 0.01 &&
            abs(element_at(col("as"), 2) - col("p90")) / col("p90") <= 0.01)
@@ -161,7 +166,8 @@ object Analytic extends QueryModule {
     // row-scale path is q68's bounded-sketch approx_percentile.
     Q("q89_winsorize_bounds", Some("""
       WITH rk AS (SELECT source, n_chars,
-          row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars NULLS FIRST, doc_id) AS rn,
           COUNT(*) OVER (PARTITION BY source) AS n
         FROM documents),
       thr AS (SELECT source, MAX(n) AS n_docs,
@@ -171,9 +177,13 @@ object Analytic extends QueryModule {
       SELECT t.source, t.n_docs, t.p01, t.p99,
         COUNT(CASE WHEN r.n_chars < t.p01 THEN 1 END) AS n_below,
         COUNT(CASE WHEN r.n_chars > t.p99 THEN 1 END) AS n_above
-      FROM rk r JOIN thr t ON t.source = r.source
+      FROM rk r JOIN thr t ON t.source IS NOT DISTINCT FROM r.source
       GROUP BY t.source, t.n_docs, t.p01, t.p99
       ORDER BY t.source""")) { (s, d) =>
+      // IS NOT DISTINCT FROM: `source` is nullable and the NULL-source
+      // slice is a stratum like any other — the Spark side's
+      // groupBy/window keeps it, and a bare equi-join back onto the
+      // thresholds would silently drop it (caught by null_check.py)
       import org.apache.spark.sql.expressions.Window
       val bySource = Window.partitionBy("source")
       val ranked = Tables.documents(s, d).select("doc_id", "source", "n_chars")

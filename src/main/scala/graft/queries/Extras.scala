@@ -101,8 +101,12 @@ object Extras extends QueryModule {
         CAST(ntile(4) OVER wv AS INT) AS quartile
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-             wv AS (PARTITION BY user_id ORDER BY value, event_id)
+             wv AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)
       ORDER BY event_id""")) { (s, d) =>
+      // `value` is nullable ⇒ the rank-family window order must pin NULL
+      // placement: Spark ASC defaults to NULLS FIRST, DuckDB to NULLS
+      // LAST — unpinned, every rank/percent_rank/cume/ntile value in a
+      // partition with NULLs diverges (caught by scripts/null_check.py).
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val wv = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
       Tables.events(s, d).select(
@@ -145,7 +149,8 @@ object Extras extends QueryModule {
       WITH sp AS (SELECT doc_id, string_split(text,' ') tk FROM documents)
       SELECT doc_id,
         list_contains(tk, 'the') AS has_the,
-        CAST(coalesce(list_position(tk, 'the'), 0) AS BIGINT) AS the_pos,
+        CASE WHEN tk IS NULL THEN NULL
+          ELSE CAST(coalesce(list_position(tk, 'the'), 0) AS BIGINT) END AS the_pos,
         tk[2] AS second_tok,
         array_to_string(list_reverse(tk[1:3]), ',') AS first3_rev
       FROM sp ORDER BY doc_id""")) { (s, d) =>
@@ -189,9 +194,17 @@ object Extras extends QueryModule {
         to_json({'uid': user_id, 'typ': event_type}) AS who,
         user_id AS uid2
       FROM events ORDER BY event_id""")) { (s, d) =>
+      // ignoreNullFields=false: Spark's to_json default DROPS null struct
+      // fields ({"uid":7}), while DuckDB's struct-to-json keeps them
+      // ({"uid":7,"typ":null}) — with a nullable event_type the two
+      // disagree on every null row (caught by scripts/null_check.py);
+      // explicit nulls are also the lossless choice for a serialized
+      // record.
       val who = struct(col("user_id").as("uid"), col("event_type").as("typ"))
       Tables.events(s, d).select(
-        col("event_id"), to_json(who).as("who"), who.getField("uid").as("uid2")
+        col("event_id"),
+        to_json(who, Map("ignoreNullFields" -> "false")).as("who"),
+        who.getField("uid").as("uid2")
       ).orderBy("event_id")
     },
 

@@ -184,10 +184,15 @@ object Text extends QueryModule {
     },
 
     // ---- prefix-fingerprint dedup clusters ----
+    // `WHERE text IS NOT NULL` mirrors exactClusters' NULL-fingerprint
+    // exclusion (Dedup.scala): a NULL text has no content to fingerprint,
+    // and grouping all NULL docs into one "duplicate cluster" would
+    // wrongly collapse them to a single keep_id. Same guard on q29/q94.
     Q("q28_prefix_dedup", Some("""
       SELECT md5(array_to_string((string_split(text,' '))[1:5],' ')) AS fingerprint,
         COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-      FROM documents GROUP BY 1 ORDER BY fingerprint""")) { (s, d) =>
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY 1 ORDER BY fingerprint""")) { (s, d) =>
       Dedup.exactClusters(Tables.documents(s, d), "doc_id",
           md5(array_join(slice(tokens(col("text")), 1, 5), " ")))
         .orderBy("fingerprint")
@@ -196,7 +201,8 @@ object Text extends QueryModule {
     // ---- exact dedup by full-content fingerprint ----
     Q("q29_exact_dedup", Some("""
       SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-      FROM documents GROUP BY 1 ORDER BY fingerprint""")) { (s, d) =>
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY 1 ORDER BY fingerprint""")) { (s, d) =>
       Dedup.exactClusters(Tables.documents(s, d), "doc_id", md5(col("text")))
         .orderBy("fingerprint")
     },
@@ -213,7 +219,8 @@ object Text extends QueryModule {
       SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
           AS fingerprint,
         COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-      FROM documents GROUP BY 1 ORDER BY fingerprint""")) { (s, d) =>
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY 1 ORDER BY fingerprint""")) { (s, d) =>
       Dedup.exactClusters(Tables.documents(s, d), "doc_id",
           md5(array_join(array_sort(tokens(col("text"))), " ")))
         .orderBy("fingerprint")
@@ -692,16 +699,23 @@ object Text extends QueryModule {
     },
 
     // ---- SimHash (16-bit) ----
+    // The final LEFT JOIN keeps signature-table coverage = corpus
+    // coverage: a NULL text gets a NULL signature ROW (Spark's per-row
+    // projection semantics), not a silent disappearance — unnest of a
+    // NULL token list would otherwise drop the doc entirely.
     Q("q32_simhash", Some(s"""
       WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
                    FROM documents),
       h AS (SELECT doc_id, ${dkHash("t", 0)} AS h FROM tok),
       votes AS (SELECT doc_id, g.b, SUM(((h >> g.b) & 1)*2 - 1) AS v
-                FROM h, generate_series(0, 15) g(b) GROUP BY doc_id, g.b)
-      SELECT doc_id,
+                FROM h, generate_series(0, 15) g(b) GROUP BY doc_id, g.b),
+      sig AS (SELECT doc_id,
         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
           AS simhash
-      FROM votes GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+        FROM votes GROUP BY doc_id)
+      SELECT d.doc_id, sig.simhash
+      FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
       Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text", bits = 16)
         .orderBy("doc_id")
     },
@@ -1188,9 +1202,15 @@ object Text extends QueryModule {
         FROM bp LEFT JOIN pos ON pos.p = bp.p GROUP BY bp.doc_id)
       SELECT h.doc_id, CAST(h.nh AS INT) AS n_probe_hits,
         h.nh = 3 AS bloom_flagged,
-        b.fp IN (SELECT fp FROM corpus) AS is_exact_dup
+        COALESCE(b.fp IN (SELECT fp FROM corpus WHERE fp IS NOT NULL), false)
+          AS is_exact_dup
       FROM hits h JOIN batch b ON b.doc_id = h.doc_id
       ORDER BY h.doc_id""")) { (s, d) =>
+      // is_exact_dup is a two-valued verdict: a NULL-text doc is a dup
+      // of nothing (false, matching the Spark side's left-join +
+      // coalesce(false)). Unguarded, SQL's three-valued IN turns EVERY
+      // non-matching row NULL once the corpus holds one NULL fp
+      // (caught by scripts/null_check.py).
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") < 250).select(md5(col("text")).as("fp"))
       val batch = docs.filter(col("doc_id") >= 250)
@@ -1329,12 +1349,16 @@ object Text extends QueryModule {
     },
 
     // ---- order-sensitive rolling-hash document fingerprint ----
+    // NULL text ⇒ NULL fp, guarded explicitly: DuckDB's `[7] || NULL`
+    // list-concat yields [7], which would silently report the bare seed
+    // as a real fingerprint for NULL docs; Spark's compiled expression
+    // (and any split-then-fold formulation) is NULL there.
     Q("q33_rolling_fingerprint", Some(s"""
       SELECT doc_id,
-        list_reduce(
+        CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
           [CAST(7 AS BIGINT)] ||
             list_transform(string_split(text,' '), t -> ${dkHash("t", 0)} % 2147483647),
-          (a, b) -> (a*31 + b) % 2147483647) AS fp
+          (a, b) -> (a*31 + b) % 2147483647) END AS fp
       FROM documents ORDER BY doc_id""")) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
@@ -1438,13 +1462,17 @@ object Text extends QueryModule {
             AS tokens_truncated
         FROM t GROUP BY 1)
       SELECT bucket, n_docs, n_tokens, tokens_truncated,
-        CAST(SUM(n_docs) OVER (ORDER BY bucket
+        CAST(SUM(n_docs) OVER (ORDER BY bucket NULLS FIRST
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
-        CAST(CAST(SUM(n_docs) OVER (ORDER BY bucket
+        CAST(CAST(SUM(n_docs) OVER (ORDER BY bucket NULLS FIRST
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
           / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE) AS cum_doc_frac,
         CAST(tokens_truncated AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS trunc_frac
       FROM b ORDER BY bucket""")) { (s, d) =>
+      // cumulative windows pin NULLS FIRST: the NULL bucket (docs with
+      // no measurable length) sorts before bucket 0 in Spark's ASC
+      // default but after the last bucket in DuckDB's — unpinned, every
+      // cum_docs/cum_doc_frac cell shifts (caught by null_check.py)
       graft.functions.GraftFunctions.register(s)
       val st = tokenStatsOf(col("text"))
       // floor(nt/10) is exact for integer nt: the correctly-rounded
@@ -1925,10 +1953,18 @@ object Text extends QueryModule {
         .withColumn("dm", (hash64(col("t"), 801) % 64).cast("int"))
         .withColumn("sg",
           when(hash64(col("t"), 802) % 2 === 0, lit(1L)).otherwise(lit(-1L)))
-      tv.groupBy("doc_id", "dm").agg(sum(col("sg")).as("sd"))
+      val maps = tv.groupBy("doc_id", "dm").agg(sum(col("sg")).as("sd"))
         .groupBy("doc_id")
         .agg(map_from_arrays(collect_list(col("dm")), collect_list(col("sd")))
           .as("m"))
+      // LEFT JOIN back onto the corpus = the oracle's doc_id grid:
+      // explode of a NULL token list EMITS NO ROWS, so without it a
+      // NULL-text doc silently vanishes from the feature table while
+      // the oracle emits its zero vector (caught by null_check.py).
+      // A feature table must cover the corpus; no-token docs embed as
+      // the zero vector (the coalesce maps the missing map to all-0).
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(maps, Seq("doc_id"), "left")
         .select(col("doc_id"),
           transform(sequence(lit(0), lit(63)),
             i => coalesce(element_at(col("m"), i), lit(0L))).as("fv"))
