@@ -396,12 +396,35 @@ object Similarity {
         .withColumn("c_n2", norm2Exact(col("c_emb")))
       cents.coalesce(1).write.parquet(s"$tmp/centroids")
       val assign = assignCells(e, cents)
-      e.join(assign, "vec_id")
+      val asg = e.join(assign, "vec_id")
         .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
-        .repartition(col("cell"), pmod(hash(col("vec_id")), lit(splits)))
+      asg.repartition(col("cell"), pmod(hash(col("vec_id")), lit(splits)))
         .write.partitionBy("cell").parquet(s"$tmp/assignment")
+      // schema sidecar: a partitionBy write of an EMPTY frame emits zero
+      // data files, and a later schema-inferring read of the assignment
+      // dir throws UNABLE_TO_INFER_SCHEMA — staging an empty snapshot
+      // (a date-scoped run that matched nothing) must yield a READABLE
+      // empty index, not a crashed probe. `_`-prefixed files are
+      // invisible to Spark's file index, so the sidecar never pollutes
+      // the scan; [[readStagedAssignment]] uses it when present.
+      graft.sources.Layout.writeSidecar(emb.sparkSession,
+        s"$tmp/assignment", "_graft_schema", asg.schema.toDDL)
     }
   }
+
+  /** Schema-explicit read of a staged assignment table: uses the
+    * `_graft_schema` sidecar [[stageIvfIndex]] writes (required for
+    * empty snapshots — see there); falls back to inference for indexes
+    * staged before the sidecar existed. */
+  private def readStagedAssignment(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.sources.Layout.readSidecar(spark, s"$path/assignment",
+        "_graft_schema") match {
+      case Some(ddl) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(s"$path/assignment")
+      case None => spark.read.parquet(s"$path/assignment")
+    }
 
   /** Assign a NEW batch of vectors against a staged index's FROZEN
     * centroids and append them to the cell-partitioned assignment —
@@ -463,7 +486,7 @@ object Similarity {
       .select(col("qid"), col("q_emb"), col("q_n2"), col("cid").as("cell"))
     // partition-column values come back type-inferred — pin to the cid's
     // long so the join and the q128-shared oracle see one type
-    val members = spark.read.parquet(s"$path/assignment")
+    val members = readStagedAssignment(spark, path)
       .withColumn("cell", col("cell").cast("long"))
     val wr = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
     probes.join(members, Seq("cell")).filter(col("vec_id") =!= col("qid"))

@@ -108,11 +108,14 @@ object Pipeline extends QueryModule {
     },
 
     // ---- SQL surface: GROUPING SETS over registered views ----
+    // HAVING pins the empty-input contract (see q08): Spark emits no
+    // rows over an empty relation, standard SQL emits the () row
     Q("q51_grouping_sets", Some(s"""
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         ${sqlSum("l_quantity")} AS sum_qty
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      HAVING COUNT(*) > 0
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")) { (s, d) =>
       Tables.registerAll(s, d)
       s.sql(s"""

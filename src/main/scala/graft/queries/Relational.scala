@@ -145,10 +145,18 @@ object Relational extends QueryModule {
     },
 
     // ---- A6: ROLLUP ----
+    // `HAVING COUNT(*) > 0` pins the EMPTY-INPUT contract, and is an
+    // identity everywhere else (every grouping-set row aggregates >= 1
+    // source row on non-empty input): Spark's grouping-sets Aggregate
+    // emits NO rows over an empty relation — including the grand-total
+    // row — while standard SQL (DuckDB) emits the () row with n = 0.
+    // The engine's contract is Spark's (caught by
+    // scripts/empty_check.py); same pin on q09/q51.
     Q("q08_rollup", Some(s"""
       SELECT l_returnflag, l_linestatus,
         COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      HAVING COUNT(*) > 0
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")) { (s, d) =>
       li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
@@ -160,6 +168,7 @@ object Relational extends QueryModule {
       SELECT o_orderstatus, o_orderpriority,
         COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      HAVING COUNT(*) > 0
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")) { (s, d) =>
       ord(s, d).cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))

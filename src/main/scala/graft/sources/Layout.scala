@@ -81,6 +81,38 @@ object Layout {
   private val activeWrites =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Write a small `_`-prefixed metadata file inside a staged table dir
+    * (Spark's file index ignores underscore files, like _SUCCESS — the
+    * sidecar never pollutes a scan). Used for the staged-assignment
+    * schema sidecar: a partitionBy write of an empty frame emits zero
+    * data files, so without a recorded schema a later read of the empty
+    * snapshot throws UNABLE_TO_INFER_SCHEMA. Participates in whatever
+    * atomic-commit scope the caller writes under. */
+  def writeSidecar(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, content: String): Unit = {
+    require(name.startsWith("_"),
+      s"sidecar name must be _-prefixed (Spark file-index invisible): $name")
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a [[writeSidecar]] file; None when absent (tables staged
+    * before the sidecar existed fall back to schema inference). */
+  def readSidecar(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
   private def atomicStagedWriteLocked(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path)(write: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
