@@ -166,7 +166,10 @@ object Dedup {
     def cut(df: DataFrame, tag: String): DataFrame = runDir match {
       case Some(rd) =>
         df.write.mode("overwrite").parquet(s"$rd/$tag")
-        spark.read.parquet(s"$rd/$tag")
+        // schema-explicit: an empty round (no pairs at all) writes zero
+        // data files, and an inferring read of that dir would throw
+        // UNABLE_TO_INFER_SCHEMA — the schema is already in hand here
+        spark.read.schema(df.schema).parquet(s"$rd/$tag")
       case None => df.localCheckpoint(true)
     }
     val edges = cut(pairs.select(col("a").as("src"), col("b").as("dst"))

@@ -308,4 +308,36 @@ class FaultSpec extends SparkTestBase {
           emb.filter(col("vec_id") < 4), nprobe = 2, k = 3)
         .orderBy("qid", "rank").collect().toSeq)
   }
+
+  test("staging an IVF index over an EMPTY corpus yields a readable, appendable snapshot") {
+    // the empty-partition production edge (a date-scoped snapshot that
+    // matched nothing): a partitionBy write of an empty frame emits zero
+    // data files, so without the _graft_schema sidecar the first probe
+    // used to die with UNABLE_TO_INFER_SCHEMA (caught by
+    // scripts/empty_check.py; pinned here)
+    val base = java.nio.file.Files.createTempDirectory("graft-fault-empty").toString
+    val path = s"$base/idx"
+    val none = emb.filter(col("vec_id") < 0)
+    Similarity.stageIvfIndex(none, kCentroids = 4, iters = 1, path = path)
+    // probe of the empty snapshot: empty result, not a crash
+    assert(Similarity.ivfProbeStaged(spark, path,
+      emb.filter(col("vec_id") < 4), nprobe = 2, k = 3).count() === 0)
+    // empty -> append lifecycle: ingest into the empty snapshot works…
+    Similarity.appendToIvfIndex(spark, path, emb.filter(col("vec_id") < 100))
+    // …but with ZERO trained centroids there are no cells to probe, so
+    // the appended rows are unreachable — the honest contract is that
+    // probes stay empty until a retrain restages the quantizer
+    assert(Similarity.ivfProbeStaged(spark, path,
+      emb.filter(col("vec_id") < 4), nprobe = 2, k = 3).count() === 0)
+    Similarity.stageIvfIndex(emb.filter(col("vec_id") < 100), kCentroids = 4,
+      iters = 1, path = path)
+    assert(Similarity.ivfProbeStaged(spark, path,
+      emb.filter(col("vec_id") < 4), nprobe = 2, k = 3).count() > 0)
+  }
+
+  test("nearDupClusters reliable-checkpoint path handles an empty pair list") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-empty").toString
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.nearDupClusters(pairs, checkpointDir = Some(ckpt)).count() === 0)
+  }
 }
