@@ -38,7 +38,8 @@ object Plans {
     "q133_principal_direction" -> "power iteration: one covariance array-buffer pass, then matrix-sized join+groupBy matvecs (3 unrolled) with integer normalization — nothing corpus-sized after pass 1",
     "q135_rare_token_scrub" -> "CMS in-pipeline: sketch pass + broadcast one-row probe pass — per-token frequency gate with NO vocabulary-sized count join",
     "q136_classifier_gate" -> "hashed-feature classifier inference: compiled bigram shingles map-side, inline integer bucket weights, per-doc partial-agg SUM, source roll-up — no vocabulary join, no UDF",
-    "q137_feature_hash_embed" -> "feature hashing: explode + (doc, dim) integer sums (<=64 rows/doc through the shuffle), per-doc map->dense assembly — the no-vocabulary text->vector bridge",
+    "q80_repetition_filter" -> "Gopher/C4 repetition gates fully row-local: compiled ShingleRepetition + TokenStats structs, zero shuffles before the output sort — replaces a per-corpus-token explode shuffle",
+    "q137_feature_hash_embed" -> "feature hashing: explode + (doc, dim) integer sums (<=64 rows/doc through the shuffle), per-doc map->dense assembly, corpus left join for full coverage (NULL docs embed as the zero vector) — the no-vocabulary text->vector bridge",
     "q121_token_budget_sample" -> "token-budget sample, size-adaptive plan: at this input the statistic picks the join-free per-stratum window; past 256 MB the same call plans 2^10 hash-sharded windows + bucket-offset prune (row-identical, ScaleSpec-pinned)",
     "q138_pps_sample" -> "systematic PPS draw, same size-adaptive rule: single running-sum window here, sharded windows + offset join at scale — integer sums and floor division make both shapes bit-identical")
 
