@@ -22,9 +22,14 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stage input as nFiles parquet files (micro-batch feed)
+    // stage input as nFiles parquet files (micro-batch feed); ts is cast
+    // to TIMESTAMP_LTZ — Tables.events' ns->us conversion yields NTZ,
+    // which watermarking rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+    // the session TZ is pinned UTC so the cast is value-preserving
     val stage = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val batch = graft.core.Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast(
+        org.apache.spark.sql.types.TimestampType))
     val total = batch.count()
     batch.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/in")
 
