@@ -371,14 +371,26 @@ object Relational extends QueryModule {
     // ---- as-of join: each event ↔ most recent prior order of that user ----
     // (SURVEY §2.3 J3: range/as-of join; composed as range-join + windowed
     // keep-latest so tie-breaking is explicit and deterministic.)
+    // Mirror shape: MAX(date) then MAX(orderkey) at that date — the
+    // identical relation as ROW_NUMBER(date DESC, key DESC) = 1 over the
+    // range join, but STREAMING: the windowed formulation materializes
+    // the full |events|×|qualifying orders| intermediate for per-event
+    // sorting, which OOMed DuckDB on the skew gate's hot-key corpus
+    // (~0.5G intermediate rows); grouped MAXes stream through hash
+    // aggregation at O(groups) memory. The engine side never had this
+    // shape at all — union-and-carry is one sort per key partition.
     Q("q23_asof_join", Some("""
-      SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
-        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
-          ROW_NUMBER() OVER (PARTITION BY e.event_id
-                             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      WITH m AS (
+        SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS o_orderdate
         FROM events e JOIN orders o
-          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
-      WHERE rn = 1 ORDER BY event_id""")) { (s, d) =>
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id, e.user_id)
+      SELECT m.event_id, m.user_id, MAX(o.o_orderkey) AS o_orderkey,
+        m.o_orderdate
+      FROM m JOIN orders o
+        ON o.o_custkey = m.user_id AND o.o_orderdate = m.o_orderdate
+      GROUP BY m.event_id, m.user_id, m.o_orderdate
+      ORDER BY event_id""")) { (s, d) =>
       val e = Tables.events(s, d).select("event_id", "user_id", "ts")
       val o = ord(s, d)
         .select(col("o_custkey").as("user_id"), col("o_orderkey"), col("o_orderdate"))

@@ -221,6 +221,19 @@ object EngineProps extends Properties("graft") {
         .as[Int].head() == java.lang.Long.bitCount(a ^ b)
     }
 
+  /** The SCALING.md occupancy rule (shared by the LSH auto-planes and
+    * SemDeDup auto-k knobs): occupancyBits(n, t) is the SMALLEST b with
+    * t·2^b >= n for any n > t — the guarantee that grown parameters
+    * actually hold expected occupancy at `t`, and that they never grow
+    * a step earlier than needed (pure integer arithmetic, no Spark). */
+  property("occupancyBits: smallest b with t*2^b >= n (minimal for n > t)") =
+    forAll(Gen.choose(0L, 1L << 40), Gen.choose(1L, 1L << 20)) { (n, t) =>
+      val b = graft.operators.Similarity.occupancyBits(n, t)
+      val covers = BigInt(t) * (BigInt(1) << b) >= BigInt(n)
+      val minimal = n <= t || BigInt(t) * (BigInt(1) << (b - 1)) < BigInt(n)
+      covers && minimal && b >= 1
+    }
+
   property("compiled ShingleRepetition == plain-Scala bigram counts") =
     forAll(unicodeDocGen, Gen.choose(1, 3)) { (s, n) =>
       val spk = spark; import spk.implicits._
