@@ -10,15 +10,18 @@ import org.apache.spark.sql.types._
   * path is the Spark Kafka connector).
   *
   * NOTE: this container ships no spark-sql-kafka connector jar and no
-  * broker, so `.load()`/`.start()` cannot execute here — deployments add
+  * broker — deployments add
   * `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>`. The
-  * REST of the surface is runtime-verified without a broker
-  * (KafkaContractSpec): the option maps the builders bind
-  * ([[sourceOptions]]/[[sinkOptions]] — the public contract a deployment
-  * picks up) and the wire transforms ([[encodePayload]]/[[decodeEvents]]
-  * — pure DataFrame→DataFrame, spec-proven to round-trip). Everything
-  * downstream of the source (parsing, windows, state, sinks) is
-  * identical to the file/memory-stream paths that ARE tested.
+  * surface is still runtime-verified end-to-end: a TEST-classpath
+  * DataSource V2 shim registered under short name `kafka`
+  * (graft.testkit.FakeKafkaProvider) resolves these builders'
+  * `format("kafka").load()`/`.start()` calls against an in-memory
+  * broker, enforcing the exact option contract and serving the real
+  * connector's 7-column record schema (KafkaEndToEndSpec) — only the
+  * wire protocol itself stays environmental. KafkaContractSpec
+  * additionally pins the option maps ([[sourceOptions]]/[[sinkOptions]])
+  * and proves the wire transforms
+  * ([[encodePayload]]/[[decodeEvents]]) round-trip bit-identically.
   */
 object KafkaIO {
 
