@@ -61,10 +61,24 @@ def pandas_sortable(name, tbl):
 
 
 def row_key(row):
-    # total order over mixed/None cells: the driver's pandas sort_values
-    # places NaN/None consistently in both frames; repr gives a stable
-    # (arbitrary but identical) order for everything else
-    return tuple((v is None, repr(v)) for v in row)
+    # Total order over mixed/None cells (ADVICE r9: keying on raw repr()
+    # distinguishes ==-equal cells of different Python types — bool True
+    # vs int 1, int 5 vs float 5.0 — which can align rows differently on
+    # the two sides and produce a spurious VALUE mismatch). Key on a
+    # type-CLASS plus the value itself: Python compares mixed
+    # int/float/Decimal numerically and exactly, so equal numbers get
+    # equal keys regardless of which type each engine returned.
+    import numbers
+
+    def cell_key(v):
+        if v is None:
+            return (0, 0, "")
+        if isinstance(v, bool):          # bool is a Number; fold into num
+            return (1, 1, int(v))
+        if isinstance(v, numbers.Number):
+            return (1, 1, v)
+        return (1, 2, repr(v))
+    return tuple(cell_key(v) for v in row)
 
 
 def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
@@ -72,20 +86,31 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
         return f"SCHEMA: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-    # rows are sorted before comparison — mirroring the driver harness,
-    # which hashes pandas-sorted frames. Without this, a NULL-bearing
-    # ORDER BY column fails the zip spuriously: Spark defaults to NULLS
-    # FIRST on ASC, DuckDB to NULLS LAST — an ordering-cosmetics
-    # difference the driver's sorted hash never sees.
-    s = sorted((tuple(norm(r[i]) for i in order) for r in spark_rows),
-               key=row_key)
-    d = sorted((tuple(norm(r[i]) for i in dorder) for r in duck_rows),
-               key=row_key)
-    if len(s) != len(d):
-        return f"ROWS: spark={len(s)} duck={len(d)}"
+    s_pos = [tuple(norm(r[i]) for i in order) for r in spark_rows]
+    d_pos = [tuple(norm(r[i]) for i in dorder) for r in duck_rows]
+    if len(s_pos) != len(d_pos):
+        return f"ROWS: spark={len(s_pos)} duck={len(d_pos)}"
+    # ADVICE r9: compare positionally FIRST — the sorted compare below
+    # (which mirrors the driver's sorted-hash gate) is blind to a final
+    # ORDER BY that the two engines resolve differently. A positional
+    # match is the strong result; on positional mismatch fall back to the
+    # sorted compare and, if THAT matches, report the order-only
+    # divergence as a warning instead of silently accepting it.
+    positional_ok = all(a == b for a, b in zip(s_pos, d_pos))
+    if positional_ok:
+        return None
+    # Sorted fallback — mirroring the driver harness, which hashes
+    # pandas-sorted frames. Without this, a NULL-bearing ORDER BY column
+    # fails the zip spuriously: Spark defaults to NULLS FIRST on ASC,
+    # DuckDB to NULLS LAST — an ordering-cosmetics difference the
+    # driver's sorted hash never sees.
+    s = sorted(s_pos, key=row_key)
+    d = sorted(d_pos, key=row_key)
     for i, (a, b) in enumerate(zip(s, d)):
         if a != b:
             return f"VALUE mismatch at row {i}:\n  spark={a}\n  duck ={b}"
+    print("  [order-warn] row ORDER diverges between engines (values match "
+          "sorted; driver's sorted-hash gate is unaffected)")
     return None
 
 
@@ -101,14 +126,23 @@ def main():
     n_ok = n_bad = 0
     declared = [d for d in sorted(os.listdir(OUT))
                 if os.path.isdir(f"{OUT}/{d}")]
-    # GRAFT_EXPECT_RAISE: comma-separated query names whose input
-    # CONTRACT requires them to raise on the corpus under test (the
-    # sampling family raise_error-guards NULL scores/weights/tokens —
-    # null_check.py sets this). For those, a MISSING spark output is the
-    # contract firing (ok); a present one means the guard silently
-    # passed bad input (fail).
-    expect_raise = set(
-        x for x in os.environ.get("GRAFT_EXPECT_RAISE", "").split(",") if x)
+    # GRAFT_EXPECT_RAISE: comma-separated `name` or `name=msg_substring`
+    # entries for queries whose input CONTRACT requires them to raise on
+    # the corpus under test (the sampling family raise_error-guards NULL
+    # scores/weights/tokens — null_check.py sets this). For those, a
+    # MISSING spark output is the contract firing — but only if Verify's
+    # errors.json recorded a raise_error (USER_RAISED_EXCEPTION) whose
+    # message carries the operator's contract text (ADVICE r9: a genuine
+    # crash — OOM, NPE, unrelated analysis error — must NOT pass green).
+    expect_raise = {}
+    for x in os.environ.get("GRAFT_EXPECT_RAISE", "").split(","):
+        if x:
+            name, _, pat = x.partition("=")
+            expect_raise[name] = pat
+    try:
+        verify_errors = json.load(open(f"{OUT}/errors.json"))
+    except Exception:
+        verify_errors = None  # pre-upgrade Verify output: fall back
     for name in declared:
         if name in expect_raise:
             n_bad += 1
@@ -147,8 +181,27 @@ def main():
     missing = [k for k in oracle if k not in declared]
     for m in missing:
         if m in expect_raise:
-            n_ok += 1
-            print(f"[ok]   {m} (contract raise on invalid input)")
+            chain = (verify_errors or {}).get(m)
+            if verify_errors is None:
+                n_ok += 1
+                print(f"[ok]   {m} (contract raise; errors.json absent — "
+                      "failure mode unverified)")
+            elif chain is None:
+                n_bad += 1
+                print(f"[FAIL] {m}: expected contract raise but Verify "
+                      "recorded no error (output silently missing)")
+            elif "USER_RAISED_EXCEPTION" not in chain:
+                n_bad += 1
+                print(f"[FAIL] {m}: expected contract raise_error, got: "
+                      f"{chain[:300]}")
+            elif expect_raise[m] and expect_raise[m] not in chain:
+                n_bad += 1
+                print(f"[FAIL] {m}: raise message lacks contract text "
+                      f"'{expect_raise[m]}': {chain[:300]}")
+            else:
+                n_ok += 1
+                print(f"[ok]   {m} (contract raise verified: "
+                      f"{expect_raise[m] or 'USER_RAISED_EXCEPTION'})")
         else:
             n_bad += 1
             print(f"[FAIL] {m}: spark output missing (query crashed?)")

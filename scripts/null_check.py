@@ -84,10 +84,12 @@ print(f"[null] corpus rewritten with injected NULLs at {DST}")
 # check_oracle turns these into [ok (contract raise)] and fails if any
 # of them silently produces rows instead.
 CONTRACT_RAISE = ",".join([
-    "q114_adaptive_quality_floor",   # NULL quality score
-    "q121_token_budget_sample",      # NULL token count
-    "q122_matched_contrast_sample",  # NULL stratum/bucket key
-    "q138_pps_sample",               # NULL token weight
+    # name=message-substring: check_oracle verifies the recorded raise IS
+    # the operator's contract raise_error, not an unrelated crash
+    "q114_adaptive_quality_floor=adaptiveQualityFloor: NULL score",
+    "q121_token_budget_sample=tokenBudgetSample: NULL token count",
+    "q122_matched_contrast_sample=matchedSample: NULL",
+    "q138_pps_sample=systematicPps: NULL weight",
 ])
 
 env = dict(os.environ, GRAFT_EXPECT_RAISE=CONTRACT_RAISE)

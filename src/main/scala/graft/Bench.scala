@@ -41,6 +41,15 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // Contention provenance (VERDICT r9 item 7): the committed-vs-driver
+    // bench gap on this shared box is scheduler noise; recording the
+    // 1-min loadavg at start/end and EVERY rep's time (not just the min)
+    // lets adjudication read contention off the artifact instead of
+    // re-running in a quiet window.
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadavg
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -57,19 +66,23 @@ object Bench {
         (dt, ok)
       }
       val ok = times.forall(_._2)
-      (name, times.map(_._1).min, ok)
+      (name, times.map(_._1).min, ok, times.map(_._1))
     }
+    val loadEnd = loadavg
     // Failed queries are reported explicitly (null time + a failed list)
     // and excluded from the total, so a crash can't silently understate
     // the benchmark while looking like full coverage.
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) v.toString else "null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val repsSec = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"reps_sec":$repsSec,"loadavg":{"start":$loadStart,"end":$loadEnd},"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver scrapes the stdout line, but long runs' logs truncate
     // (round 7 lost q01–q40's official cells that way) — so also persist
@@ -77,14 +90,17 @@ object Bench {
     // write-temp-then-atomic-rename: a crash or full disk mid-write must
     // not truncate the previous run's table — truncation is the very
     // failure mode this file guards against
+    // A TARGETED run (SPARK_GRAFT_ONLY) must never clobber the official
+    // full-table record — it lands in BENCH_partial.json instead.
+    val artifact = if (only.isEmpty) "BENCH_full.json" else "BENCH_partial.json"
     try {
-      val tmp = java.nio.file.Paths.get("BENCH_full.json.tmp")
+      val tmp = java.nio.file.Paths.get(artifact + ".tmp")
       java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_full.json"),
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(artifact),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] BENCH_full.json not written: $e")
+      System.err.println(s"[bench] $artifact not written: $e")
     }
     spark.stop()
   }

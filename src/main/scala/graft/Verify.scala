@@ -16,10 +16,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query failure record (ADVICE r9): the raised class + message
+    // chain goes to errors.json so the gate can assert an EXPECTED
+    // contract raise actually raised the contract error (raise_error →
+    // USER_RAISED_EXCEPTION with the operator's message), not an OOM /
+    // NPE / analysis error that happens to also produce no output.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(8).map(t => s"${t.getClass.getName}: ${t.getMessage}")
+          .mkString(" <- ")
+        errors(name) = chain
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -38,6 +48,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -711,8 +711,12 @@ object Dedup {
   def appendSignatureBuckets(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
       nGroups: Int = 64, splits: Int = 1, shingler: Column => Column = null): Unit =
-    writeSignatureBuckets(df, idCol, textCol, path, numHashes, bands,
-      shingleSize, nGroups, splits, shingler, "append")
+    // serialized vs other appends/compacts/restages of this store —
+    // concurrency-safety rationale at Layout.withTableWriteLock
+    graft.sources.Layout.withTableWriteLock(df.sparkSession, path) {
+      writeSignatureBuckets(df, idCol, textCol, path, numHashes, bands,
+        shingleSize, nGroups, splits, shingler, "append")
+    }
 
   private def writeSignatureBuckets(df: DataFrame, idCol: String,
       textCol: String, path: String, numHashes: Int, bands: Int,
@@ -746,8 +750,10 @@ object Dedup {
     * before/after). Returns the number of dirs rewritten. */
   def compactSignatureBuckets(spark: org.apache.spark.sql.SparkSession,
       path: String, maxFiles: Int = 8, targetBytes: Long = 128L << 20): Int =
-    graft.sources.Layout.compactHiveDirs(spark, path, "bgrp=", maxFiles,
-      targetBytes)
+    graft.sources.Layout.withTableWriteLock(spark, path) {
+      graft.sources.Layout.compactHiveDirs(spark, path, "bgrp=", maxFiles,
+        targetBytes)
+    }
 
   // ---- duplicated-span statistics (ExactSubstr family, q86's operator) ----
 

@@ -191,6 +191,33 @@ object Similarity {
     java.lang.Long.toBinaryString(math.max((n + t - 1) / t - 1, 0L)).length
   }
 
+  /** Corpus row count feeding the auto-knob rules
+    * ([[occupancyBits]]-derived plane counts / quantizer k), memoized per
+    * (session, canonicalized plan) so repeated invocations over the same
+    * corpus — q48/q82/q97/q125 in one Verify/Bench run, or bench reps —
+    * pay the narrow count scan ONCE, not once per plan construction
+    * (ADVICE r9). The memo assumes the corpus is immutable for the
+    * session's lifetime (true for a batch run over parquet snapshots);
+    * a long-lived session whose underlying table grows should
+    * [[clearCountCache]] so the knobs re-derive.
+    *
+    * PARITY CONTRACT: pass the same UNFILTERED corpus the oracle's
+    * COUNT(*) sees — the derived knob is mirrored integer-exactly in
+    * DuckDB from COUNT(*) of the full table, so deriving it from a
+    * filtered frame would silently diverge the two engines' parameters
+    * (same contract as `targetOccupancy`/`targetCell` themselves). */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]
+  private[graft] def corpusCount(df: DataFrame): Long =
+    countCache.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.analyzed.canonicalized),
+      _ => java.lang.Long.valueOf(df.count())).longValue()
+
+  /** Drop memoized corpus counts (see [[corpusCount]]) — for long-lived
+    * sessions whose tables change between runs. */
+  def clearCountCache(): Unit = countCache.clear()
+
   /** Embedding-cosine near-duplicate pairs: candidates from shared
     * random-hyperplane buckets (the scale path — no n² comparison), exact
     * fixed-point cosine verification. Returns (a, b, cosine), a < b.
@@ -208,7 +235,7 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, planes: Int, dim: Int,
       threshold: Double, targetOccupancy: Option[Long] = None): DataFrame = {
     val planesUsed = targetOccupancy.fold(planes) { t =>
-      math.min(math.max(planes, occupancyBits(emb.count(), t)), 30)
+      math.min(math.max(planes, occupancyBits(corpusCount(emb), t)), 30)
     }
     // NOT persisted: both self-join sides shuffle on `bucket` over an
     // identical subtree, so ReusedExchange computes it once; a .persist()
@@ -435,15 +462,19 @@ object Similarity {
     * proven) — the q113-style ingest contract for ANN. Re-train + restage
     * when drift monitors (q119) say the quantizer has aged. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, newEmb: DataFrame, splits: Int = 1): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    val e = withNorm2(newEmb)
-    val assign = assignCells(e, cents)
-    e.join(assign, "vec_id")
-      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
-      .repartition(col("cell"), pmod(hash(col("vec_id")), lit(splits)))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/assignment")
-  }
+      path: String, newEmb: DataFrame, splits: Int = 1): Unit =
+    // lock keys on the index ROOT (same key as restage/compact), so all
+    // three lifecycle ops of one index serialize — rationale at
+    // Layout.withTableWriteLock
+    graft.sources.Layout.withTableWriteLock(spark, path) {
+      val cents = spark.read.parquet(s"$path/centroids")
+      val e = withNorm2(newEmb)
+      val assign = assignCells(e, cents)
+      e.join(assign, "vec_id")
+        .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
+        .repartition(col("cell"), pmod(hash(col("vec_id")), lit(splits)))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/assignment")
+    }
 
   /** Compact over-fragmented cells of a staged IVF assignment table.
     *
@@ -461,8 +492,10 @@ object Similarity {
     * before/after). */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFiles: Int = 8, targetBytes: Long = 128L << 20): Int =
-    graft.sources.Layout.compactHiveDirs(spark, s"$path/assignment", "cell=",
-      maxFiles, targetBytes)
+    graft.sources.Layout.withTableWriteLock(spark, path) {
+      graft.sources.Layout.compactHiveDirs(spark, s"$path/assignment", "cell=",
+        maxFiles, targetBytes)
+    }
 
   /** IVF ANN top-k against a [[stageIvfIndex]] table: queries rank the
     * staged centroids (broadcast — k rows), keep `nprobe` cells, and the
@@ -488,8 +521,30 @@ object Similarity {
     // long so the join and the q128-shared oracle see one type
     val members = readStagedAssignment(spark, path)
       .withColumn("cell", col("cell").cast("long"))
+    // STATIC partition pruning, not DPP-only: the probed cell set is
+    // bounded by contract (≤ |queries|·nprobe and ≤ kCentroids — the
+    // query batch ranks a broadcast centroid frame), so resolve it
+    // driver-side (one tiny job over queries × centroids) and push a
+    // literal IN filter into the cell-partitioned scan. Dynamic
+    // partition pruning alone is a HEURISTIC here: Spark inserts the
+    // filter `onlyInBroadcast` when its benefit estimate fails, and if
+    // broadcast reuse then doesn't line up the filter silently degrades
+    // to `dynamicpruningexpression(true)` and the probe reads EVERY
+    // cell's files — ProbeIOSpec observed exactly that numerically
+    // before this change (the plan-string pin kept passing). The static
+    // IN prunes at file-listing time at any scale; the 64k cap guards
+    // the degenerate everything-probed case, where pruning buys nothing
+    // anyway and the plain join is correct.
+    val cellList = probes.select("cell").distinct()
+      .limit(65537).collect().map(_.getLong(0)).toSeq
+    val pruned =
+      if (cellList.length <= 65536) members.filter(col("cell").isInCollection(cellList))
+      else members
     val wr = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
-    probes.join(members, Seq("cell")).filter(col("vec_id") =!= col("qid"))
+    // the bounded probe frame is the broadcast build side; the
+    // corpus-sized assignment scan streams
+    probes.hint("broadcast").join(pruned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
       .withColumn("cosine",
         cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
       .withColumn("rank", row_number().over(wr))
@@ -531,7 +586,7 @@ object Similarity {
   def semanticDedup(emb: DataFrame, kCentroids: Int, iters: Int,
       threshold: Double, targetCell: Option[Long] = None): DataFrame = {
     val kUsed = targetCell.fold(kCentroids) { t =>
-      math.max(kCentroids, 1 << math.min(occupancyBits(emb.count(), t), 20))
+      math.max(kCentroids, 1 << math.min(occupancyBits(corpusCount(emb), t), 20))
     }
     val e = withNorm2(emb)
     val assign = assignCells(e, kmeansCentroids(emb, kUsed, iters)
@@ -621,7 +676,7 @@ object Similarity {
     require(sets >= 1, s"sets must be >= 1, got $sets")
     val planesUsed = targetOccupancy.fold(planes) { t =>
       // bucket bits must fit a long with headroom, hence the 30 cap
-      math.min(math.max(planes, occupancyBits(emb.count(), t)), 30)
+      math.min(math.max(planes, occupancyBits(corpusCount(emb), t)), 30)
     }
     val eb = withNorm2(emb).select(col("vec_id"), col("embedding"), col("n2"),
       posexplode(array((0 until sets).map(s =>

@@ -159,7 +159,9 @@ object Extras extends QueryModule {
         col("doc_id"),
         array_contains(toks, "the").as("has_the"),
         array_position(toks, "the").as("the_pos"),
-        element_at(toks, 2).as("second_tok"),
+        // try_: ANSI element_at throws past the end — a single-token doc
+        // must yield NULL like DuckDB's tk[2] (unicode_check class 9)
+        try_element_at(toks, lit(2)).as("second_tok"),
         array_join(reverse(slice(toks, 1, 3)), ",").as("first3_rev")
       ).orderBy("doc_id")
     },

@@ -73,13 +73,46 @@ object Layout {
     if (!activeWrites.add(lockKey))
       throw new java.util.ConcurrentModificationException(
         s"atomicStagedWrite: concurrent restage of $lockKey (single-writer only)")
-    try atomicStagedWriteLocked(fs, root)(write)
+    try withTableWriteLock(spark, path) { atomicStagedWriteLocked(fs, root)(write) }
     finally activeWrites.remove(lockKey)
   }
 
   /** In-process single-writer enforcement for [[atomicStagedWrite]]. */
   private val activeWrites =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-table BLOCKING write lock serializing the mutating lifecycle
+    * ops of one staged table — append batches, minor compactions, and
+    * restages — in-process. Mutual exclusion here is a correctness
+    * requirement, not politeness:
+    *  - two concurrent append jobs share the committer's
+    *    `<path>/_temporary` staging tree, so one job's commit/cleanup
+    *    can delete the other's pending task files — silently LOSING the
+    *    slower batch;
+    *  - an append landing a file into a partition dir between
+    *    compaction's file listing and its move-aside rename gets
+    *    deleted with the old dir — silently losing the batch;
+    *  - an append into a root being restaged lands in the snapshot that
+    *    is about to be moved aside and deleted.
+    * Appends commute, so waiting (never throwing) is the right
+    * semantic — unlike concurrent RESTAGE, which stays a programming
+    * error ([[atomicStagedWrite]] throws). Reentrant so a restage
+    * already holding the lock can nest. READERS take no lock: they keep
+    * the documented read-committed-ish contract (whole parquet files,
+    * once-or-none per compaction swap). In-process scope only — across
+    * processes the scheduler serializes table maintenance, the same
+    * caller contract [[atomicStagedWrite]] documents. */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+  private[graft] def withTableWriteLock[T](
+      spark: org.apache.spark.sql.SparkSession, path: String)(body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = tableLocks.computeIfAbsent(fs.makeQualified(p).toString,
+      _ => new java.util.concurrent.locks.ReentrantLock)
+    lock.lock()
+    try body finally lock.unlock()
+  }
 
   /** Write a small `_`-prefixed metadata file inside a staged table dir
     * (Spark's file index ignores underscore files, like _SUCCESS — the

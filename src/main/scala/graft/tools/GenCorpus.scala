@@ -40,6 +40,10 @@ import org.apache.spark.sql.functions._
   * `<dest>/<table>.parquet` (DuckDB oracle reads the same single files).
   *
   * Usage: runMain graft.tools.GenCorpus <srcDir> <destDir> [replicas=10]
+  *          [tables] — tables is an optional comma list restricting which
+  *        fact tables are generated (e.g. "documents,embeddings" for the
+  *        sf3/sf10 self-join/ANN soaks, whose family reads only those);
+  *        region/nation are always copied. Default: all tables.
   */
 object GenCorpus {
 
@@ -65,9 +69,14 @@ object GenCorpus {
     col(key) + col("rep") * stride
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenCorpus <srcDir> <destDir> [replicas]")
+    require(args.length >= 2,
+      "usage: GenCorpus <srcDir> <destDir> [replicas] [tables]")
     val (src, dest) = (args(0), args(1))
     val n = if (args.length > 2) args(2).toInt else 10
+    val want: String => Boolean =
+      if (args.length > 3)
+        args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else _ => true
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -90,35 +99,36 @@ object GenCorpus {
     def stride(t: String, key: String): Long =
       table(t).agg(max(col(key))).first().getLong(0) + 1
 
-    val custS = stride("customer", "c_custkey")
-    val suppS = stride("supplier", "s_suppkey")
-    val partS = stride("part", "p_partkey")
-    val ordS  = stride("orders", "o_orderkey")
+    // lazy: a subset run must not pay stride scans of skipped tables
+    lazy val custS = stride("customer", "c_custkey")
+    lazy val suppS = stride("supplier", "s_suppkey")
+    lazy val partS = stride("part", "p_partkey")
+    lazy val ordS  = stride("orders", "o_orderkey")
 
-    writeOne(fanOut(table("customer"), n)
+    if (want("customer")) writeOne(fanOut(table("customer"), n)
       .select(off("c_custkey", custS).as("c_custkey"),
         col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
       s"$dest/customer.parquet")
 
-    writeOne(fanOut(table("supplier"), n)
+    if (want("supplier")) writeOne(fanOut(table("supplier"), n)
       .select(off("s_suppkey", suppS).as("s_suppkey"),
         col("s_name"), col("s_nationkey"), col("s_acctbal")),
       s"$dest/supplier.parquet")
 
-    writeOne(fanOut(table("part"), n)
+    if (want("part")) writeOne(fanOut(table("part"), n)
       .select(off("p_partkey", partS).as("p_partkey"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
         col("p_retailprice")),
       s"$dest/part.parquet")
 
-    writeOne(fanOut(table("orders"), n)
+    if (want("orders")) writeOne(fanOut(table("orders"), n)
       .select(off("o_orderkey", ordS).as("o_orderkey"),
         off("o_custkey", custS).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority")),
       s"$dest/orders.parquet")
 
-    writeOne(fanOut(table("lineitem"), n)
+    if (want("lineitem")) writeOne(fanOut(table("lineitem"), n)
       .select(off("l_orderkey", ordS).as("l_orderkey"),
         off("l_partkey", partS).as("l_partkey"),
         off("l_suppkey", suppS).as("l_suppkey"),
@@ -129,6 +139,7 @@ object GenCorpus {
 
     // events: replicate with offset ids; same users/time range (a stream
     // carrying 10× the traffic over the same window)
+    if (want("events")) {
     val ev = graft.core.Tables.events(spark, src) // ns→µs once at the source
     val evS = ev.agg(max(col("event_id"))).first().getLong(0) + 1
     val userS = ev.agg(max(col("user_id"))).first().getLong(0) + 1
@@ -137,8 +148,10 @@ object GenCorpus {
         col("ts"), off("user_id", userS).as("user_id"),
         col("event_type"), col("value"), col("props")),
       s"$dest/events.parquet")
+    }
 
     // documents: replica-local vocabulary (see scaladoc)
+    if (want("documents")) {
     val docs = table("documents")
     val docS = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
     // length-preserving deterministic token rename (see scaladoc); empty
@@ -155,8 +168,10 @@ object GenCorpus {
         col("lang"), col("source"),
         length(text2).cast("long").as("n_chars")),
       s"$dest/documents.parquet")
+    }
 
     // embeddings: fresh deterministic vectors per replica (see scaladoc)
+    if (want("embeddings")) {
     val emb = table("embeddings")
     val embS = emb.agg(max(col("vec_id"))).first().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -169,11 +184,14 @@ object GenCorpus {
         when(col("rep") === 0, col("embedding")).otherwise(fresh).as("embedding"),
         col("label")),
       s"$dest/embeddings.parquet")
-
-    graft.core.Tables.names.foreach { t =>
-      val c = spark.read.parquet(s"$dest/$t.parquet").count()
-      println(s"[gen] $t: $c rows")
     }
+
+    graft.core.Tables.names
+      .filter(t => new java.io.File(s"$dest/$t.parquet").exists)
+      .foreach { t =>
+        val c = spark.read.parquet(s"$dest/$t.parquet").count()
+        println(s"[gen] $t: $c rows")
+      }
     spark.stop()
   }
 }

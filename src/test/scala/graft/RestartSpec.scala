@@ -137,4 +137,73 @@ class RestartSpec extends SparkTestBase {
         s"unrelated docs flagged: $hits")
     }
   }
+
+  test("streamingHeavyHitterAlerts: CMS state AND fired ledger survive a RocksDB restart") {
+    withRocksDb {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[String]
+      graft.streaming.Sinks.BufferingNotifier.buffer.clear()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-hh-rocks").toString
+      def start() = StatefulOps.streamingHeavyHitterAlerts(
+        ms.toDS().toDF("token"), watchlist = Seq("hot", "warm"),
+        threshold = 5L, notifier = new graft.streaming.Sinks.BufferingNotifier,
+        ckpt, width = 64, depth = 3)
+
+      val q1 = start()
+      ms.addData(Seq.fill(5)("hot") ++ Seq.fill(3)("warm"): _*)
+      q1.processAllAvailable(); q1.stop()
+      assert(graft.streaming.Sinks.BufferingNotifier.buffer.size === 1)
+
+      val q2 = start()
+      // "warm" crosses threshold only as 3 (pre-restart) + 2 — the alert
+      // fires iff the complete-mode CMS aggregation state round-tripped
+      // through RocksDB; "hot" stays hot but is in the fired ledger, so
+      // exactly-once holds across the restart
+      ms.addData("warm", "warm", "hot", "hot")
+      q2.processAllAvailable(); q2.stop()
+      val msgs = graft.streaming.Sinks.BufferingNotifier.buffer.toArray
+        .map(_.toString)
+      assert(msgs.length === 2,
+        s"expected [hot pre-restart, warm post-restart], got: ${msgs.toSeq}")
+      assert(msgs(0).contains("token=hot") && msgs(1).contains("token=warm"),
+        s"wrong alert set: ${msgs.toSeq}")
+    }
+  }
+
+  test("keepLatestPerUserTws: transformWithState latest-value survives a RocksDB restart") {
+    withRocksDb {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[graft.streaming.Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-kl-rocks").toString
+      val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      def start() = StatefulOps.keepLatestPerUserTws(ms.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Event], _: Long) =>
+            df.collect().foreach(e => emitted.add(e.event_id))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+      def ev(id: Long, minute: Int): graft.streaming.Event =
+        graft.streaming.Event(id, ts(minute), user_id = 1L, "click", 1.0)
+
+      val q1 = start()
+      ms.addData(ev(1, 2)); q1.processAllAvailable()
+      ms.addData(ev(2, 5)); q1.processAllAvailable()
+      q1.stop()
+
+      // restart: an event OLDER than the pre-restart latest must be
+      // suppressed — only possible if the ValueState recovered from
+      // RocksDB (state loss would make it the fresh "latest" and emit)
+      val q2 = start()
+      ms.addData(ev(3, 3)); q2.processAllAvailable()
+      ms.addData(ev(4, 9)); q2.processAllAvailable()
+      q2.stop()
+
+      import scala.jdk.CollectionConverters._
+      assert(emitted.asScala.toSet === Set(1L, 2L, 4L),
+        "stale event leaked (state lost) or fresh event dropped after restart")
+    }
+  }
 }
