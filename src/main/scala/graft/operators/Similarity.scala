@@ -588,8 +588,22 @@ object Similarity {
     val kUsed = targetCell.fold(kCentroids) { t =>
       math.max(kCentroids, 1 << math.min(occupancyBits(corpusCount(emb), t), 20))
     }
+    // Sample-trained quantizer (the FAISS pattern ivfTrainedTopK already
+    // uses): with the auto-k rule engaged, k grows ~n/t, so FULL-corpus
+    // training costs n·k = n²/t dots — the sf10 soak measured q82/q97
+    // just past the linear budget on exactly this term. Training on the
+    // deterministic prefix `vec_id < max(32·k, 20480)` caps that pass at
+    // 32 training vectors per centroid while the (irreducible) final
+    // full-corpus assignment stays the dominant term. The cap floors to
+    // the WHOLE corpus at every driver gate SF (n ≤ 20480), so gate
+    // outputs are bit-identical to full-corpus training; the rule is
+    // integer-exact from COUNT(*), mirrored by dkSemDedup's tc CTE.
+    // Fixed-k callers (targetCell = None) keep full-corpus training.
+    val trainPred = targetCell.map { _ =>
+      col("vec_id") < lit(math.max(32L * kUsed, 20480L))
+    }
     val e = withNorm2(emb)
-    val assign = assignCells(e, kmeansCentroids(emb, kUsed, iters)
+    val assign = assignCells(e, kmeansCentroids(emb, kUsed, iters, trainPred)
       .withColumn("c_n2", norm2Exact(col("c_emb"))))
     val ev = e.join(assign, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"), col("n2"))

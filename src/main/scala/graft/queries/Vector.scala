@@ -38,7 +38,13 @@ object Vector extends QueryModule {
     * superlinear in the sf1 soak. The integer-exact bit-length
     * derivation matches Similarity.occupancyBits, so both engines train
     * the same k seeds (vec_id < k) at every scale; at every driver gate
-    * SF (n <= 2000) kk yields exactly 8 — outputs unchanged. */
+    * SF (n <= 2000) kk yields exactly 8 — outputs unchanged.
+    *
+    * Training is SAMPLED above the gate SFs (tre: vec_id <
+    * max(32·k, 20480), mirroring semanticDedup's trainPred — the sf10
+    * soak measured the full-corpus training pass pushing q82/q97 past
+    * the linear budget); at n ≤ 20480 the cap covers the whole corpus,
+    * so gate outputs are bit-identical to full-corpus training. */
   private lazy val dkSemDedup = s"""
       kk AS (SELECT greatest(8, 1 << least(
           length(bin(greatest((COUNT(*) + 255) // 256 - 1, 0))), 20)) AS kv
@@ -46,7 +52,9 @@ object Vector extends QueryModule {
       c0 AS (SELECT vec_id AS cid, g.j, CAST(embedding[g.j] AS DOUBLE) AS comp
         FROM embeddings, generate_series(1, 64) g(j)
         WHERE vec_id < (SELECT kv FROM kk)),
-      ${dkKmIter("c0", "c1")},
+      tre AS (SELECT * FROM embeddings
+        WHERE vec_id < (SELECT greatest(32 * kv, 20480) FROM kk)),
+      ${dkKmIter("c0", "c1", "tre")},
       fn2 AS (SELECT cid, ${dkDecSum("comp * comp")} AS cn2 FROM c1 GROUP BY cid),
       fd AS (SELECT e.vec_id, c.cid,
         ${dkDecSum("CAST(e.embedding[c.j] AS DOUBLE) * c.comp")} AS dot
