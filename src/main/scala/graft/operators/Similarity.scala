@@ -599,8 +599,11 @@ object Similarity {
     // outputs are bit-identical to full-corpus training; the rule is
     // integer-exact from COUNT(*), mirrored by dkSemDedup's tc CTE.
     // Fixed-k callers (targetCell = None) keep full-corpus training.
-    val trainPred = targetCell.map { _ =>
-      col("vec_id") < lit(math.max(32L * kUsed, 20480L))
+    val trainPred = targetCell.flatMap { _ =>
+      val cap = math.max(32L * kUsed, 20480L)
+      // cap covers the corpus at gate SFs: omit the no-op filter so the
+      // plan (and every subtree reuse) is bit-identical to full training
+      if (corpusCount(emb) <= cap) None else Some(col("vec_id") < lit(cap))
     }
     val e = withNorm2(emb)
     val assign = assignCells(e, kmeansCentroids(emb, kUsed, iters, trainPred)
