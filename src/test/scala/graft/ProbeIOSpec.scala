@@ -117,6 +117,33 @@ class ProbeIOSpec extends SparkTestBase {
       s"postings scan surfaced ALL $totalRows rows (footer-skip dead)")
   }
 
+  test("q131 itself: the static cell IN filter is wired into the query's assignment scan") {
+    // the operator-level pin above proves pruning numerically on a
+    // fixture where few cells are probed; q131's own query set is HALF
+    // the corpus, so all k=8 cells are legitimately probed and equality
+    // is the correct read count. What must hold on the real query is
+    // the WIRING: the scan carries the driver-resolved IN partition
+    // filter (so narrow query batches prune), and reads exactly the
+    // probed cells' files — never more.
+    val df = SparkEntry.queries("q131_ann_ivf_staged")(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val scans = scansUnder(df, "graft_staged_ivf_")
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("assignment")))
+    assert(scans.nonEmpty, "no staged-assignment scan in q131's final plan")
+    assert(scans.exists(_.partitionFilters.exists(_.toString.contains(" IN "))),
+      s"driver-resolved cell IN filter missing from the scan: " +
+        scans.map(_.partitionFilters).mkString(" | "))
+    val read = scans.map(_.metrics("numFiles").value).sum
+    val root = scans.head.relation.location.rootPaths.head.toString
+      .stripPrefix("file:")
+    val total = dataFiles(new java.io.File(root)).size
+    val probedCells = rows.map(_.getLong(2)).distinct.length // (qid, vid, cell, …)
+    assert(read <= total)
+    assert(read >= probedCells.toLong,
+      s"scan claims $read files but output spans $probedCells cells")
+  }
+
   test("staged-signature probe: documents scanned once (batch only); staged table bounded") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
     val dir = java.nio.file.Files.createTempDirectory("graft-io-sig").toString
