@@ -35,12 +35,14 @@ object VectorFunctions {
     scaledSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   /** Exact (fixed-point) dot product of two float/double-array columns —
-    * codegen'd custom expression; float→double element casts are exact so
-    * values equal the HOF form bit-for-bit. Requires
-    * GraftFunctions.register on the session (operators do this). */
+    * codegen'd custom expression; float elements widen per-element
+    * INSIDE the loop (exact, so values equal the HOF form bit-for-bit)
+    * rather than through a per-row `cast(array<double>)` that would
+    * materialize a fresh array per side per row (see FixedPointDot's
+    * scaladoc for the at-scale cost). Requires GraftFunctions.register
+    * on the session (operators do this). */
   def dotExact(a: Column, b: Column): Column =
-    GraftFunctions.fixedDot(a.cast("array<double>"), b.cast("array<double>"))
-      .cast("double") / Scale
+    GraftFunctions.fixedDot(a, b).cast("double") / Scale
 
   /** Exact squared L2 norm. */
   def norm2Exact(a: Column): Column = dotExact(a, a)

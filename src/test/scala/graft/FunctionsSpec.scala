@@ -31,6 +31,25 @@ class FunctionsSpec extends SparkTestBase {
     got.foreach { case (cg, hof) => assert(cg === hof) }
   }
 
+  test("FixedPointDot reads float arrays natively — no analyzer cast, mixed sides exact") {
+    GraftFunctions.register(spark)
+    import graft.functions.VectorFunctions
+    val df = Seq((Array(1.5f, -2.25f), Array(0.5, 4.0))).toDF("f", "d")
+    // float-only and mixed float/double sides: widened in-loop, bit-exact
+    val m = df.select(VectorFunctions.dotExact(col("f"), col("d")).as("v"))
+      .as[Double].head()
+    assert(m === (1.5 * 0.5 + -2.25 * 4.0))
+    // the analyzer must NOT insert a cast above a float-array side (that
+    // cast is the per-row-array allocation this expression exists to avoid)
+    val plan = df.select(VectorFunctions.dotExact(col("f"), col("f")))
+      .queryExecution.analyzed.toString
+    assert(!plan.toLowerCase.contains("cast(f"), plan)
+    // other numeric arrays still implicit-cast to array<double>
+    val viaInt = spark.sql("SELECT graft_fixed_dot(array(1, 2), array(3, 4)) AS s")
+      .as[Long].head()
+    assert(viaInt === 11L * (1L << 58))
+  }
+
   test("FixedPointDot diverges from HOF form on unequal lengths / null elements (documented)") {
     GraftFunctions.register(spark)
     import graft.functions.VectorFunctions
