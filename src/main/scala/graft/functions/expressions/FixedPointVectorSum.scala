@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ImplicitCastInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Elementwise fixed-point vector sum aggregate: buffer(j) accumulates
   * Σ floor(x_j · 2^40) as int64 over all input arrays — the exact partial
@@ -22,6 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * diverge from the per-component COUNT(x) division of the SQL mirror,
   * so such inputs fail the task loudly instead. Empty groups evaluate to
   * NULL.
+  *
+  * Accepts `array<float>` natively (like [[FixedPointDot]]): the float
+  * element widens exactly inside the update loop, so the raw embeddings
+  * column feeds the aggregate without a per-row `cast(array<double>)`
+  * allocation over the whole corpus. Values are bit-identical to the
+  * cast form; other element types still implicit-cast to array<double>.
   */
 case class FixedPointVectorSum(
     child: Expression,
@@ -33,7 +39,15 @@ case class FixedPointVectorSum(
   private val Scale = 1099511627776.0
 
   override def children: Seq[Expression] = Seq(child)
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+
+  private def isFloatChild: Boolean =
+    child.resolved && (child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+
+  override def inputTypes: Seq[DataType] =
+    Seq(if (isFloatChild) ArrayType(FloatType) else ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_fpvec_sum"
@@ -56,11 +70,13 @@ case class FixedPointVectorSum(
         s"(${buffer.length} vs $n) — mixed dimensionality breaks the " +
         "elementwise sum contract")
     val b = if (buffer.length >= n) buffer else java.util.Arrays.copyOf(buffer, n)
+    val fl = isFloatChild
     var j = 0
     while (j < n) {
       require(!v.isNullAt(j),
         s"graft_fpvec_sum: NULL element at index $j — vectors must be dense")
-      b(j) += math.floor(v.getDouble(j) * Scale).toLong
+      val x = if (fl) v.getFloat(j).toDouble else v.getDouble(j)
+      b(j) += math.floor(x * Scale).toLong
       j += 1
     }
     b

@@ -96,8 +96,7 @@ object Similarity {
     require(topN >= 1)
     val e = withNorm2(emb)
     val cents = e.groupBy(col("label"))
-      .agg(graft.functions.GraftFunctions.fpVecSum(
-          col("embedding").cast("array<double>")).as("s"),
+      .agg(graft.functions.GraftFunctions.fpVecSum(col("embedding")).as("s"),
         count(lit(1)).as("n"))
       .select(col("label"), transform(col("s"),
         v => (v.cast("double") / lit(1099511627776.0)) / col("n")).as("c_emb"))
@@ -359,7 +358,7 @@ object Similarity {
       val assign = assignCells(tr,
         cents.withColumn("c_n2", norm2Exact(col("c_emb"))))
       val means = tr
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .select(col("vec_id"), col("embedding").as("emb"))
         .join(assign, "vec_id")
         .groupBy(col("cell"))
         .agg(graft.functions.GraftFunctions.fpVecSum(col("emb")).as("s"),

@@ -29,7 +29,19 @@ object Extras extends QueryModule {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+      // df from tf, not tok: tf's rows are already the distinct (doc_id, t)
+      // pairs, so COUNT(*) per term equals COUNT(DISTINCT doc_id) over the
+      // raw tokens — the old countDistinct planned an Expand that
+      // multiplied every token 2× through the first shuffle; this plans a
+      // plain re-aggregation. The tokenize subtree still evaluates twice
+      // (column pruning drops tf's count in this branch, which
+      // de-canonicalizes the two (doc_id, t) exchanges and defeats
+      // ReuseExchange — count(col("tf")) doesn't help, the optimizer
+      // normalizes it back to count(1)); the corpus SCAN itself is shared,
+      // and forcing single evaluation would need a corpus-scale persist or
+      // a term-partitioned window (unsalvageable skew on stopword terms) —
+      // both worse trades at scale than one extra map-side tokenize.
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
       // Corpus size as a broadcast 1-row frame inside the same job — a
       // driver-side .count() at plan-build time would run an extra job per
       // build and bake a stale constant into the plan.

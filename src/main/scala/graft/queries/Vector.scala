@@ -691,8 +691,7 @@ object Vector extends QueryModule {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, d)
         .groupBy("label")
-        .agg(graft.functions.GraftFunctions.fpVecSum(
-            col("embedding").cast("array<double>")).as("s"),
+        .agg(graft.functions.GraftFunctions.fpVecSum(col("embedding")).as("s"),
           count(lit(1)).as("n"))
         .select(col("label"), array_join(
           transform(col("s"), v =>
@@ -810,8 +809,7 @@ object Vector extends QueryModule {
       graft.functions.GraftFunctions.register(s)
       def gridCentroids(df: org.apache.spark.sql.DataFrame) = df
         .groupBy("label")
-        .agg(graft.functions.GraftFunctions.fpVecSum(
-            col("embedding").cast("array<double>")).as("s"),
+        .agg(graft.functions.GraftFunctions.fpVecSum(col("embedding")).as("s"),
           count(lit(1)).as("n"))
         .select(col("label"), transform(col("s"), v =>
           floor(((v.cast("double") / 1099511627776.0) / col("n")) * 1048576.0)

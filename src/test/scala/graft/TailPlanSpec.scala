@@ -117,6 +117,36 @@ class TailPlanSpec extends SparkTestBase {
       s"non-equi join in CC/keep-one:\n$plan")
   }
 
+  test("q56 tfidf: corpus tokenized ONCE — df derives from tf, no distinct expand") {
+    val plan = executedPlan("q56_tfidf_top_terms")
+    // two documents scans: the shared corpus read feeding both tokenize
+    // branches plus the corpus-size COUNT(*) frame, which reads ZERO
+    // columns (parquet footer counts). More means the scan sharing broke.
+    assert(scans(plan, "documents") <= 2,
+      s"corpus scan no longer shared between tf and df:\n$plan")
+    // the tokenize evaluates once per branch (column pruning
+    // de-canonicalizes the two aggregates — see the query comment); a
+    // THIRD explode means a branch stopped deriving df from tf
+    assert("Generate explode".r.findAllIn(plan).size <= 2,
+      s"df no longer derived from the tf aggregation:\n$plan")
+    // COUNT(DISTINCT doc_id) over raw tokens plans an Expand (row
+    // multiplication through the first shuffle) — df must instead count
+    // tf's already-distinct (doc_id, t) rows
+    assert(!plan.contains("Expand"),
+      s"distinct-expand crept back into the df branch:\n$plan")
+  }
+
+  test("q37/q103 centroids: float embeddings feed the fixed-point aggregates cast-free") {
+    // the per-row cast(embedding AS array<double>) materialized a fresh
+    // array per row per side before the float-native expressions; a cast
+    // above the embeddings scan in these plans means the allocation is back
+    for (q <- Seq("q37_label_centroids", "q103_centroid_outliers")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("as array<double>"),
+        s"$q: per-row array<double> cast reappeared over the corpus:\n$plan")
+    }
+  }
+
   test("q97 hybrid curation: semantic pair join stays cell-keyed") {
     val plan = executedPlan("q97_hybrid_curation")
     assert(!plan.contains("CartesianProduct"),
