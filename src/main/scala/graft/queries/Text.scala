@@ -1707,7 +1707,11 @@ object Text extends QueryModule {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok").isInCollection(terms))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfr = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      // df from tf (its rows are the distinct (doc_id, tok) pairs): same
+      // value as COUNT(DISTINCT doc_id) over raw tokens without the
+      // Expand row-multiplication through the shuffle (the q56 rationale;
+      // here the distinct set is O(docs × |terms|) after the term filter)
+      val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = dfr.crossJoin(nd)
         .select(col("tok"), expr("(1000000L * n_docs) DIV df").as("w"))

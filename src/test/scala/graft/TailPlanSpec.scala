@@ -136,6 +136,17 @@ class TailPlanSpec extends SparkTestBase {
       s"distinct-expand crept back into the df branch:\n$plan")
   }
 
+  test("q129 keyword search: df derives from tf's distinct pairs, no distinct expand") {
+    val plan = executedPlan("q129_keyword_search")
+    // same rationale as the q56 pin: COUNT(DISTINCT doc_id) over the
+    // term-filtered token stream plans an Expand (row multiplication
+    // through the first shuffle); df must instead count tf's
+    // already-distinct (doc_id, tok) rows
+    assert(!plan.contains("Expand"),
+      s"distinct-expand crept back into the df branch:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q37/q103 centroids: float embeddings feed the fixed-point aggregates cast-free") {
     // the per-row cast(embedding AS array<double>) materialized a fresh
     // array per row per side before the float-native expressions; a cast
