@@ -23,7 +23,8 @@ object Plans {
     "q90_ann_recall" -> "ANN recall eval: ONE scored pair frame (single corpus scan + query broadcast), ranked twice — global exact rank and in-bucket ANN rank — then one grouped overlap count",
     "q101_hard_negatives" -> "hard-negative mining: broadcast query set with the cross-label predicate inside the join, one corpus pass, per-query top-k window",
     "q102_dsir_weights" -> "DSIR weights: ONE bucket-count aggregation broadcast back to the feature stream, (id, bucket) re-agg, one-row totals crossJoin as BroadcastNestedLoopJoin",
-    "q103_centroid_outliers" -> "centroid outliers: label centroids from one array-buffer partial agg, broadcast back, map-side distances, per-label rank window",
+    "q103_centroid_outliers" -> "centroid outliers: label centroids from one float-native array-buffer partial agg (no per-row cast allocation above the scan), broadcast back, map-side distances, per-label rank window",
+    "q56_tfidf_top_terms" -> "TF-IDF: corpus tokenized once, df counted from tf's already-distinct (doc, term) rows — no COUNT(DISTINCT) Expand row-multiplication through the first shuffle",
     "q107_embedding_covariance" -> "covariance: per-row triangle products into ONE global array-buffer aggregate (partial + final, no dim-pair explode), single-row posexplode unfurl",
     "q112_staged_incremental_dedup" -> "staged-signature probe: the new batch is the ONLY documents scan (the corpus side reads the bkey-clustered signature table) — the once-per-snapshot staging cost is absent from the per-batch plan",
     "q113_incremental_clusters" -> "incremental CC: existing labels replayed as star edges + new pairs, one checkpointed pair materialization shared by both consumers — CC input is labels + new pairs, never the pair history",
@@ -31,7 +32,7 @@ object Plans {
     "q119_centroid_drift" -> "centroid drift: two array-buffer centroid aggregates (one per snapshot slice), label-count-sized equi-join, grid-floored integer distance",
     "q52_percentiles" -> "exact percentiles by two-pass selection: bounded (group x bin) histogram aggregate, offset window locates candidate bins, ONLY those bins sort — no per-group value buffer, state bounded at any scale",
     "q125_ann_corpus_neighbors" -> "corpus-vs-corpus ANN: hinted SortMergeJoin on (set, bucket) — zero BroadcastExchange, LSH-bounded candidates, dedup before score; the query shape a broadcast side cannot run",
-    "q129_keyword_search" -> "keyword search: exploded tokens filtered to query terms map-side, query-term-sized weight frame broadcast, score partial-agg, global top-10 via TakeOrderedAndProject heaps — no global sort",
+    "q129_keyword_search" -> "keyword search: exploded tokens filtered to query terms map-side, df counted from tf's already-distinct pairs (no distinct Expand), query-term-sized weight frame broadcast, score partial-agg, global top-10 via TakeOrderedAndProject heaps — no global sort",
     "q130_repeated_run" -> "repeated-run detector: gaps-and-islands windows keyed on doc (parallel across docs, no SinglePartition), run census as one partial-agg count",
     "q68_approx_percentiles" -> "approx percentiles, bounded everywhere: two-pass exact selection + one-pass mergeable sketch scan meeting in a 3-row join — no corpus repartition, no per-group value buffers",
     "q132_cms_heavy_hitters" -> "Count-Min sketch: one-pass fixed-size counter-grid aggregate (elementwise-add partials), one-row sketch broadcast as BroadcastNestedLoopJoin, LEAST-of-array-probes estimation",
