@@ -181,21 +181,37 @@ object Extras extends QueryModule {
     // ---- §1.3 data model: MapType projection from JSON events ----
     // Map keys/values are serialized (array_join) at the SELECT boundary:
     // the driver's pandas compare gate cannot sort array/map cells.
+    // Malformed-input contract (scripts/json_check.py): the map parses
+    // values as STRINGS (a typed Long map would NULL the whole map on one
+    // non-numeric value, while json_keys still lists the keys), each
+    // value try_casts individually (NULLs are SKIPPED by array_join /
+    // array_to_string in both engines), and every column is NULL for
+    // invalid/non-object documents. The oracle guards json_keys /
+    // json_extract_string behind json_valid (DuckDB throws on malformed
+    // JSON) and COALESCEs the empty-object key list (json_keys('{}')
+    // composes to NULL, Spark's map_keys(empty map) to '').
     Q("q66_map_ops", Some("""
       SELECT event_id,
-        array_to_string(json_keys(props), ',') AS ks,
-        CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS vs,
-        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+          THEN COALESCE(array_to_string(json_keys(props), ','), '') END AS ks,
+        CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+          THEN COALESCE(array_to_string(list_transform(json_keys(props),
+            x -> TRY_CAST(json_extract_string(props, '$.' || x) AS BIGINT)),
+            ','), '') END AS vs,
+        CASE WHEN json_valid(props)
+          THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_val
       FROM events ORDER BY event_id""")) { (s, d) =>
       val m = from_json(col("props"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.LongType))
+          org.apache.spark.sql.types.StringType))
+      val longTy = org.apache.spark.sql.types.LongType
       Tables.events(s, d).select(
         col("event_id"),
         array_join(map_keys(m), ",").as("ks"),
-        array_join(transform(map_values(m), _.cast("string")), ",").as("vs"),
-        element_at(m, "k").as("k_val")
+        array_join(transform(map_values(m), _.try_cast(longTy).cast("string")),
+          ",").as("vs"),
+        try_element_at(m, lit("k")).try_cast(longTy).as("k_val")
       ).orderBy("event_id")
     },
 
@@ -264,7 +280,7 @@ object Extras extends QueryModule {
           CASE WHEN json_type('x' || props) = 'OBJECT' THEN 1 END END)
           AS n_valid_corrupt,
         CAST(SUM(CASE WHEN json_valid(props)
-          THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT)
+          THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT)
           AS sum_k
       FROM events GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
       // Corrupt input uses LEADING garbage: Spark's JSON parsers tolerate

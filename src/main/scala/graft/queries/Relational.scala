@@ -283,14 +283,27 @@ object Relational extends QueryModule {
     },
 
     // ---- P1/F7: JSON field projection with typed extraction ----
+    // Malformed-input contract (scripts/json_check.py): invalid JSON,
+    // a non-numeric/overflowing/missing k, and non-object documents all
+    // contribute NULL to the sum in BOTH engines — the Spark side parses
+    // via from_json(map) (NULL on any malformed input, where
+    // get_json_object's early-exit can still "extract" from a truncated
+    // document DuckDB rejects) + try_cast; the oracle guards
+    // json_extract_string behind json_valid (DuckDB THROWS on malformed
+    // JSON) and TRY_CASTs the text.
     Q("q18_json_extract", Some("""
       SELECT event_type,
         COUNT(*) AS n,
-        CAST(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS DOUBLE)
-          / COUNT(*) AS avg_k
+        CAST(CAST(SUM(CASE WHEN json_valid(props)
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+          AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_k
       FROM events GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
+      val mapTy = org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)
       Tables.events(s, d)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .withColumn("k", try_element_at(from_json(col("props"), mapTy), lit("k"))
+          .try_cast(org.apache.spark.sql.types.LongType))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
@@ -301,13 +314,16 @@ object Relational extends QueryModule {
     Q("q19_regex_filter", Some(s"""
       SELECT event_type, COUNT(*) AS n,
         ${sqlSum("value")} AS sum_value,
-        CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+        CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
       FROM events
       WHERE regexp_matches(event_type, '^(purchase|signup)$$')
       GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
       Tables.events(s, d)
         .filter(col("event_type").rlike("^(purchase|signup)$"))
-        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint"))
+        // no-match regexp_extract returns '' in both engines; try_cast
+        // keeps it NULL where an ANSI cast would throw (json_check gate)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .try_cast(org.apache.spark.sql.types.LongType))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
           sum(col("k")).as("sum_k"))
