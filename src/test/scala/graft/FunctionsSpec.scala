@@ -416,4 +416,43 @@ class FunctionsSpec extends SparkTestBase {
       .agg(Num.dcorr(col("x"), col("y"))).as[Double].head()
     assert(r <= 1.0 && r >= 0.999, s"got $r")
   }
+
+  test("malformed-JSON parse contract: the semantics q18/q66 rely on, per pathology class") {
+    // Pins the SPARK behaviors the json_check gate's oracle mirrors were
+    // built against (each DuckDB-verified): from_json(map<string,string>)
+    // is NULL for invalid/non-object input, keeps keys when one value is
+    // wrong-typed, parses {} to an EMPTY (non-null) map, renders nested
+    // values as raw text; try_cast NULLs every non-integral extract. A
+    // Spark upgrade changing any of these breaks oracle parity — this
+    // catches it in `sbt test`, without the python gate.
+    val mapTy = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType)
+    val longTy = org.apache.spark.sql.types.LongType
+    // (props, expected ks, expected k_val) — ks NULL means "no object"
+    val cases = Seq(
+      ("""{"k": 42}""", "k", 42L: java.lang.Long),
+      ("""{"k": 4""", null, null),            // truncated: whole parse NULL
+      ("not json at all", null, null),
+      ("", null, null),
+      ("null", null, null),                   // valid JSON, not an object
+      ("""{"k": "str12"}""", "k", null),      // keys survive a bad value
+      ("""{"a": 1, "k": 7, "zz": 3}""", "a,k,zz", 7L: java.lang.Long),
+      ("""{"k": {"deep": 1}}""", "k", null),  // raw text dies in try_cast
+      ("""{"k": 12345678901234567890123}""", "k", null), // int64 overflow
+      ("""{"k": "é😀"}""", "k", null),
+      ("""   {"k": 5}   """, "k", 5L: java.lang.Long),
+      ("""{"k": null}""", "k", null),
+      ("{}", "", null))                       // empty map, not NULL map
+    val df = cases.map(_._1).toDF("props")
+    val m = from_json(col("props"), mapTy)
+    val got = df.select(
+      array_join(map_keys(m), ",").as("ks"),
+      try_element_at(m, lit("k")).try_cast(longTy).as("k_val"))
+      .collect()
+    cases.zip(got).foreach { case ((props, ks, kv), row) =>
+      assert(row.get(0) === ks, s"ks for $props")
+      assert(row.get(1) === kv, s"k_val for $props")
+    }
+  }
 }
