@@ -285,12 +285,14 @@ object Relational extends QueryModule {
     // ---- P1/F7: JSON field projection with typed extraction ----
     // Malformed-input contract (scripts/json_check.py): invalid JSON,
     // a non-numeric/overflowing/missing k, and non-object documents all
-    // contribute NULL to the sum in BOTH engines — the Spark side parses
-    // via from_json(map) (NULL on any malformed input, where
-    // get_json_object's early-exit can still "extract" from a truncated
-    // document DuckDB rejects) + try_cast; the oracle guards
-    // json_extract_string behind json_valid (DuckDB THROWS on malformed
-    // JSON) and TRY_CASTs the text.
+    // contribute NULL to the sum in BOTH engines. get_json_object NULLs
+    // on truncated/garbage input (probed class-by-class — it does NOT
+    // early-exit a truncated document; its one deviation, trailing
+    // garbage after a complete object, is shared by every Spark JSON
+    // parser and excluded from the gate, the q60 constraint); try_cast
+    // NULLs the non-numeric extracts where an ANSI cast would throw.
+    // The oracle guards json_extract_string behind json_valid (DuckDB
+    // THROWS on malformed JSON) and TRY_CASTs the text.
     Q("q18_json_extract", Some("""
       SELECT event_type,
         COUNT(*) AS n,
@@ -298,11 +300,8 @@ object Relational extends QueryModule {
             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END)
           AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_k
       FROM events GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
-      val mapTy = org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.StringType)
       Tables.events(s, d)
-        .withColumn("k", try_element_at(from_json(col("props"), mapTy), lit("k"))
+        .withColumn("k", get_json_object(col("props"), "$.k")
           .try_cast(org.apache.spark.sql.types.LongType))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -429,7 +429,10 @@ class FunctionsSpec extends SparkTestBase {
       org.apache.spark.sql.types.StringType,
       org.apache.spark.sql.types.StringType)
     val longTy = org.apache.spark.sql.types.LongType
-    // (props, expected ks, expected k_val) — ks NULL means "no object"
+    // (props, expected ks, expected k_val) — ks NULL means "no object";
+    // k_val must agree between the q66 map path and q18's cheaper
+    // get_json_object streaming path on every class (probed: NO
+    // early-exit extraction from truncated documents)
     val cases = Seq(
       ("""{"k": 42}""", "k", 42L: java.lang.Long),
       ("""{"k": 4""", null, null),            // truncated: whole parse NULL
@@ -448,11 +451,23 @@ class FunctionsSpec extends SparkTestBase {
     val m = from_json(col("props"), mapTy)
     val got = df.select(
       array_join(map_keys(m), ",").as("ks"),
-      try_element_at(m, lit("k")).try_cast(longTy).as("k_val"))
+      try_element_at(m, lit("k")).try_cast(longTy).as("k_val"),
+      get_json_object(col("props"), "$.k").try_cast(longTy).as("k_gjo"))
       .collect()
     cases.zip(got).foreach { case ((props, ks, kv), row) =>
       assert(row.get(0) === ks, s"ks for $props")
       assert(row.get(1) === kv, s"k_val for $props")
+      assert(row.get(2) === kv, s"get_json_object k for $props")
     }
+    // the ONE tolerated Spark-vs-DuckDB deviation, shared by both Spark
+    // parsers: trailing garbage after a complete object still parses
+    // (DuckDB's json_valid rejects it) — which is why the json gate's
+    // corrupt classes and q60's corrupt-probe use LEADING/truncating
+    // corruption only. Pin it so a Jackson behavior change is noticed.
+    val trail = Seq("""{"k": 4}garbage""").toDF("props").select(
+      get_json_object(col("props"), "$.k").try_cast(longTy),
+      from_json(col("props"), mapTy).isNotNull).head()
+    assert(trail.get(0) === (4L: java.lang.Long) && trail.getBoolean(1),
+      "trailing-garbage tolerance changed — revisit the gate classes")
   }
 }
