@@ -47,9 +47,21 @@ object VectorFunctions {
   /** Exact squared L2 norm. */
   def norm2Exact(a: Column): Column = dotExact(a, a)
 
-  /** Cosine from a precomputed dot and squared norms. */
+  /** Cosine from a precomputed dot and squared norms.
+    *
+    * CONTRACT (VECCHECK gate): cosine with a zero-norm side is NULL —
+    * the similarity is undefined, not 0 and not NaN. `try_divide`
+    * returns NULL exactly when the divisor is 0, which is also what
+    * DuckDB's plain `/` does on doubles, so every `dot/(sqrt(a.n2)*
+    * sqrt(b.n2))` mirror agrees with no mirror-side change; a plain `/`
+    * here would THROW under ANSI mode the first time a zero vector (or
+    * one whose components all floor to 0 at the fixed-point scale)
+    * reaches a cosine. NULL cosines then rank LAST in the
+    * (cosine DESC, id) top-k windows in both engines (Spark DESC =
+    * NULLS LAST = DuckDB's default), and fail `cosine >= t` thresholds
+    * in both. */
   def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
-    dot / (sqrt(n2a) * sqrt(n2b))
+    try_divide(dot, sqrt(n2a) * sqrt(n2b))
 
   /** Deterministic pseudo-random hyperplane weights in [-1, 1), derived
     * from md5 so the DuckDB oracle can reproduce them exactly:

@@ -346,8 +346,11 @@ object Vector extends QueryModule {
       graft.functions.GraftFunctions.register(s)
       val e = Similarity.withNorm2(Tables.embeddings(s, d))
       val dbl = col("embedding").cast("array<double>")
+      // try_divide: a zero vector has max|x| = 0 — its quantization scale
+      // (and so its whole quantized row) is NULL in both engines (DuckDB's
+      // `/` yields NULL on 0; plain `/` here would throw under ANSI)
       val qv = e.select(col("vec_id"), col("embedding"), col("n2"),
-        (lit(127.0) / array_max(transform(dbl, x => abs(x)))).as("scale"))
+        try_divide(lit(127.0), array_max(transform(dbl, x => abs(x)))).as("scale"))
         .withColumn("q", transform(col("embedding").cast("array<double>"),
           x => floor(x * col("scale") + lit(0.5)).cast("long")))
       val a = qv.select(col("vec_id").as("qid"), col("q").as("qa"),

@@ -71,6 +71,30 @@ class FunctionsSpec extends SparkTestBase {
     assert(r2.isNullAt(1))
   }
 
+  test("cosineFrom: zero-norm side is NULL, never NaN/Inf/ANSI-throw (VECCHECK contract)") {
+    GraftFunctions.register(spark)
+    import graft.functions.VectorFunctions._
+    val zero = Array.fill(4)(0.0f)
+    val tiny = Array.fill(4)(1e-12f) // floors to 0 at the fixed-point scale
+    val unit = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val df = Seq(("zz", zero, zero), ("zu", zero, unit), ("tu", tiny, unit),
+      ("uu", unit, unit)).toDF("tag", "a", "b")
+    val got = df.select(col("tag"), cosineFrom(
+        dotExact(col("a"), col("b")), norm2Exact(col("a")), norm2Exact(col("b"))))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // zero-norm (exact zero AND fixed-point underflow) => NULL, like
+    // DuckDB's divide-by-zero; defined cosine stays exact
+    assert(got("zz").isEmpty && got("zu").isEmpty && got("tu").isEmpty)
+    assert(got("uu").contains(1.0))
+    // and a NULL cosine ranks LAST under the (cosine DESC, id) windows —
+    // Spark DESC = NULLS LAST = DuckDB's default null order
+    val ranked = df.select(col("tag"), cosineFrom(
+        dotExact(col("a"), col("b")), norm2Exact(col("a")), norm2Exact(col("b"))).as("c"))
+      .orderBy(desc("c")).select("tag").as[String].collect()
+    assert(ranked.head === "uu")
+  }
+
   test("JWT RS256 sign/verify round-trip and tamper rejection (S11)") {
     val kpg = java.security.KeyPairGenerator.getInstance("RSA")
     kpg.initialize(2048)
