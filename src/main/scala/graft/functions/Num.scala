@@ -64,10 +64,16 @@ object Num {
     * produce a number that is the correlation of nothing in particular.
     * The same floor-bias clamps as [[dvarSamp]]: the per-variable
     * variance terms clamp at 0 before sqrt (NaN guard) and the ratio
-    * clamps into [−1, 1] (the bias can push |r| past 1 by an ulp) —
-    * NaN from a genuinely zero denominator passes through unclamped in
-    * both engines (NaN compares greater than any value in Spark AND
-    * DuckDB, so the > / < clamp branches must test isnan first). */
+    * clamps into [−1, 1] (the bias can push |r| past 1 by an ulp).
+    *
+    * A CONSTANT input (zero variance) makes the denominator exactly 0:
+    * correlation is undefined — NULL, like DuckDB's divide-by-zero and
+    * like corr() in both engines, never an ANSI DIVIDE_BY_ZERO throw
+    * (NUMCHECK gate; a plain `/` here died the first time a gate corpus
+    * held a constant group). try_divide pins it; the isnan branch is
+    * kept for defense should a NaN input ever reach the ratio (NaN
+    * compares greater than any value in Spark AND DuckDB, so the > / <
+    * clamp branches must not see it first). */
   def dcorr(x: Column, y: Column): Column = {
     val both = x.isNotNull && y.isNotNull
     val n = count(when(both, 1)).cast("double")
@@ -75,7 +81,7 @@ object Num {
     val (sx, sy, sxy, sxx, syy) = (s(x), s(y), s(x * y), s(x * x), s(y * y))
     val vx = greatest(lit(0.0), n * sxx - sx * sx)
     val vy = greatest(lit(0.0), n * syy - sy * sy)
-    val r = (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+    val r = try_divide(n * sxy - sx * sy, sqrt(vx) * sqrt(vy))
     when(isnan(r), r).when(r > 1.0, lit(1.0)).when(r < -1.0, lit(-1.0))
       .otherwise(r)
   }

@@ -439,6 +439,11 @@ class FunctionsSpec extends SparkTestBase {
     val r = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
       .agg(Num.dcorr(col("x"), col("y"))).as[Double].head()
     assert(r <= 1.0 && r >= 0.999, s"got $r")
+    // dcorr on a CONSTANT input: denominator exactly 0 — undefined, so
+    // NULL like DuckDB's divide-by-zero, never an ANSI throw (NUMCHECK)
+    val c = Seq((5.0, 1.0), (5.0, 2.0), (5.0, 3.0)).toDF("x", "y")
+      .agg(Num.dcorr(col("x"), col("y")).as("r")).collect().head
+    assert(c.isNullAt(0), s"constant column: corr NULL, got ${c.get(0)}")
   }
 
   test("malformed-JSON parse contract: the semantics q18/q66 rely on, per pathology class") {
