@@ -152,7 +152,17 @@ def main():
             print(f"[rows-only] {name}")
             continue
         try:
-            tbl = pq.read_table(f"{OUT}/{name}")
+            # Spark dumps timestamps as parquet INT96 (its default, and
+            # what the driver harness has compared against since round
+            # 1). PyArrow maps INT96 to NANOSECOND resolution by
+            # default, which silently WRAPS for dates past 2262-04-11
+            # (the calendar-edge gate's 9999-11-01 read back as
+            # 1816-01-29 — DATECHECK's first run caught it). Coercing
+            # the INT96 read to microseconds is lossless (Spark
+            # timestamps ARE micros internally) and overflow-free to
+            # year 9999+.
+            tbl = pq.read_table(f"{OUT}/{name}",
+                                coerce_int96_timestamp_unit="us")
             spark_cols = tbl.column_names
             spark_rows = [tuple(row[c] for c in spark_cols)
                           for row in tbl.to_pylist()]

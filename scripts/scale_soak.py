@@ -6,7 +6,10 @@ explode) were invisible at sf0.1 — so the families whose cost is
 candidate-pair-shaped (LSH/SimHash self-joins, SemDeDup, ANN, connected
 components, containment) get pushed further: sf3 (30x sf0.1) and sf10
 (100x sf0.1), flagged against the sf1 base with a growth budget equal to
-the data ratio (3x / 10x).
+the data ratio (3x / 10x). The r10 extension adds the staged-lifecycle
+family (q86/q88/q109/q112/q129 — signature store, bloom prefilter,
+snapshot diff, postings): the production ingest/probe shapes, soaked on
+the same corpora under linear budgets.
 
 These families read only documents + embeddings, so corpora are
 generated with GenCorpus's table-subset arg — no multi-GB lineitem
@@ -28,7 +31,14 @@ import pyarrow.parquet as pq
 REPO = "/root/repo"
 SRC = "/root/testdata/sf0.1"
 FAMILY = ["q31_", "q41_", "q48_", "q71_", "q82_", "q97_", "q108_",
-          "q113_", "q125_", "q128_", "q131_"]
+          "q113_", "q125_", "q128_", "q131_",
+          # staged-lifecycle family (r10 extension): the production
+          # ingest/probe shapes — content-addressed signature store,
+          # keyword postings, bloom prefilter, staged span stats,
+          # snapshot diff. All documents-only, all linear-budget; their
+          # staging pass is charged to rep 1 only (skip-if-current), so
+          # reps=2 min-of-2 isolates the steady-state probe cost.
+          "q86_", "q88_", "q109_", "q112_", "q129_"]
 TIERS = {"sf1": 10, "sf3": 30, "sf10": 100}
 TABLES = "documents,embeddings"
 
