@@ -26,7 +26,7 @@ import os
 import subprocess
 import sys
 
-import pyarrow.parquet as pq
+import pyarrow.dataset
 
 REPO = "/root/repo"
 SRC = "/root/testdata/sf0.1"
@@ -91,7 +91,10 @@ def occupancy_bits(n, t):
 
 
 def derived_knobs(tier):
-    n = pq.read_metadata(f"{REPO}/target/{tier}/embeddings.parquet").num_rows
+    # <table>.parquet is a DIRECTORY of range-clustered part files since
+    # the r10 layout change (see GenCorpus scaladoc); count via dataset
+    n = pyarrow.dataset.dataset(
+        f"{REPO}/target/{tier}/embeddings.parquet").count_rows()
     return {
         "n_embeddings": n,
         "q48_planes": min(max(4, occupancy_bits(n, 128)), 30),

@@ -91,8 +91,12 @@ object Bench {
     // not truncate the previous run's table — truncation is the very
     // failure mode this file guards against
     // A TARGETED run (SPARK_GRAFT_ONLY) must never clobber the official
-    // full-table record — it lands in BENCH_partial.json instead.
-    val artifact = if (only.isEmpty) "BENCH_full.json" else "BENCH_partial.json"
+    // full-table record — it lands in BENCH_partial.json instead. Same
+    // for a full run against a NON-official corpus (soak tiers under
+    // target/): BENCH_full.json means "all 138 at /root/testdata/sf0.1"
+    // and nothing else (an sf1 soak run silently replaced it once).
+    val official = only.isEmpty && sfDir == "/root/testdata/sf0.1"
+    val artifact = if (official) "BENCH_full.json" else "BENCH_partial.json"
     try {
       val tmp = java.nio.file.Paths.get(artifact + ".tmp")
       java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))

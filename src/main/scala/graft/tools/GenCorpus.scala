@@ -36,8 +36,22 @@ import org.apache.spark.sql.functions._
   * Replica 0 is byte-identical to the source tier, so id-pinned query
   * sets (doc_id < 5, vec_id < 8) select the same rows at every scale.
   *
-  * Output layout matches TESTDATA.md: ONE parquet file per table at
-  * `<dest>/<table>.parquet` (DuckDB oracle reads the same single files).
+  * Output layout: each fact table is a DIRECTORY of range-clustered
+  * part files at `<dest>/<table>.parquet` (Spark reads a directory by
+  * that name transparently; nothing runs the DuckDB oracle on soak
+  * tiers). Multi-file matters: the driver's testdata ships each table
+  * as ONE file with ONE row group, which parquet cannot split — every
+  * scan stage runs on one core regardless of cluster size. At sf0.1
+  * that serial stage is milliseconds; at soak tiers it grows linearly
+  * with the data and the r10 sf1 refresh charged it to the parse-heavy
+  * cells (q60/q66 "12× for 10× data" — a LAYOUT artifact, not an
+  * engine regression; in isolation the same plans are scan-bound
+  * serial on both tiers). A real 100 TB corpus is thousands of
+  * splittable files, so the soak corpora now carry that shape: file
+  * count grows with the replica factor (≈4 per replica, floor 32),
+  * range-clustered on the table's primary key so files also carry
+  * disjoint min/max stats (id-pinned probes prune to one file, as a
+  * production layout would).
   *
   * Usage: runMain graft.tools.GenCorpus <srcDir> <destDir> [replicas=10]
   *          [tables] — tables is an optional comma list restricting which
@@ -47,17 +61,19 @@ import org.apache.spark.sql.functions._
   */
 object GenCorpus {
 
-  /** Write df as a single parquet FILE at dest (not a directory). */
-  private def writeOne(df: DataFrame, dest: String): Unit = {
-    val tmp = dest + ".gen-tmp"
-    df.repartition(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"no part file under $tmp"))
-    Files.createDirectories(Paths.get(dest).getParent)
-    Files.move(part.toPath, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-  }
+  /** Files per fact table: grows with the replica factor like a real
+    * ingest (one landing batch per replica would be the natural shape),
+    * floored at 32 so even the reps=1 base tier offers every core a
+    * split. */
+  private def partsFor(n: Int): Int = math.max(32, 4 * n)
+
+  /** Write df as a directory of `parts` range-clustered parquet files
+    * at dest, clustered+sorted on key (disjoint per-file key ranges →
+    * min/max footer pruning works, mirroring Layout.clusteredWrite). */
+  private def writeMany(df: DataFrame, dest: String, key: Column,
+      parts: Int): Unit =
+    df.repartitionByRange(parts, key).sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(dest)
 
   /** Cross the source with replica ids 0..n-1 (broadcast nested-loop on
     * an n-row side — map-side fan-out, no shuffle). */
@@ -105,37 +121,39 @@ object GenCorpus {
     lazy val partS = stride("part", "p_partkey")
     lazy val ordS  = stride("orders", "o_orderkey")
 
-    if (want("customer")) writeOne(fanOut(table("customer"), n)
+    val parts = partsFor(n)
+
+    if (want("customer")) writeMany(fanOut(table("customer"), n)
       .select(off("c_custkey", custS).as("c_custkey"),
         col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
-      s"$dest/customer.parquet")
+      s"$dest/customer.parquet", col("c_custkey"), parts)
 
-    if (want("supplier")) writeOne(fanOut(table("supplier"), n)
+    if (want("supplier")) writeMany(fanOut(table("supplier"), n)
       .select(off("s_suppkey", suppS).as("s_suppkey"),
         col("s_name"), col("s_nationkey"), col("s_acctbal")),
-      s"$dest/supplier.parquet")
+      s"$dest/supplier.parquet", col("s_suppkey"), parts)
 
-    if (want("part")) writeOne(fanOut(table("part"), n)
+    if (want("part")) writeMany(fanOut(table("part"), n)
       .select(off("p_partkey", partS).as("p_partkey"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
         col("p_retailprice")),
-      s"$dest/part.parquet")
+      s"$dest/part.parquet", col("p_partkey"), parts)
 
-    if (want("orders")) writeOne(fanOut(table("orders"), n)
+    if (want("orders")) writeMany(fanOut(table("orders"), n)
       .select(off("o_orderkey", ordS).as("o_orderkey"),
         off("o_custkey", custS).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority")),
-      s"$dest/orders.parquet")
+      s"$dest/orders.parquet", col("o_orderkey"), parts)
 
-    if (want("lineitem")) writeOne(fanOut(table("lineitem"), n)
+    if (want("lineitem")) writeMany(fanOut(table("lineitem"), n)
       .select(off("l_orderkey", ordS).as("l_orderkey"),
         off("l_partkey", partS).as("l_partkey"),
         off("l_suppkey", suppS).as("l_suppkey"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate")),
-      s"$dest/lineitem.parquet")
+      s"$dest/lineitem.parquet", col("l_orderkey"), parts)
 
     // events: replicate with offset ids; same users/time range (a stream
     // carrying 10× the traffic over the same window)
@@ -143,11 +161,11 @@ object GenCorpus {
     val ev = graft.core.Tables.events(spark, src) // ns→µs once at the source
     val evS = ev.agg(max(col("event_id"))).first().getLong(0) + 1
     val userS = ev.agg(max(col("user_id"))).first().getLong(0) + 1
-    writeOne(fanOut(ev, n)
+    writeMany(fanOut(ev, n)
       .select(off("event_id", evS).as("event_id"),
         col("ts"), off("user_id", userS).as("user_id"),
         col("event_type"), col("value"), col("props")),
-      s"$dest/events.parquet")
+      s"$dest/events.parquet", col("event_id"), parts)
     }
 
     // documents: replica-local vocabulary (see scaladoc)
@@ -163,11 +181,11 @@ object GenCorpus {
     val text2 = when(col("rep") === 0, col("text"))
       .otherwise(array_join(
         transform(split(col("text"), " "), t => rename(t)), " "))
-    writeOne(fanOut(docs, n)
+    writeMany(fanOut(docs, n)
       .select(off("doc_id", docS).as("doc_id"), text2.as("text"),
         col("lang"), col("source"),
         length(text2).cast("long").as("n_chars")),
-      s"$dest/documents.parquet")
+      s"$dest/documents.parquet", col("doc_id"), parts)
     }
 
     // embeddings: fresh deterministic vectors per replica (see scaladoc)
@@ -179,11 +197,11 @@ object GenCorpus {
     val fresh = transform(sequence(lit(0), lit(dim - 1)),
       j => (pmod(xxhash64(vid, j), lit(2000001L)).cast("double") / 1000000.0
         - 1.0).cast("float"))
-    writeOne(fanOut(emb, n)
+    writeMany(fanOut(emb, n)
       .select(vid.as("vec_id"),
         when(col("rep") === 0, col("embedding")).otherwise(fresh).as("embedding"),
         col("label")),
-      s"$dest/embeddings.parquet")
+      s"$dest/embeddings.parquet", col("vec_id"), parts)
     }
 
     graft.core.Tables.names
