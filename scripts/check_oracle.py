@@ -120,7 +120,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # soak tiers: <table>.parquet is a DIRECTORY of part files
+            # (GenCorpus's splittable layout); glob it for DuckDB
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     n_ok = n_bad = 0
