@@ -81,8 +81,18 @@ object Bench {
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
+    // Quiet-window gate (VERDICT r10 item 4): every r10 adjudication
+    // burned on contention (driver 96.1 s vs same-code 80.5 s; q98's
+    // phantom 15.9 s reps). A run is CONTENDED when either loadavg
+    // endpoint exceeds 2 — external load on this shared box, since the
+    // bench's own Spark work doesn't register in a 1-min loadavg that
+    // fast at start, and by end the JVM has quiesced. The flag is
+    // label-not-refuse (a driver run must still produce an artifact);
+    // the committed official record is the min over runs where
+    // contended=false.
+    val contended = loadStart > 2.0 || loadEnd > 2.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"reps_sec":$repsSec,"loadavg":{"start":$loadStart,"end":$loadEnd},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"reps_sec":$repsSec,"loadavg":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver scrapes the stdout line, but long runs' logs truncate
     // (round 7 lost q01–q40's official cells that way) — so also persist

@@ -32,13 +32,7 @@ object Tables {
     * truncation DuckDB applies, so oracle comparisons agree.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Spread on user_id, not round-robin: the heavy events consumers
-    // (sessions, funnels, cohorts, journeys, per-user windows) all need
-    // a hash distribution on user_id anyway, so a user_id-hashed spread
-    // both parallelizes the props JSON parse AND satisfies their first
-    // required distribution — round-robin spread made them pay a second
-    // full exchange on top (q98/q99 measured 2-3× slower that way).
-    val df = spread(load(s, d, "events"), Seq(expr("user_id")))
+    val df = load(s, d, "events")
     df.schema("ts").dataType match {
       // floor division, not `div` (which truncates toward zero): the two
       // differ for pre-epoch timestamps, where floor is what the ns→µs
@@ -49,26 +43,36 @@ object Tables {
       case _        => df
     }
   }
-  /** documents/embeddings/events are narrow tables that feed expensive
-    * per-row compute (shingling, hashing, vector math, and — the reason
-    * events joined this list — JSON parsing of `props`). The driver
-    * corpus ships each as a SINGLE one-row-group parquet file, which
-    * parquet cannot split: the scan stage, and every projection
-    * pipelined into it, runs one task no matter the cluster size (the
-    * sf1 soak measured q60/q66's parse growing linearly with the data
-    * on one core — a 12× wall ratio for 10× data). When the source
-    * cannot feed the cluster by itself, spreading the cheap rows first
-    * costs one narrow shuffle and buys full parallelism for the compute
-    * that follows. On a multi-file corpus (the soak tiers, any real
-    * production layout) the scan already parallelizes and that shuffle
-    * is pure waste at 100 TB — so it is skipped when the file count can
-    * feed at least half the cores. */
-  private def spread(df: DataFrame,
-      by: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+
+  /** Events for `props`-parsing consumers (q18/q19/q60/q66): same frame as
+    * [[events]], pre-spread so the per-row JSON parse parallelizes even on
+    * an unsplittable single-row-group file (see [[spread]]). Split from
+    * [[events]] because the spread's exchange taxed every consumer at the
+    * single-file tier (~0.2–0.35 s each on seven queries that never read
+    * `props` — VERDICT r10 item 1); now only the parse path pays it.
+    * Round-robin, not user_id-hashed: none of the parse consumers needs a
+    * user_id distribution (they group by low-cardinality event_type with
+    * map-side partials, or sort by event_id), and hashing on a possibly
+    * skewed/nullable key would concentrate the parse it exists to spread
+    * (ADVICE r10). */
+  def eventsProps(s: SparkSession, d: String): DataFrame = spread(events(s, d))
+  /** documents/embeddings/eventsProps are narrow tables that feed
+    * expensive per-row compute (shingling, hashing, vector math, JSON
+    * parsing of `props`). The driver corpus ships each as a SINGLE
+    * one-row-group parquet file, which parquet cannot split: the scan
+    * stage, and every projection pipelined into it, runs one task no
+    * matter the cluster size (the sf1 soak measured q60/q66's parse
+    * growing linearly with the data on one core — a 12× wall ratio for
+    * 10× data). When the source cannot feed the cluster by itself,
+    * spreading the cheap rows first costs one narrow shuffle and buys
+    * full parallelism for the compute that follows. On a multi-file
+    * corpus (the soak tiers, any real production layout) the scan
+    * already parallelizes and that shuffle is pure waste at 100 TB — so
+    * it is skipped when the file count can feed at least half the cores. */
+  private def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.inputFiles.length * 2 >= par) df
-    else if (by.isEmpty) df.repartition(par)
-    else df.repartition(par, by: _*)
+    else df.repartition(par)
   }
 
   def documents(s: SparkSession, d: String): DataFrame  = spread(load(s, d, "documents"))
@@ -78,8 +82,10 @@ object Tables {
     * the TYPED loaders, so SQL sees the same frames the DataFrame path
     * uses: raw `load` would expose events.ts as a nanosecond long
     * (silently diverging from every timestamp comparison the oracle
-    * makes) and leave documents/embeddings/events on their unsplittable
-    * single-row-group scans. */
+    * makes) and leave documents/embeddings on their unsplittable
+    * single-row-group scans. The events view is the un-spread frame —
+    * taxing every SQL consumer with the parse exchange is exactly what
+    * splitting [[eventsProps]] out avoids. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val typed: Map[String, (SparkSession, String) => DataFrame] = Map(
       "events" -> events, "documents" -> documents, "embeddings" -> embeddings)

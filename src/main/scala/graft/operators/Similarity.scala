@@ -208,10 +208,22 @@ object Similarity {
   private val countCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]
-  private[graft] def corpusCount(df: DataFrame): Long =
+  /** Entries hold strong session/plan references, so the memo must not
+    * grow unbounded or outlive its session (ADVICE r10): every lookup
+    * first evicts entries whose SparkContext has stopped (a stopped
+    * session can never hit again — retaining it pins the session AND
+    * its analyzed plans), and a hard cap bounds the pathological
+    * many-distinct-corpora session by dropping the whole memo — a full
+    * re-count is a correctness no-op, the memo is purely a
+    * repeated-invocation optimization. */
+  private val countCacheCap = 256
+  private[graft] def corpusCount(df: DataFrame): Long = {
+    countCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (countCache.size > countCacheCap) countCache.clear()
     countCache.computeIfAbsent(
       (df.sparkSession, df.queryExecution.analyzed.canonicalized),
       _ => java.lang.Long.valueOf(df.count())).longValue()
+  }
 
   /** Drop memoized corpus counts (see [[corpusCount]]) — for long-lived
     * sessions whose tables change between runs. */
@@ -533,16 +545,37 @@ object Similarity {
     // before this change (the plan-string pin kept passing). The static
     // IN prunes at file-listing time at any scale; the 64k cap guards
     // the degenerate everything-probed case, where pruning buys nothing
-    // anyway and the plain join is correct.
-    val cellList = probes.select("cell").distinct()
-      .limit(65537).collect().map(_.getLong(0)).toSeq
+    // anyway and the plain join is correct. One aggregate pass yields
+    // both the cell list AND the probe row count (the broadcast gate
+    // below) — no second job. The probes-side cell is cast to long
+    // BEFORE the collect, same defensive cast as the members side: a
+    // staged index whose cid landed as int32 (schema evolution,
+    // different writer) must not ClassCastException at probe time
+    // (ADVICE r10).
+    val cellCounts = probes.groupBy(col("cell").cast("long").as("cell"))
+      .count().limit(65537).collect()
     val pruned =
-      if (cellList.length <= 65536) members.filter(col("cell").isInCollection(cellList))
+      if (cellCounts.length <= 65536)
+        members.filter(col("cell").isInCollection(cellCounts.map(_.getLong(0)).toSeq))
       else members
     val wr = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
-    // the bounded probe frame is the broadcast build side; the
-    // corpus-sized assignment scan streams
-    probes.hint("broadcast").join(pruned, Seq("cell"))
+    // The bounded probe frame is the natural broadcast build side, but
+    // only the probed CELL count is bounded by contract — the probe ROW
+    // count is |queries|·nprobe with `queries` caller-supplied, and an
+    // unconditional hint bypasses autoBroadcastJoinThreshold straight
+    // into the 8 GB / 512M-row broadcast hard limits (ADVICE r10). Gate
+    // the hint on the measured row count (known from the same pass):
+    // ≤2^17 probe rows ≈ tens of MB at typical dims — safely inside any
+    // executor; above that, leave strategy to the planner/AQE, which can
+    // fall back to a shuffle join. The cap is deliberately row-based,
+    // not byte-estimated: embedding width varies per corpus and the
+    // failure mode being prevented is the unbounded case, not a 2×
+    // misestimate. When cellCounts hit the 64k limit the count is
+    // unknown — treat as unbounded (no hint).
+    val probeRows =
+      if (cellCounts.length <= 65536) cellCounts.map(_.getLong(1)).sum else Long.MaxValue
+    val build = if (probeRows <= (1L << 17)) probes.hint("broadcast") else probes
+    build.join(pruned, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cosine",
         cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))

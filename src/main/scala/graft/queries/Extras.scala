@@ -189,14 +189,22 @@ object Extras extends QueryModule {
     // invalid/non-object documents. The oracle guards json_keys /
     // json_extract_string behind json_valid (DuckDB throws on malformed
     // JSON) and COALESCEs the empty-object key list (json_keys('{}')
-    // composes to NULL, Spark's map_keys(empty map) to '').
+    // composes to NULL, Spark's map_keys(empty map) to ''). Per-key
+    // values resolve through RFC 6901 JSON Pointer ('/' || key with ~/
+    // escaped), not '$.'-concatenated JSONPath: Spark reads the map value
+    // directly, so a key containing path metacharacters ('.', '[', '"',
+    // '*') must resolve LITERALLY in the mirror too — pointer syntax does
+    // (verified: {"a.b","c[0]","d\"e","f/g","h~i","*"} all resolve),
+    // while path concat mis-resolves '.'/'[' and DuckDB even throws on a
+    // '*' key ("JSON path cannot contain wildcards") (ADVICE r10).
     Q("q66_map_ops", Some("""
       SELECT event_id,
         CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
           THEN COALESCE(array_to_string(json_keys(props), ','), '') END AS ks,
         CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
           THEN COALESCE(array_to_string(list_transform(json_keys(props),
-            x -> TRY_CAST(json_extract_string(props, '$.' || x) AS BIGINT)),
+            x -> TRY_CAST(json_extract_string(props,
+              '/' || replace(replace(x, '~', '~0'), '/', '~1')) AS BIGINT)),
             ','), '') END AS vs,
         CASE WHEN json_valid(props)
           THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_val
@@ -206,7 +214,7 @@ object Extras extends QueryModule {
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType))
       val longTy = org.apache.spark.sql.types.LongType
-      Tables.events(s, d).select(
+      Tables.eventsProps(s, d).select(
         col("event_id"),
         array_join(map_keys(m), ",").as("ks"),
         array_join(transform(map_values(m), _.try_cast(longTy).cast("string")),
@@ -309,7 +317,7 @@ object Extras extends QueryModule {
       val mapTy = org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.StringType)
-      Tables.events(s, d)
+      Tables.eventsProps(s, d)
         .select(col("event_type"),
           from_json(col("props"), mapTy).as("m"),
           from_json(concat(lit("x"), col("props")), mapTy).isNotNull

@@ -300,7 +300,7 @@ object Relational extends QueryModule {
             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END)
           AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_k
       FROM events GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
-      Tables.events(s, d)
+      Tables.eventsProps(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k")
           .try_cast(org.apache.spark.sql.types.LongType))
         .groupBy(col("event_type"))
@@ -317,7 +317,7 @@ object Relational extends QueryModule {
       FROM events
       WHERE regexp_matches(event_type, '^(purchase|signup)$$')
       GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
-      Tables.events(s, d)
+      Tables.eventsProps(s, d)
         .filter(col("event_type").rlike("^(purchase|signup)$"))
         // no-match regexp_extract returns '' in both engines; try_cast
         // keeps it NULL where an ANSI cast would throw (json_check gate)

@@ -67,14 +67,13 @@ class TailPlanSpec extends SparkTestBase {
   test("q60 json validity: one events scan, pruned schema, partial agg") {
     val plan = executedPlan("q60_json_validity")
     assert(scans(plan, "events") === 1, s"events scanned more than once:\n$plan")
-    // user_id is a legitimate extra read on the single-file driver
-    // corpus: Tables.events spreads on it (the parse-parallelism
-    // shuffle doubles as the user-keyed consumers' distribution). Pin
-    // the exact ReadSchema — substring checks false-positive on
-    // expression names like map_values.
+    // Pin the exact ReadSchema — substring checks false-positive on
+    // expression names like map_values. Tables.eventsProps spreads
+    // round-robin, so no partitioning key rides along: the scan reads
+    // ONLY the two columns the query projects.
     assert(plan.contains(
-      "ReadSchema: struct<user_id:bigint,event_type:string,props:string>"),
-      s"events read schema not pruned to (user_id, event_type, props):\n$plan")
+      "ReadSchema: struct<event_type:string,props:string>"),
+      s"events read schema not pruned to (event_type, props):\n$plan")
     // map-side combine before the group-by exchange: HashAggregate must
     // appear at least twice (partial + final)
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
@@ -84,10 +83,10 @@ class TailPlanSpec extends SparkTestBase {
   test("q66 map ops: one events scan, pruned schema, no shuffle before sort") {
     val plan = executedPlan("q66_map_ops")
     assert(scans(plan, "events") === 1, s"events scanned more than once:\n$plan")
-    // user_id rides along for the spread partitioning (see q60 note)
+    // round-robin spread → no partitioning key rides along (q60 note)
     assert(plan.contains(
-      "ReadSchema: struct<event_id:bigint,user_id:bigint,props:string>"),
-      s"events read schema not pruned to (event_id, user_id, props):\n$plan")
+      "ReadSchema: struct<event_id:bigint,props:string>"),
+      s"events read schema not pruned to (event_id, props):\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
