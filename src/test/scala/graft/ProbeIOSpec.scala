@@ -144,6 +144,83 @@ class ProbeIOSpec extends SparkTestBase {
       s"scan claims $read files but output spans $probedCells cells")
   }
 
+  test("S9 event-date store: time-range scan reads ONLY matching partitions' files (numeric pin)") {
+    // ScaleSpec proves this store's pruning by plan string + row counts;
+    // the DPP lesson (r10: dynamicpruningexpression(true) passed every
+    // string pin) says to also pin the actual file reads. Write a store
+    // spanning 6 event dates through the real streaming sink, scan a
+    // 2-date range, and assert numFiles == the matching partition dirs'
+    // data files — not one more.
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-s9").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    ms.addData((0 until 600).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${1 + i % 6}%02d 10:00:${i % 60}%02d"))
+    })
+    val q = graft.streaming.Sinks.partitionedParquet(
+      ms.toDS().toDF("event_id", "ts"), s"$dir/store", s"$dir/ckpt")
+    q.awaitTermination() // AvailableNow: drains the feed, then stops
+
+    val store = spark.read.parquet(s"$dir/store")
+      .filter(col("event_date").between(lit("2024-01-02"), lit("2024-01-03")))
+    assert(store.collect().length === 200) // executes THIS plan (metrics live on it)
+
+    def partFiles(dates: Seq[String]): Long = dates.map { d =>
+      dataFiles(new java.io.File(s"$dir/store/event_date=$d")).size.toLong
+    }.sum
+    val matching = partFiles(Seq("2024-01-02", "2024-01-03"))
+    val total = partFiles((1 to 6).map(d => f"2024-01-$d%02d"))
+    assert(total > matching, s"fixture degenerate: $total total vs $matching matching")
+    val scans = scansUnder(store, "/store")
+    assert(scans.nonEmpty, "no store scan in the final plan")
+    val read = scans.map(_.metrics("numFiles").value).sum
+    assert(read === matching,
+      s"event-date pruning read $read files, expected exactly $matching of $total")
+  }
+
+  test("clustered table: range predicate rows-read bounded by matching files (footer-skip pin)") {
+    // Layout.clusteredWrite promises disjoint per-file ranges of the
+    // leading cluster column, so a range predicate must skip whole files
+    // from footer stats. Pin it numerically the way the postings probe
+    // is pinned: rows surfaced by the scan ≤ the rows of the files whose
+    // [min,max] intersect the predicate, strictly below the table total.
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-clust").toString
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    graft.sources.Layout.clusteredWrite(li, s"$dir/tbl",
+      Seq("l_orderkey"), numFiles = 8)
+
+    val bounds = spark.read.parquet(s"$dir/tbl")
+      .agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val cutHi = lo + (hi - lo) / 8 // ~1 of 8 disjoint range slices
+    val probe = spark.read.parquet(s"$dir/tbl")
+      .filter(col("l_orderkey") <= cutHi)
+      .agg(sum("l_extendedprice").as("s"))
+    probe.collect()
+
+    val files = dataFiles(new java.io.File(s"$dir/tbl"))
+    assert(files.size === 8, s"expected 8 clustered files, got ${files.size}")
+    val perFile = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val totalRows = perFile.map(_._3).sum
+    val matchRows = perFile.collect { case (flo, _, n) if flo <= cutHi => n }.sum
+    assert(matchRows < totalRows,
+      "predicate matches every file range; fixture degenerate")
+
+    val scans = scansUnder(probe, "/tbl")
+    assert(scans.nonEmpty, "no clustered-table scan in the final plan")
+    val rowsRead = scans.map(_.metrics("numOutputRows").value).sum
+    assert(rowsRead <= matchRows,
+      s"clustered scan surfaced $rowsRead rows > matching-file ceiling $matchRows")
+    assert(rowsRead < totalRows,
+      s"clustered scan surfaced ALL $totalRows rows (footer-skip dead)")
+  }
+
   test("staged-signature probe: documents scanned once (batch only); staged table bounded") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
     val dir = java.nio.file.Files.createTempDirectory("graft-io-sig").toString
