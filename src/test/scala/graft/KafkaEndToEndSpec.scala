@@ -100,6 +100,78 @@ class KafkaEndToEndSpec extends SparkTestBase {
     assert(FakeBroker.size(topic) === 1L)
   }
 
+  test("S2 fault injection: crash AFTER broker commit — restart replays the epoch, dedup appends nothing") {
+    // The at-least-once window every external sink has: the broker took
+    // the epoch's rows, then the process died before Spark's commit log
+    // recorded the batch. On restart Spark re-runs the SAME epoch; the
+    // shim's per-(topic, epoch) ledger must drop the replay — no
+    // duplicates — while the pre-crash append means no loss either.
+    FakeBroker.reset()
+    val (in, out) = ("e2e-crash-in", "e2e-crash-out")
+    val ckpt = Files.createTempDirectory("kafka-e2e-crash").toString
+    def start() = KafkaIO.sink(
+      KafkaIO.eventSource(spark, "fake:9092", in)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "fake:9092", out, "user_id", ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable() // pin the tail-start offset
+    publish(in, null, json(20L, "2024-03-02 09:00:00", 6L, "purchase", 1.0))
+    publish(in, null, json(21L, "2024-03-02 09:00:01", 7L, "refund", -1.0))
+    FakeBroker.injectCrashAfterCommit(out)
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    // the broker DID take the epoch before the crash
+    assert(FakeBroker.size(out) === 2L, "pre-crash broker commit lost")
+
+    val q2 = start() // same checkpoint: the failed epoch replays first
+    q2.processAllAvailable()
+    publish(in, null, json(22L, "2024-03-02 09:00:02", 8L, "signup", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val recs = FakeBroker.fetch(out, 0L, FakeBroker.size(out)).toSeq
+    val ids = KafkaIO.decodeEvents(
+        recs.map(r => (out, r._2)).toDF("topic", "value"), "fake:9092")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted === Seq(20L, 21L, 22L),
+      s"epoch replay duplicated or lost rows: $ids")
+  }
+
+  test("S2 fault injection: task dies MID-WRITE before commit — nothing leaks, replay delivers once") {
+    // A task death before any commit: the broker must see zero rows from
+    // the failed attempt (rows only land at epoch commit — there is no
+    // partial-append path), and the restarted query delivers the batch
+    // exactly once.
+    FakeBroker.reset()
+    val (in, out) = ("e2e-midw-in", "e2e-midw-out")
+    val ckpt = Files.createTempDirectory("kafka-e2e-midw").toString
+    def start() = KafkaIO.sink(
+      KafkaIO.eventSource(spark, "fake:9092", in)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "fake:9092", out, "user_id", ckpt)
+
+    val q1 = start()
+    q1.processAllAvailable()
+    publish(in, null, json(30L, "2024-03-02 10:00:00", 9L, "purchase", 3.5))
+    publish(in, null, json(31L, "2024-03-02 10:00:01", 9L, "refund", -3.5))
+    FakeBroker.injectCrashMidWrite(out)
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(FakeBroker.size(out) === 0L,
+      "mid-write task death leaked partial rows into the broker")
+
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = KafkaIO.decodeEvents(
+        FakeBroker.fetch(out, 0L, FakeBroker.size(out)).toSeq
+          .map(r => (out, r._2)).toDF("topic", "value"), "fake:9092")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted === Seq(30L, 31L),
+      s"replay after mid-write death duplicated or lost rows: $ids")
+  }
+
   test("contract enforcement: a reader missing `subscribe` fails fast") {
     FakeBroker.reset()
     // newScanBuilder runs on the stream thread, so the contract failure

@@ -58,7 +58,41 @@ object FakeBroker {
     else { rows.foreach { case (k, v, t) => append(topic, k, v, t) }; true }
   }
 
-  def reset(): Unit = { topics.clear(); committedEpochs.clear() }
+  def reset(): Unit = {
+    topics.clear(); committedEpochs.clear()
+    crashAfterCommitTopic = None; crashMidWriteTopic = None
+  }
+
+  // ---- fault injection (KafkaEndToEndSpec epoch-path soaks) -----------
+  // One-shot switches, disarmed at first trigger: the injected fault
+  // models a single crash, after which the restarted query must converge.
+  @volatile private var crashAfterCommitTopic: Option[String] = None
+  @volatile private var crashMidWriteTopic: Option[String] = None
+
+  /** Arm: the next sink epoch COMMIT for `topic` appends to the broker,
+    * then throws — the crash window between the external commit and
+    * Spark's own commit log, the exact case epoch dedup exists for. */
+  def injectCrashAfterCommit(topic: String): Unit =
+    crashAfterCommitTopic = Some(topic)
+
+  /** Arm: the next task writing to `topic` throws on its first row,
+    * BEFORE any commit — a mid-batch task death; nothing may leak. */
+  def injectCrashMidWrite(topic: String): Unit =
+    crashMidWriteTopic = Some(topic)
+
+  private[testkit] def shouldCrashAfterCommit(topic: String): Boolean =
+    synchronized {
+      if (crashAfterCommitTopic.contains(topic)) {
+        crashAfterCommitTopic = None; true
+      } else false
+    }
+
+  private[testkit] def shouldCrashMidWrite(topic: String): Boolean =
+    synchronized {
+      if (crashMidWriteTopic.contains(topic)) {
+        crashMidWriteTopic = None; true
+      } else false
+    }
 }
 
 /** TEST-ONLY DataSource V2 provider registered under short name `kafka`
@@ -206,13 +240,16 @@ class FakeKafkaStreamingWrite(topic: String, schema: StructType)
   require(valueIdx >= 0, "contract: sink input must carry a value column")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    val (ki, vi, sch) = (keyIdx, valueIdx, schema)
+    val (ki, vi, sch, tp) = (keyIdx, valueIdx, schema, topic)
     (partitionId: Int, taskId: Long, epochId: Long) =>
       new DataWriter[InternalRow] {
         private val rows = ArrayBuffer.empty[(Array[Byte], Array[Byte])]
-        override def write(row: InternalRow): Unit =
+        override def write(row: InternalRow): Unit = {
+          if (FakeBroker.shouldCrashMidWrite(tp))
+            sys.error(s"injected: task death mid-write to $tp")
           rows += ((FakeKafkaStreamingWrite.bytesAt(sch, row, ki),
             FakeKafkaStreamingWrite.bytesAt(sch, row, vi)))
+        }
         override def commit(): WriterCommitMessage = FakeKafkaCommit(rows.toSeq)
         override def abort(): Unit = rows.clear()
         override def close(): Unit = ()
@@ -226,6 +263,10 @@ class FakeKafkaStreamingWrite(topic: String, schema: StructType)
       case _ => Seq.empty
     }.map { case (k, v) => (k, v, now) }
     FakeBroker.commitEpoch(topic, epochId, rows)
+    // crash AFTER the external system committed, BEFORE Spark can mark
+    // the epoch done in its commit log — the replay window
+    if (FakeBroker.shouldCrashAfterCommit(topic))
+      sys.error(s"injected: crash after broker commit of $topic epoch $epochId")
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
