@@ -49,6 +49,25 @@ object Bench {
     def loadavg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // External-contention measurement: loadavg alone cannot flag a
+    // contended run — the bench's OWN local[32] work dominates the 1-min
+    // figure at the end (the r10 committed "quiet" record ended at 9.4).
+    // What adjudication needs is FOREIGN load, measured directly:
+    // system-wide busy CPU seconds (/proc/stat, USER_HZ=100) minus this
+    // JVM's own CPU seconds, over the wall time = average cores of
+    // external work running alongside the bench.
+    def sysBusySec: Double = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (cols.sum - cols(3) - cols(4)) / 100.0 // all - idle - iowait
+    } catch { case _: Exception => Double.NaN }
+    def ownCpuSec: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => Double.NaN
+      }
+    val (sysBusy0, ownCpu0, wall0) = (sysBusySec, ownCpuSec, System.nanoTime())
     val loadStart = loadavg
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -83,16 +102,22 @@ object Bench {
     val total = results.collect { case (_, v, true, _) => v }.sum
     // Quiet-window gate (VERDICT r10 item 4): every r10 adjudication
     // burned on contention (driver 96.1 s vs same-code 80.5 s; q98's
-    // phantom 15.9 s reps). A run is CONTENDED when either loadavg
-    // endpoint exceeds 2 — external load on this shared box, since the
-    // bench's own Spark work doesn't register in a 1-min loadavg that
-    // fast at start, and by end the JVM has quiesced. The flag is
-    // label-not-refuse (a driver run must still produce an artifact);
-    // the committed official record is the min over runs where
-    // contended=false.
-    val contended = loadStart > 2.0 || loadEnd > 2.0
+    // phantom 15.9 s reps). A run is CONTENDED when foreign processes
+    // averaged more than 2 cores of CPU for the run's duration
+    // (external_cores above). The flag is label-not-refuse (a driver
+    // run must still produce an artifact); the committed official
+    // record is the min over runs where contended=false. Loadavg
+    // endpoints stay recorded for provenance continuity with r9/r10
+    // artifacts, but they cannot carry the verdict — the bench's own
+    // 32-thread work saturates the end figure on every run.
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val externalCores = {
+      val e = ((sysBusySec - sysBusy0) - (ownCpuSec - ownCpu0)) / wallSec
+      if (e.isNaN) Double.NaN else math.max(e, 0.0)
+    }
+    val contended = !(externalCores <= 2.0) // NaN → conservatively true
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"reps_sec":$repsSec,"loadavg":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"reps_sec":$repsSec,"loadavg":{"start":$loadStart,"end":$loadEnd},"external_cores":$externalCores,"contended":$contended,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver scrapes the stdout line, but long runs' logs truncate
     // (round 7 lost q01–q40's official cells that way) — so also persist
