@@ -24,6 +24,25 @@ object Bench {
     // Warm up codegen/session machinery so the first query isn't charged.
     spark.range(1000000).selectExpr("sum(id)").write.format("noop")
       .mode("overwrite").save()
+    // ...and the ACTUAL engine paths. The range-sum above compiles almost
+    // none of what the queries run: the first timed cells were absorbing
+    // C2 compilation of the whole parquet-scan/codegen-agg/join stack
+    // plus page-cache faults for their table. Measured: alphabetically-
+    // first q01's min-of-3 was 3.9× its steady state (2.25 s vs 0.53 s
+    // at solo rep 5 — which matches its r9 cell), while late-alphabet
+    // queries ran on a fully-warm JVM. One untimed pass over four cheap
+    // queries — one per fact table (lineitem/events/documents/
+    // embeddings) — equalizes the field: every timed cell then measures
+    // steady-state throughput, the quantity the baseline comparison is
+    // defined over. Per-rep times stay recorded, so the effect is
+    // auditable in the artifact.
+    for (name <- Seq("q01_pricing_summary", "q16_keep_latest_event",
+        "q24_token_stats", "q35_cosine_topk"))
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // warm-up must never fail the bench
+      }
+    spark.catalog.clearCache()
 
     // Measurement knobs: SPARK_GRAFT_ONLY=q121,q52 restricts to
     // name-prefix matches; SPARK_GRAFT_REPS times each query and reports
