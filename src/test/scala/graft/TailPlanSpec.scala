@@ -64,6 +64,28 @@ class TailPlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("events loader split: raw events carries NO exchange; eventsProps spreads (single-file corpus)") {
+    // The r10 spread taxed seven non-props events consumers ~0.2-0.35 s
+    // each at the single-file tier; the r11 split keeps the raw loader
+    // exchange-free and confines the parse spread to eventsProps. Pin
+    // both halves so neither silently regresses: an exchange creeping
+    // back into Tables.events re-taxes q16/q17/q38/q39/q43/q98/q99; the
+    // spread disappearing from eventsProps re-serializes q60/q66's JSON
+    // parse on unsplittable layouts.
+    val raw = graft.core.Tables.events(spark, d)
+    raw.collect()
+    val rawPlan = raw.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!rawPlan.contains("Exchange"),
+      s"raw events loader grew an exchange:\n$rawPlan")
+    val spreadDf = graft.core.Tables.eventsProps(spark, d)
+    spreadDf.collect()
+    val spreadPlan = spreadDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(spreadPlan.contains("Exchange RoundRobinPartitioning"),
+      s"eventsProps lost its round-robin parse spread:\n$spreadPlan")
+  }
+
   test("q60 json validity: one events scan, pruned schema, partial agg") {
     val plan = executedPlan("q60_json_validity")
     assert(scans(plan, "events") === 1, s"events scanned more than once:\n$plan")
