@@ -24,8 +24,11 @@ training prefixes (vec_id < cap) must exclude the fresh-id copies in
 both, keep-one and CC see thousands of 2-clusters, and every count/sum
 carries the extra multiplicity.
 
-Duplicates are keyed on a stable row number, so runs are identical.
-Tables replayed: events, documents, embeddings, lineitem.
+Duplicates are keyed on a row number ordered by the table's primary key,
+so the replayed slice is deterministic by construction (row_number() with
+no ORDER BY would lean on DuckDB's default preserve_insertion_order — a
+setting, not a guarantee). Tables replayed: events, documents,
+embeddings, lineitem.
 
 Usage: python3 scripts/dup_check.py [src_sf_dir]
 Artifact: DUPCHECK.json
@@ -58,6 +61,16 @@ REPLAY = {
                 "l_tax, l_returnflag, l_linestatus, l_shipdate",
 }
 
+# primary key per replayed table: orders the row_number() windows so the
+# replayed slice (and the interleave shuffle's __rn keys) are identical
+# across DuckDB versions/settings
+KEY = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey, l_linenumber",
+}
+
 con = duckdb.connect()
 
 stats = {}
@@ -71,11 +84,13 @@ for t in TABLES:
         con.sql(f"""
           COPY (
             SELECT * EXCLUDE (__rn) FROM (
-              SELECT *, row_number() OVER () AS __rn FROM '{src}'
+              SELECT *, row_number() OVER (ORDER BY {KEY[t]}) AS __rn
+              FROM '{src}'
               UNION ALL
               SELECT {REPLAY[t]},
-                     row_number() OVER () + {OFF} AS __rn
-              FROM (SELECT *, row_number() OVER () AS __r0 FROM '{src}')
+                     row_number() OVER (ORDER BY {KEY[t]}) + {OFF} AS __rn
+              FROM (SELECT *, row_number() OVER (ORDER BY {KEY[t]}) AS __r0
+                    FROM '{src}')
               WHERE __r0 % 7 = 3
             ) ORDER BY md5(CAST(__rn AS VARCHAR)))
           TO '{DST}/{t}.parquet' (FORMAT PARQUET)""")

@@ -135,8 +135,14 @@ object Bench {
       if (e.isNaN) Double.NaN else math.max(e, 0.0)
     }
     val contended = !(externalCores <= 2.0) // NaN → conservatively true
+    // NaN is not a JSON token (ADVICE r11): when /proc/stat or the
+    // com.sun.management bean is unavailable the measurement is absent,
+    // not a number — emit null so the artifact stays parseable, with
+    // contended already flagged true above.
+    val externalCoresJson =
+      if (externalCores.isNaN) "null" else externalCores.toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"reps_sec":$repsSec,"loadavg":{"start":$loadStart,"end":$loadEnd},"external_cores":$externalCores,"contended":$contended,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"reps_sec":$repsSec,"loadavg":{"start":$loadStart,"end":$loadEnd},"external_cores":$externalCoresJson,"contended":$contended,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver scrapes the stdout line, but long runs' logs truncate
     // (round 7 lost q01–q40's official cells that way) — so also persist

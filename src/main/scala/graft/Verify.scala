@@ -22,7 +22,13 @@ object Verify {
     // USER_RAISED_EXCEPTION with the operator's message), not an OOM /
     // NPE / analysis error that happens to also produce no output.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_VERIFY_ONLY=q82_semantic_dedup,q97_hybrid_curation runs a
+    // subset (iteration tooling; the driver leaves it unset → full run).
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(
+      names => SparkEntry.queries.filter { case (n, _) => names(n) })
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -508,6 +508,16 @@ object Similarity {
         maxFiles, targetBytes)
     }
 
+  /** Whether a measured probe frame (row count + max embedding width)
+    * is safely broadcastable: ≤2^17 rows (the degenerate-dim guard) AND
+    * ≤64 MB estimated at rows·(8·dim + 48) — q_emb doubles plus
+    * qid/q_n2/row overhead. Rows alone are not enough (ADVICE r11:
+    * 2^17 rows at dim 1024 is ~1 GB — inside Spark's 8 GB hard limit
+    * but enough to OOM a small executor). Pure so the bound is
+    * unit-testable without staging a gigabyte frame. */
+  private[graft] def broadcastProbeFits(rows: Long, dim: Long): Boolean =
+    rows <= (1L << 17) && rows * (8L * dim + 48L) <= (64L << 20)
+
   /** IVF ANN top-k against a [[stageIvfIndex]] table: queries rank the
     * staged centroids (broadcast — k rows), keep `nprobe` cells, and the
     * cell equi-join against the partitioned assignment scan prunes to
@@ -553,7 +563,9 @@ object Similarity {
     // different writer) must not ClassCastException at probe time
     // (ADVICE r10).
     val cellCounts = probes.groupBy(col("cell").cast("long").as("cell"))
-      .count().limit(65537).collect()
+      .agg(count(lit(1)).as("cnt"),
+        max(size(col("q_emb"))).as("dim"))
+      .limit(65537).collect()
     val pruned =
       if (cellCounts.length <= 65536)
         members.filter(col("cell").isInCollection(cellCounts.map(_.getLong(0)).toSeq))
@@ -564,17 +576,25 @@ object Similarity {
     // count is |queries|·nprobe with `queries` caller-supplied, and an
     // unconditional hint bypasses autoBroadcastJoinThreshold straight
     // into the 8 GB / 512M-row broadcast hard limits (ADVICE r10). Gate
-    // the hint on the measured row count (known from the same pass):
-    // ≤2^17 probe rows ≈ tens of MB at typical dims — safely inside any
-    // executor; above that, leave strategy to the planner/AQE, which can
-    // fall back to a shuffle join. The cap is deliberately row-based,
-    // not byte-estimated: embedding width varies per corpus and the
-    // failure mode being prevented is the unbounded case, not a 2×
-    // misestimate. When cellCounts hit the 64k limit the count is
-    // unknown — treat as unbounded (no hint).
-    val probeRows =
-      if (cellCounts.length <= 65536) cellCounts.map(_.getLong(1)).sum else Long.MaxValue
-    val build = if (probeRows <= (1L << 17)) probes.hint("broadcast") else probes
+    // the hint on the measured BYTES, not rows alone (ADVICE r11: a
+    // 2^17-row cap at dim-1024 embeddings is ~1 GB — legal but enough to
+    // OOM a small executor): the same aggregate pass that yields the
+    // cell list also measures the probe row count and the embedding
+    // width, so rows·(8·dim + rowOverhead) bounds the broadcast within
+    // 64 MB — comfortably inside any executor, ~an order of magnitude
+    // over typical autoBroadcastJoinThreshold (the hint exists because
+    // the planner cannot SIZE this frame, not to exceed the user's
+    // tolerance by orders of magnitude). The 2^17 row cap stays as the
+    // degenerate-dim guard; when cellCounts hit the 64k limit the count
+    // is unknown — treat as unbounded (no hint) and let AQE pick.
+    val build =
+      if (cellCounts.length <= 65536) {
+        val rows = cellCounts.map(_.getLong(1)).sum
+        val dim = cellCounts.foldLeft(0L) { (m, r) =>
+          if (r.isNullAt(2)) m else math.max(m, r.getInt(2).toLong)
+        }
+        if (broadcastProbeFits(rows, dim)) probes.hint("broadcast") else probes
+      } else probes
     build.join(pruned, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cosine",
@@ -626,16 +646,18 @@ object Similarity {
     // just past the linear budget on exactly this term. Training on the
     // deterministic prefix `vec_id < max(32·k, 20480)` caps that pass at
     // 32 training vectors per centroid while the (irreducible) final
-    // full-corpus assignment stays the dominant term. The cap floors to
-    // the WHOLE corpus at every driver gate SF (n ≤ 20480), so gate
-    // outputs are bit-identical to full-corpus training; the rule is
-    // integer-exact from COUNT(*), mirrored by dkSemDedup's tc CTE.
-    // Fixed-k callers (targetCell = None) keep full-corpus training.
-    val trainPred = targetCell.flatMap { _ =>
-      val cap = math.max(32L * kUsed, 20480L)
-      // cap covers the corpus at gate SFs: omit the no-op filter so the
-      // plan (and every subtree reuse) is bit-identical to full training
-      if (corpusCount(emb) <= cap) None else Some(col("vec_id") < lit(cap))
+    // full-corpus assignment stays the dominant term. The training set
+    // is DEFINED by id (`vec_id < cap`), never by count: an earlier cut
+    // skipped the filter when COUNT(*) ≤ cap, silently assuming dense
+    // ids — the replay corpus gate (dup_check.py: same content re-landed
+    // under ids +10⁹) broke that assumption and diverged q82/q97 from
+    // the mirror, whose tre CTE always applies the predicate. The filter
+    // is a pushed-down scan predicate (free at gate SFs where every id
+    // is below the cap, a read WIN at scale); the rule is integer-exact
+    // from COUNT(*), mirrored by dkSemDedup's kk/tre CTEs. Fixed-k
+    // callers (targetCell = None) keep full-corpus training.
+    val trainPred = targetCell.map { _ =>
+      col("vec_id") < lit(math.max(32L * kUsed, 20480L))
     }
     val e = withNorm2(emb)
     val assign = assignCells(e, kmeansCentroids(emb, kUsed, iters, trainPred)

@@ -154,8 +154,14 @@ object StreamSoak {
     // baseline must GROW — end ≥ 2× its first batch (it measures from
     // batch 1: growth is the claim, there is no warm-up to forgive) — or
     // the soak lost its teeth (feed broken, metrics missing).
+    // A query that never reported stateOperators leaves its series empty
+    // (metrics missing — e.g. a source/sink wiring bug); that is a FAILED
+    // verdict with an explicit note, not a NoSuchElementException crash
+    // (ADVICE r11).
     val verdicts = results.map { case (name, s) =>
-      if (name == "exact_dedup_baseline") {
+      if (s.rows.isEmpty) {
+        (name, s, Double.NaN, false)
+      } else if (name == "exact_dedup_baseline") {
         val r = s.rows.last / math.max(s.rows.head, 1L).toDouble
         (name, s, r, r >= 2.0)
       } else {
@@ -167,8 +173,10 @@ object StreamSoak {
 
     def arr(xs: Seq[Long]) = xs.mkString("[", ",", "]")
     val opsJson = verdicts.map { case (name, s, r, ok) =>
+      val ratio = if (r.isNaN) """null,"note":"no state metrics reported""""
+        else f"$r%.3f"
       s""""$name":{"rows":${arr(s.rows)},"mem":${arr(s.mem)},""" +
-        f""""steady_ratio":$r%.3f,"ok":$ok}"""
+        s""""steady_ratio":$ratio,"ok":$ok}"""
     }.mkString("{", ",", "}")
     val allOk = verdicts.forall(_._4)
     val line = s"""{"metric":"stream_state_soak","batches":$batches,""" +

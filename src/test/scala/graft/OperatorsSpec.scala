@@ -524,6 +524,53 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("semanticDedup trains on the id-prefix even when the corpus is " +
+      "smaller than the cap (replayed ids past the cap stay out)") {
+    // The replay-corpus gate's root cause (round 11 → 12): the training
+    // set is DEFINED as `vec_id < max(32k, 20480)`, and an earlier cut
+    // skipped that filter whenever COUNT(*) ≤ cap — sound only for dense
+    // ids. This corpus is small (50 ≤ cap) but carries 30 replayed
+    // copies of vector X under ids ≥ 10⁹: if they leak into training,
+    // centroid c0 is dragged from (0.955, 0.045) to (0.651, 0.349),
+    // which flips borderline P into X's cell and (cos(X,P) ≈ 0.98 ≥ 0.9)
+    // wrongly drops it. Correct training keeps X and P in separate
+    // cells and P kept — the DuckDB mirror's tre CTE semantics.
+    val anchors0 = (2L to 9L).map(i => (i, Array(1.0f, 0.0f)))
+    val anchors1 = (10L to 17L).map(i => (i, Array(0.0f, 1.0f)))
+    val replays = (0L until 30L).map(i => (1000000000L + i, Array(0.55f, 0.45f)))
+    val df = (Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (18L, Array(0.55f, 0.45f)), (19L, Array(0.45f, 0.55f))
+    ) ++ anchors0 ++ anchors1 ++ replays).toDF("vec_id", "embedding")
+    val res = Similarity.semanticDedup(df, kCentroids = 2, iters = 1,
+      threshold = 0.9, targetCell = Some(256L))
+    val rows = res.select("vec_id", "cell", "dup_of", "kept")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // X and P live in different cells; P has no ≥0.9 cell-mate → kept
+    assert(byId(18L)._2 !== byId(19L)._2, "X and P must land in different cells")
+    assert(byId(19L)._4 && byId(19L)._3.isEmpty, "borderline P must be kept")
+    assert(byId(18L)._4, "X is its replay family's lowest id → kept")
+    // every replayed copy of X drops to X, in X's cell
+    replays.foreach { case (id, _) =>
+      assert(byId(id) === ((id, byId(18L)._2, Some(18L), false)))
+    }
+    // exact-duplicate anchors collapse onto their seeds
+    (2L to 9L).foreach(i => assert(byId(i)._3 === Some(0L)))
+    (10L to 17L).foreach(i => assert(byId(i)._3 === Some(1L)))
+  }
+
+  test("staged-probe broadcast gate is byte-aware, not row-only") {
+    // ADVICE r11: a pure row cap admits ~1 GB at dim 1024 — the gate
+    // must bound measured bytes (rows·(8·dim+48) ≤ 64 MB) AND rows
+    assert(Similarity.broadcastProbeFits(16L, 64L))        // gate-SF shape
+    assert(Similarity.broadcastProbeFits(100000L, 64L))    // 56 MB: fits
+    assert(!Similarity.broadcastProbeFits(1L << 17, 1024L)) // ~1 GB: no
+    assert(!Similarity.broadcastProbeFits(1L << 17, 64L))  // 70 MB: no
+    assert(Similarity.broadcastProbeFits(1L << 17, 0L))    // degenerate dim
+    assert(!Similarity.broadcastProbeFits((1L << 17) + 1, 0L)) // row guard
+  }
+
   test("incrementalNearDups flags new docs against the old batch only") {
     val mk = (id: Long, t: String) => (id, t)
     val old_ = Seq(
