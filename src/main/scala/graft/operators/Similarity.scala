@@ -563,9 +563,7 @@ object Similarity {
     // different writer) must not ClassCastException at probe time
     // (ADVICE r10).
     val cellCounts = probes.groupBy(col("cell").cast("long").as("cell"))
-      .agg(count(lit(1)).as("cnt"),
-        max(size(col("q_emb"))).as("dim"))
-      .limit(65537).collect()
+      .count().limit(65537).collect()
     val pruned =
       if (cellCounts.length <= 65536)
         members.filter(col("cell").isInCollection(cellCounts.map(_.getLong(0)).toSeq))
@@ -578,22 +576,25 @@ object Similarity {
     // into the 8 GB / 512M-row broadcast hard limits (ADVICE r10). Gate
     // the hint on the measured BYTES, not rows alone (ADVICE r11: a
     // 2^17-row cap at dim-1024 embeddings is ~1 GB — legal but enough to
-    // OOM a small executor): the same aggregate pass that yields the
-    // cell list also measures the probe row count and the embedding
-    // width, so rows·(8·dim + rowOverhead) bounds the broadcast within
-    // 64 MB — comfortably inside any executor, ~an order of magnitude
-    // over typical autoBroadcastJoinThreshold (the hint exists because
-    // the planner cannot SIZE this frame, not to exceed the user's
+    // OOM a small executor): the cell-count pass yields the probe row
+    // count, and the embedding width comes from the (k-row, already
+    // scanned) centroid frame — probe q_emb has the same dimension by
+    // construction, and measuring it there keeps the array column out
+    // of the cell-count aggregate (a first cut ran max(size(q_emb))
+    // inside it and cost q131 a consistent ~1.3× at sf0.1). Together
+    // rows·(8·dim + rowOverhead) bounds the broadcast within 64 MB —
+    // comfortably inside any executor, ~an order of magnitude over
+    // typical autoBroadcastJoinThreshold (the hint exists because the
+    // planner cannot SIZE this frame, not to exceed the user's
     // tolerance by orders of magnitude). The 2^17 row cap stays as the
     // degenerate-dim guard; when cellCounts hit the 64k limit the count
     // is unknown — treat as unbounded (no hint) and let AQE pick.
     val build =
       if (cellCounts.length <= 65536) {
         val rows = cellCounts.map(_.getLong(1)).sum
-        val dim = cellCounts.foldLeft(0L) { (m, r) =>
-          if (r.isNullAt(2)) m else math.max(m, r.getInt(2).toLong)
-        }
-        if (broadcastProbeFits(rows, dim)) probes.hint("broadcast") else probes
+        val fits = cents.select(size(col("c_emb"))).take(1).headOption
+          .exists(d => broadcastProbeFits(rows, d.getInt(0).toLong))
+        if (fits) probes.hint("broadcast") else probes
       } else probes
     build.join(pruned, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
