@@ -77,7 +77,11 @@ def main():
             log=f"{REPO}/target/soak_bench_full_{tier}.log")
         # a non-official-corpus run lands in BENCH_partial.json (never
         # the official BENCH_full.json); claim it as this tier's cells
-        os.replace(f"{REPO}/BENCH_partial.json", out)
+        # copy, not move: BENCH_partial.json is a committed artifact, and
+        # os.replace left the repo with a staged deletion after every soak
+        shutil.copyfile(f"{REPO}/BENCH_partial.json", out)
+        subprocess.run(["git", "checkout", "--", "BENCH_partial.json"],
+                       cwd=REPO)
 
     r = subprocess.run([sys.executable, "scripts/soak_compare.py",
                         benches["sf01e"], benches["sf1"],
