@@ -111,16 +111,28 @@ sys.stdout.write(r.stdout)
 sys.stderr.write(r.stderr[-2000:] if r.returncode else "")
 
 lines = r.stdout.splitlines()
+# ADVICE r12 (same pattern as retype_check): a crashed gate must not
+# write an artifact that reads as clean — record the exit code and gate
+# on per-query coverage of the declared oracle inventory.
+try:
+    n_declared = len(json.load(open(f"{DST}/verify_out/oracle_sql.json")))
+except Exception:
+    n_declared = -1
 summary = {
     "src_sf": SRC,
     "replayed_tables": stats,
+    "returncode": r.returncode,
+    "n_declared": n_declared,
     "n_ok": sum(1 for l in lines if l.startswith("[ok]")),
     "n_fail": sum(1 for l in lines if l.startswith("[FAIL]")),
     "failed": [l.split()[1].rstrip(":") for l in lines
                if l.startswith("[FAIL]")],
 }
+summary["complete"] = (n_declared > 0
+                       and summary["n_ok"] + summary["n_fail"] >= n_declared)
 with open("/root/repo/DUPCHECK.json", "w") as f:
     json.dump(summary, f, indent=1)
 print(f"[dup] summary -> DUPCHECK.json "
-      f"({summary['n_ok']} ok, {summary['n_fail']} fail)")
-sys.exit(r.returncode)
+      f"({summary['n_ok']} ok, {summary['n_fail']} fail, "
+      f"complete={summary['complete']})")
+sys.exit(r.returncode or (0 if summary["complete"] else 3))

@@ -80,8 +80,10 @@ def main():
         # copy, not move: BENCH_partial.json is a committed artifact, and
         # os.replace left the repo with a staged deletion after every soak
         shutil.copyfile(f"{REPO}/BENCH_partial.json", out)
+        # ADVICE r12: a silently-failed restore leaves this tier's
+        # non-official cells in the committed artifact path — make it loud
         subprocess.run(["git", "checkout", "--", "BENCH_partial.json"],
-                       cwd=REPO)
+                       cwd=REPO, check=True)
 
     r = subprocess.run([sys.executable, "scripts/soak_compare.py",
                         benches["sf01e"], benches["sf1"],

@@ -73,16 +73,29 @@ sys.stdout.write(r.stdout)
 sys.stderr.write(r.stderr[-2000:] if r.returncode else "")
 
 lines = r.stdout.splitlines()
+# ADVICE r12: a crashed gate (check_oracle exiting before any per-query
+# line) used to write n_ok=0/n_fail=0/failed=[], which reads as clean.
+# Record the child's exit code AND assert the per-query line count covers
+# the declared oracle inventory; an incomplete sweep is itself a failure.
+try:
+    n_declared = len(json.load(open(f"{DST}/verify_out/oracle_sql.json")))
+except Exception:
+    n_declared = -1  # Verify never wrote the inventory — definitely crashed
 summary = {
     "src_sf": SRC,
     "drift": stats,
+    "returncode": r.returncode,
+    "n_declared": n_declared,
     "n_ok": sum(1 for l in lines if l.startswith("[ok]")),
     "n_fail": sum(1 for l in lines if l.startswith("[FAIL]")),
     "failed": [l.split()[1].rstrip(":") for l in lines
                if l.startswith("[FAIL]")],
 }
+summary["complete"] = (n_declared > 0
+                       and summary["n_ok"] + summary["n_fail"] >= n_declared)
 with open("/root/repo/RETYPECHECK.json", "w") as f:
     json.dump(summary, f, indent=1)
 print(f"[retype] summary -> RETYPECHECK.json "
-      f"({summary['n_ok']} ok, {summary['n_fail']} fail)")
-sys.exit(r.returncode)
+      f"({summary['n_ok']} ok, {summary['n_fail']} fail, "
+      f"complete={summary['complete']})")
+sys.exit(r.returncode or (0 if summary["complete"] else 3))

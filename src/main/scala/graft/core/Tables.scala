@@ -93,5 +93,9 @@ object Tables {
       typed.getOrElse(n, (s: SparkSession, d: String) => load(s, d, n))(spark, dir)
         .createOrReplaceTempView(n)
     }
+    // The props-parsing frame under its own name (VERDICT r11 item 5):
+    // SQL consumers that DO parse `props` opt into the pre-spread frame
+    // explicitly instead of taxing every `events` reader with it.
+    eventsProps(spark, dir).createOrReplaceTempView("events_props")
   }
 }
