@@ -156,15 +156,51 @@ object Bench {
     // target/): BENCH_full.json means "all 138 at /root/testdata/sf0.1"
     // and nothing else (an sf1 soak run silently replaced it once).
     val official = only.isEmpty && sfDir == "/root/testdata/sf0.1"
-    val artifact = if (official) "BENCH_full.json" else "BENCH_partial.json"
-    try {
-      val tmp = java.nio.file.Paths.get(artifact + ".tmp")
+    def atomicWrite(path: String): Unit = try {
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val tmp = java.nio.file.Paths.get(path + ".tmp")
       java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(artifact),
+      java.nio.file.Files.move(tmp, p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] $artifact not written: $e")
+      System.err.println(s"[bench] $path not written: $e")
+    }
+    // Every run lands in a run-stamped file under target/ (gitignored) —
+    // the complete audit trail survives regardless of promotion below.
+    val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+      .format(new java.util.Date())
+    atomicWrite(s"target/bench_runs/BENCH_$stamp.json")
+    if (!official) atomicWrite("BENCH_partial.json")
+    else {
+      // Promotion gate (VERDICT r12 item 5): BENCH_full.json is the
+      // round's OFFICIAL quiet record — "min over runs where
+      // contended=false" per the measurement contract above. A stray
+      // post-commit run (r12: 74.5 s at external_cores 0.117 sat over
+      // the committed 74.0 s/0.003 record at snapshot time) must not
+      // clobber it. Promote only when this run is quiet AND beats the
+      // incumbent's total (or there is no parseable incumbent);
+      // SPARK_GRAFT_PROMOTE=force re-baselines after a code change that
+      // legitimately moved the total, =never suppresses promotion
+      // entirely (e.g. exploratory runs in a dirty tree).
+      val promoteMode = sys.env.getOrElse("SPARK_GRAFT_PROMOTE", "quiet")
+      val incumbentTotal: Option[Double] = try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_full.json")), "UTF-8")
+        """"value":([0-9.Ee+-]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+      } catch { case _: Exception => None }
+      val promote = promoteMode match {
+        case "never" => false
+        case "force" => true
+        case _ => !contended && incumbentTotal.forall(total < _)
+      }
+      if (promote) atomicWrite("BENCH_full.json")
+      else System.err.println(s"[bench] not promoted to BENCH_full.json " +
+        s"(mode=$promoteMode contended=$contended total=$total " +
+        s"incumbent=${incumbentTotal.getOrElse(Double.NaN)}); " +
+        s"run record at target/bench_runs/BENCH_$stamp.json")
     }
     spark.stop()
   }
