@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""End-of-round gate sweep (VERDICT r12 item 6).
+
+Regenerates EVERY corpus-gate artifact from its committed script at the
+current HEAD, plus the two streaming gates (replay parity, eviction
+reclaim) and the bounded-state stream soak, so a round can never ship a
+query-semantics change with stale *CHECK.json evidence. Runs gates
+SEQUENTIALLY (each spins its own local Spark) and writes a one-line
+summary to GATESWEEP.json recording, per gate, the exit code and wall
+seconds. Exits non-zero if any gate failed.
+
+Usage: python3 scripts/gate_sweep.py [--skip-streams]
+  --skip-streams  corpus gates only (the streaming gates add ~3 min)
+"""
+import json, subprocess, sys, time
+
+REPO = "/root/repo"
+
+CORPUS_GATES = [
+    ("EMPTYCHECK",   [sys.executable, "scripts/empty_check.py"]),
+    ("SKEWCHECK",    [sys.executable, "scripts/skew_check.py"]),
+    ("UNICODECHECK", [sys.executable, "scripts/unicode_check.py"]),
+    ("JSONCHECK",    [sys.executable, "scripts/json_check.py"]),
+    ("VECCHECK",     [sys.executable, "scripts/vector_check.py"]),
+    ("NUMCHECK",     [sys.executable, "scripts/numeric_check.py"]),
+    ("TIMECHECK",    [sys.executable, "scripts/time_check.py"]),
+    ("DATECHECK",    [sys.executable, "scripts/date_check.py"]),
+    ("NULLCHECK",    [sys.executable, "scripts/null_check.py"]),
+    ("DUPCHECK",     [sys.executable, "scripts/dup_check.py"]),
+    ("RETYPECHECK",  [sys.executable, "scripts/retype_check.py"]),
+]
+
+STREAM_GATES = [
+    ("STREAMREPLAY", ["sbt", "-batch", "runMain graft.tools.StreamReplay"]),
+    ("EVICTCHECK",   ["sbt", "-batch", "runMain graft.tools.EvictProof"]),
+    ("STREAMSOAK",   ["sbt", "-batch", "runMain graft.tools.StreamSoak"]),
+]
+
+
+def main():
+    gates = list(CORPUS_GATES)
+    if "--skip-streams" not in sys.argv:
+        gates += STREAM_GATES
+    results = {}
+    fail = 0
+    for name, cmd in gates:
+        t0 = time.time()
+        print(f"[sweep] {name} ...", flush=True)
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        dt = round(time.time() - t0, 1)
+        ok = r.returncode == 0
+        if not ok:
+            fail += 1
+            sys.stdout.write(r.stdout[-3000:])
+            sys.stderr.write(r.stderr[-2000:])
+        results[name] = {"rc": r.returncode, "sec": dt}
+        print(f"[sweep] {name}: {'ok' if ok else 'FAIL'} ({dt}s)", flush=True)
+    summary = {"gates": results, "n_fail": fail,
+               "all_ok": fail == 0}
+    with open(f"{REPO}/GATESWEEP.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"[sweep] {len(gates) - fail}/{len(gates)} gates green "
+          f"-> GATESWEEP.json")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()

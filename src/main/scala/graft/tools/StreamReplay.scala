@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.streaming.{Event, StatefulOps}
+import graft.streaming.{Event, EventWindows, StatefulOps}
 
 /** Streaming replay-parity gate (VERDICT r12 item 1) — the streaming twin
   * of `scripts/dup_check.py`.
@@ -296,6 +296,93 @@ object StreamReplay {
       verdicts += OpVerdict("keep_latest_tws", bad.isEmpty,
         s""""delivered":${delivered.size},"users":${users.size},""" +
           s""""mismatched_users":${bad.size}""")
+    }
+
+    // ---- 7. intervalJoin (stream-stream) ---------------------------------
+    // At-least-once duplication is VISIBLE in a join's output — a
+    // redelivered row pairs again — so the pin is not "duplicates
+    // vanish" but BATCH-STREAM PARITY over the same delivered multiset:
+    // the one intervalJoin definition runs in both modes (watermarks
+    // no-op on batch), and the streaming output must equal the batch
+    // join of the delivered rows, duplicate pairs and all.
+    locally {
+      val nJoin = 100
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def ev(id: Long, off: Long): Event = {
+        val i = if (id >= FRESH_OFFSET) id - FRESH_OFFSET else id
+        Event(id, new Timestamp(base + i * 1000 + off), i % 30, s"t${i % 5}",
+          i.toDouble)
+      }
+      val msL = MemoryStream[Event]
+      val msR = MemoryStream[Event]
+      val q = StatefulOps.intervalJoin(msL.toDF(), msR.toDF(), "user_id",
+          "1 hour", "5 minutes", "5 minutes")
+        .writeStream.format("memory").queryName("sr_ijoin")
+        .outputMode("append").option("checkpointLocation", ckpt("ijoin")).start()
+      val dl = scala.collection.mutable.ArrayBuffer.empty[Event]
+      val dr = scala.collection.mutable.ArrayBuffer.empty[Event]
+      (1 to batches + 1).foreach { b =>
+        def rowsFor(side: Long => Event): Seq[Event] = {
+          val fresh = if (b <= batches) baseIds(b, nJoin).map(side) else Seq.empty
+          val rep = if (b >= 2) {
+            val prev = baseIds(b - 1, nJoin)
+            prev.filter(replaySameId).map(side) ++
+              prev.filter(replayFreshId).map(i => side(i + FRESH_OFFSET))
+          } else Seq.empty
+          fresh ++ rep
+        }
+        val l = rowsFor(ev(_, 0)); val r = rowsFor(ev(_, 30000))
+        if (l.nonEmpty) { msL.addData(l); dl ++= l }
+        if (r.nonEmpty) { msR.addData(r); dr ++= r }
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("sr_ijoin").select("event_id", "r_event_id")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val oracle = StatefulOps.intervalJoin(
+          dl.toSeq.toDS().toDF(), dr.toSeq.toDS().toDF(), "user_id",
+          "1 hour", "5 minutes", "5 minutes")
+        .select("event_id", "r_event_id")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val pass = got == oracle
+      verdicts += OpVerdict("interval_join", pass,
+        s""""delivered_left":${dl.size},"delivered_right":${dr.size},""" +
+          s""""joined":${got.size},"oracle_joined":${oracle.size}""")
+    }
+
+    // ---- 8. tumbling window agg (T3, one definition batch+stream) --------
+    // Same parity pin as the join: redelivered events count twice on
+    // both sides, and the fixed-point dsum makes the comparison exact
+    // regardless of merge order.
+    locally {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def ev(id: Long): Event = {
+        val i = if (id >= FRESH_OFFSET) id - FRESH_OFFSET else id
+        Event(id, new Timestamp(base + (i % 3600) * 1000), i % 50,
+          s"t${i % 5}", (i % 97) * 0.25)
+      }
+      val ms = MemoryStream[Event]
+      val latestW = new java.util.concurrent.ConcurrentHashMap[
+        (Timestamp, String), (Long, Double)]()
+      val q = EventWindows.tumbling(ms.toDF(), "5 minutes", Some("2 hours"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt("tumbling"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            latestW.put((r.getTimestamp(0), r.getString(1)),
+              (r.getLong(2), r.getDouble(3)))
+          }
+        }.start()
+      val delivered = drive(q, ms, ev, i => ev(i + FRESH_OFFSET), perBatch)
+      val oracle = EventWindows.tumbling(delivered.toDS().toDF(), "5 minutes")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val keys = oracle.keySet ++ scala.jdk.CollectionConverters
+        .SetHasAsScala(latestW.keySet()).asScala
+      val bad = keys.filter(k => oracle.get(k) != Option(latestW.get(k)))
+      verdicts += OpVerdict("tumbling_window", bad.isEmpty,
+        s""""delivered":${delivered.size},"windows":${keys.size},""" +
+          s""""mismatched_windows":${bad.size}""")
     }
 
     // ---- artifact ---------------------------------------------------------
