@@ -385,6 +385,106 @@ object StreamReplay {
           s""""mismatched_windows":${bad.size}""")
     }
 
+    // ---- 9. bloom dedup, replay ACROSS a checkpoint restart ---------------
+    // The composition of the two proven axes: redelivery (this gate) and
+    // state recovery (RestartSpec). The query is stopped after batch 3
+    // and restarted from the same checkpoint, so batch 3's redeliveries
+    // land in the RESTARTED query — a duplicate may only be dropped
+    // there if the pre-restart bitmap state actually recovered.
+    locally {
+      val ckptDir = ckpt("bloomrs")
+      val ms = MemoryStream[(String, String)]
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+      def start() = StatefulOps.streamingBloomDedup(ms.toDS(), shards = 16,
+          mBits = 1 << 18)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[(String, String)],
+            _: Long) =>
+          df.collect().foreach(emitted.add)
+        }
+        .option("checkpointLocation", ckptDir)
+        .outputMode("update").start()
+      def row(id: Long): (String, String) = {
+        val i = if (id >= FRESH_OFFSET) id - FRESH_OFFSET else id
+        (s"id$id", s"fp$i")
+      }
+      var q = start()
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      (1 to batches + 1).foreach { b =>
+        if (b == 4) { q.stop(); q = start() } // restart mid-schedule
+        val fresh = if (b <= batches) baseIds(b, perBatch).map(row) else Seq.empty
+        val replayed = if (b >= 2) {
+          val prev = baseIds(b - 1, perBatch)
+          prev.filter(replaySameId).map(row) ++
+            prev.filter(replayFreshId).map(i => row(i + FRESH_OFFSET))
+        } else Seq.empty
+        val rows = fresh ++ replayed
+        if (rows.nonEmpty) { ms.addData(rows); delivered ++= rows }
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = scala.jdk.CollectionConverters.CollectionHasAsScala(emitted)
+        .asScala.toSeq
+      val distinctFps = delivered.map(_._2).distinct.size
+      val reEmitted = got.groupBy(_._2).count(_._2.length > 1)
+      val retryEmitted = got.count(_._1.stripPrefix("id").toLong >= FRESH_OFFSET)
+      val coverage = got.length.toDouble / distinctFps
+      val pass = reEmitted == 0 && retryEmitted == 0 && coverage >= 0.99 &&
+        got.length <= distinctFps
+      verdicts += OpVerdict("bloom_dedup_restart", pass,
+        s""""delivered":${delivered.size},"distinct_fps":$distinctFps,""" +
+          s""""emitted":${got.length},"re_emitted_fps":$reEmitted,""" +
+          s""""retry_ids_emitted":$retryEmitted,"coverage":$coverage,""" +
+          s""""restart_before_batch":4""")
+    }
+
+    // ---- 10. near-dup, retry delivered AFTER the restart ------------------
+    // Sharpest form of the composition: every bucket representative is
+    // established BEFORE the restart, every fresh-id retry arrives AFTER
+    // it — a hit can only be produced from recovered RocksDB state.
+    locally {
+      val nDocs = 250
+      val ckptDir = ckpt("nearduprs")
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def doc(id: Long): (Long, Timestamp, String) = {
+        val i = if (id >= FRESH_OFFSET) id - FRESH_OFFSET else id
+        (id, new Timestamp(base + i * 100),
+          s"document $i with tokens alpha$i beta$i gamma$i delta$i epsilon$i")
+      }
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+      def start() = StatefulOps.streamingNearDupBounded(ms.toDS(),
+          watermarkDelay = "1 hour", horizonMs = 24 * 3600 * 1000L)
+        .toDF().writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("doc_id", "dup_of", "est").as[(Long, Long, Double)]
+            .collect().foreach(hits.add)
+        }
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+      var q = start()
+      val origs = baseIds(1, nDocs) ++ baseIds(2, nDocs)
+      origs.grouped(nDocs).foreach { g =>
+        ms.addData(g.map(doc)); q.processAllAvailable()
+      }
+      q.stop()
+      q = start()
+      val retries = origs.filter(replayFreshId).map(_ + FRESH_OFFSET)
+      ms.addData(retries.map(doc)); q.processAllAvailable()
+      q.stop()
+      val expected = origs.filter(replayFreshId)
+        .map(i => (i + FRESH_OFFSET, i)).toSet
+      val got = scala.jdk.CollectionConverters.CollectionHasAsScala(hits)
+        .asScala.toSeq
+      val gotPairs = got.map(h => (h._1, h._2))
+      val pass = gotPairs.toSet == expected &&
+        gotPairs.size == expected.size &&
+        got.forall(_._3 >= 0.999)
+      verdicts += OpVerdict("neardup_restart", pass,
+        s""""originals":${origs.size},"retries_after_restart":${retries.size},""" +
+          s""""expected_pairs":${expected.size},"hits":${got.size}""")
+    }
+
     // ---- artifact ---------------------------------------------------------
     val allOk = verdicts.forall(_.pass)
     val opsJson = verdicts.map { v =>
