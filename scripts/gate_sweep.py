@@ -28,6 +28,7 @@ CORPUS_GATES = [
     ("NULLCHECK",    [sys.executable, "scripts/null_check.py"]),
     ("DUPCHECK",     [sys.executable, "scripts/dup_check.py"]),
     ("RETYPECHECK",  [sys.executable, "scripts/retype_check.py"]),
+    ("LAYOUTCHECK",  [sys.executable, "scripts/layout_check.py"]),
 ]
 
 STREAM_GATES = [
