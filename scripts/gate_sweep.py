@@ -33,6 +33,7 @@ CORPUS_GATES = [
 
 STREAM_GATES = [
     ("STREAMREPLAY", ["sbt", "-batch", "runMain graft.tools.StreamReplay"]),
+    ("STREAMLATE",   ["sbt", "-batch", "runMain graft.tools.StreamLate"]),
     ("EVICTCHECK",   ["sbt", "-batch", "runMain graft.tools.EvictProof"]),
     ("STREAMSOAK",   ["sbt", "-batch", "runMain graft.tools.StreamSoak"]),
 ]
