@@ -16,6 +16,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Execution-memory telemetry for the memory soak (scripts/
+    // memory_soak.py): spill and peak-execution-memory totals across
+    // every task in the run, dumped to metrics.json. Always on — one
+    // listener, counters only.
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val peakExec = new java.util.concurrent.atomic.AtomicLong
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            memSpilled.addAndGet(m.memoryBytesSpilled)
+            diskSpilled.addAndGet(m.diskBytesSpilled)
+            peakExec.getAndAccumulate(m.peakExecutionMemory, math.max)
+            taskCount.incrementAndGet()
+          }
+        }
+      })
     // Per-query failure record (ADVICE r9): the raised class + message
     // chain goes to errors.json so the gate can assert an EXPECTED
     // contract raise actually raised the contract error (raise_error →
@@ -28,7 +49,14 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter { case (n, _) => names(n) })
+    // Per-query attribution of the same counters (queries run
+    // sequentially and each write blocks, so snapshot deltas attribute
+    // cleanly up to listener-bus lag — a few stragglers may land on the
+    // next query; fine for identifying the heavy operators).
+    val perQuery = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
+      val (m0, d0, p0) = (memSpilled.get, diskSpilled.get, peakExec.get)
+      peakExec.set(0)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -38,6 +66,9 @@ object Verify {
         errors(name) = chain
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      perQuery(name) = s"""{"spill":${memSpilled.get - m0},""" +
+        s""""disk_spill":${diskSpilled.get - d0},"peak_task_mem":${peakExec.get}}"""
+      peakExec.getAndAccumulate(p0, math.max) // restore the global max
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -56,6 +87,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/metrics.json"),
+      s"""{"heap_max_bytes":${Runtime.getRuntime.maxMemory},""" +
+        s""""memory_bytes_spilled":${memSpilled.get},""" +
+        s""""disk_bytes_spilled":${diskSpilled.get},""" +
+        s""""peak_execution_memory_per_task":${peakExec.get},""" +
+        s""""tasks":${taskCount.get},""" +
+        s""""per_query":${perQuery.map { case (k, v) => s"${q(k)}:$v" }
+          .mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }
