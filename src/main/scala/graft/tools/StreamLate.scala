@@ -35,6 +35,18 @@ import graft.streaming.{Event, EventWindows, StatefulOps}
   *    window is emitted EXACTLY once, and only after the watermark
   *    passes its end; the emitted set must be exactly the finalized
   *    subset of the update-mode oracle.
+  *  - sliding windowed agg: a late row belongs to SEVERAL overlapping
+  *    windows; window-liveness admission is per (row, window) pair —
+  *    the gate's late band at 430..470 straddles the watermark so each
+  *    row is PARTIALLY admitted (counted in its live windows, dropped
+  *    from its expired ones), pinned against a driver-side per-pair
+  *    oracle.
+  *  - session windows (append): an allowed-late row landing within the
+  *    gap of a LIVE session merges into it and extends its end; a
+  *    too-late row is dropped at admission on its PROVISIONAL window
+  *    (`ts + gap <= wm`), even when the session it would have merged
+  *    into is still live — admission judges the row, not the
+  *    post-merge result.
   *  - dedupWithinWatermark: admission is per ROW — `ts >= wm` — then
   *    first-seen-per-key emits within the live state horizon. Too-late
   *    rows are dropped even for never-seen keys; an admitted redelivery
@@ -318,6 +330,117 @@ object StreamLate {
         got == oracle && latePairs == 0,
         s""""joined":${got.size},"oracle_joined":${oracle.size},""" +
           s""""late_row_pairs":$latePairs""")
+    }
+
+    // ---- 5. sliding windows: PARTIAL admission of one late row ----------
+    // A late row belongs to several overlapping windows at once; window-
+    // liveness admission means it must count in the windows still ahead
+    // of the watermark and be dropped from the expired ones — one input
+    // row, partially admitted. The dedicated late band at 430..470
+    // (delivered under wm 600) straddles exactly that line: its
+    // 300s/100s windows end at 530..770, some expired, some live.
+    locally {
+      val slideSec = 100L
+      val lateSliding: Seq[Seq[Long]] = Seq(
+        Seq.empty, Seq.empty,
+        band(700, 9, 5) ++ band(100, 9, 5) ++ band(430, 9, 5),
+        band(1000, 9, 5),
+        Seq.empty)
+      val scheduleS: Seq[Seq[Long]] = onTime.lazyZip(lateSliding).map(_ ++ _)
+      val wmsS = wmTrajectory(scheduleS, delaySec)
+      val ms = MemoryStream[Event]
+      val latestW = new java.util.concurrent.ConcurrentHashMap[
+        (Timestamp, String), (Long, Double)]()
+      val q = EventWindows.sliding(ms.toDF(), s"$windowSec seconds",
+          s"$slideSec seconds", Some(s"$delaySec seconds"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt("sliupd"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            latestW.put((r.getTimestamp(0), r.getString(1)),
+              (r.getLong(2), r.getDouble(3)))
+          }
+        }.start()
+      scheduleS.foreach { rows =>
+        if (rows.nonEmpty) ms.addData(rows.map(mkEvent))
+        q.processAllAvailable()
+      }
+      q.stop()
+      // driver-side oracle over (row, window-instance) pairs: the row
+      // contributes to window [s, s+W) iff s ∈ (off-W, off] on the slide
+      // grid AND s+W > wm during the row's batch
+      val oracle = scala.collection.mutable.Map.empty[(Long, String), (Long, Double)]
+      var partials = 0
+      scheduleS.zipWithIndex.foreach { case (rows, i) =>
+        rows.foreach { off =>
+          val starts = {
+            val first = math.floorDiv(off, slideSec) * slideSec
+            Iterator.iterate(first)(_ - slideSec)
+              .takeWhile(_ > off - windowSec).toSeq
+          }
+          val admittedStarts = starts.filter(_ + windowSec > wms(i))
+          if (admittedStarts.nonEmpty && admittedStarts.size < starts.size)
+            partials += 1
+          admittedStarts.foreach { s =>
+            val k = (s, s"t${off % 3}")
+            val (n, v) = oracle.getOrElse(k, (0L, 0.0))
+            oracle(k) = (n + 1, v + (off % 97) * 0.25)
+          }
+        }
+      }
+      val oracleF = oracle.toMap.filter(_._1._1 < assertBelowSec)
+        .map { case ((s, t), v) => (new Timestamp(T0 + s * 1000), t) -> v }
+      val got = scala.jdk.CollectionConverters.MapHasAsScala(latestW).asScala
+        .filter(_._1._1.getTime < T0 + assertBelowSec * 1000)
+      val keys = oracleF.keySet ++ got.keySet
+      val bad = keys.filter(k => oracleF.get(k) != got.get(k))
+      verdicts += OpVerdict("sliding_update_late", bad.isEmpty && partials > 0,
+        s""""windows":${keys.size},"partially_admitted_rows":$partials,""" +
+          s""""mismatched_windows":${bad.size}""")
+    }
+
+    // ---- 6. session windows: late merge into a LIVE session only --------
+    // Sessions merge, so lateness has two distinct outcomes: an
+    // allowed-late row lands 105 s after a live session's last event
+    // (gap 120 s) and must MERGE into it, extending its end; a too-late
+    // row (provisional window end ts+gap behind the watermark) is
+    // dropped at admission even though the session it would have merged
+    // into is still live — admission is judged on the ROW's provisional
+    // window, not on the post-merge result.
+    locally {
+      val gapSec = 120L
+      val ms = MemoryStream[Event]
+      val q = EventWindows.sessions(ms.toDF(), s"$gapSec seconds",
+          Some(s"$delaySec seconds"))
+        .writeStream.format("memory").queryName("sl_sess")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt("sess")).start()
+      schedule.foreach { rows =>
+        if (rows.nonEmpty) ms.addData(rows.map(mkEvent))
+        q.processAllAvailable()
+      }
+      q.stop()
+      // admitted iff the row's provisional session window is still live
+      val admitted = schedule.zipWithIndex.flatMap { case (rows, i) =>
+        rows.filter(off => off + gapSec > wms(i))
+      }
+      val oracle = EventWindows.sessions(
+          admitted.map(mkEvent).toDS().toDF(), s"$gapSec seconds")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+        .filter(_._1._2.getTime < T0 + assertBelowSec * 1000)
+      val gotRows = spark.table("sl_sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)) ->
+          (r.getLong(3), r.getDouble(4)))
+        .filter(_._1._2.getTime < T0 + assertBelowSec * 1000)
+      val dupEmits = gotRows.groupBy(_._1).count(_._2.length > 1)
+      val got = gotRows.toMap
+      val keys = oracle.keySet ++ got.keySet
+      val bad = keys.filter(k => oracle.get(k) != got.get(k))
+      verdicts += OpVerdict("session_append_late",
+        bad.isEmpty && dupEmits == 0,
+        s""""sessions":${keys.size},"emitted":${gotRows.length},""" +
+          s""""dup_emits":$dupEmits,"mismatched_sessions":${bad.size}""")
     }
 
     // ---- artifact --------------------------------------------------------
