@@ -23,7 +23,9 @@ import graft.streaming.{Event, EventWindows, StatefulOps}
   * over the ADMITTED subset — where admission is modeled driver-side
   * from the documented watermark trajectory:
   *
-  *   wm(0) = 0;  wm(b) = max(wm(b-1), maxEventTs(batch b) - delay)
+  *   wm(0) = -inf (Spark's initial watermark is epoch 1970, which
+  *   predates every event here);
+  *   wm(b) = max(wm(b-1), maxEventTs(batch b) - delay)
   *   (the watermark in effect DURING batch b is wm(b-1))
   *
   *  - tumbling windowed agg, UPDATE mode: a late row is admitted iff its
