@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
-"""Memory-pressure soak: run the FULL 138-query inventory at sf1 (10x
-bench scale) inside a deliberately small JVM and prove the engine
+"""Memory-pressure soak: run the FULL 138-query inventory at a soak tier
+inside deliberately small per-task-slot memory and prove the engine
 degrades by SPILLING, not by dying — and that the spilled run produces
 BIT-IDENTICAL results to the unconstrained one.
 
@@ -8,30 +8,43 @@ SCALING.md claims every operator's aggregation state is bounded and its
 shuffles spill-safe; the scale soaks measure TIME growth but run in the
 default 8 GiB heap, so an operator that quietly needs corpus-sized
 execution memory would pass them on this box and OOM on a real, memory-
-constrained executor. This gate runs a heap LADDER (2g, then 3g, 4g
-until one passes) at local[32] — at 2g Spark's unified memory is ~1 GiB
-across 32 concurrent task slots against tables 10x bench scale — and
-records, per attempt:
+constrained executor. The governing quantity is MEMORY PER TASK SLOT
+(what a real cluster provisions per core): the ladder tightens heap at
+local[32] — 2 GiB/32 slots is ~32 MiB of unified memory per slot — and
+its last rung keeps a small heap but realistic per-slot provisioning
+(4 GiB / 8 slots ≈ 512 MiB/slot, the shape of a memory-lean executor).
+Per attempt it records:
 
-  - whether the JVM survived (an OOM/GC-thrash attempt is recorded as
-    failed, with the tail of its stderr),
+  - whether the JVM survived (Spark halts the JVM with exit 52 on an
+    executor-thread OOM; a GC-thrash timeout also counts as death),
   - wall seconds,
-  - Verify's metrics.json: bytes spilled to memory/disk and the peak
-    per-task execution memory (the number that must stay bounded as
-    data grows — bounded-state evidence).
+  - Verify's metrics.json: bytes spilled and the peak per-task
+    execution memory, with per-query attribution (top spillers and the
+    largest single-task acquisitions).
 
-Then an 8 GiB reference Verify runs on the same corpus and every
-query's output is compared BIT-IDENTICALLY (columns name-sorted, rows
-sorted — the driver-harness compare) against the constrained run's: a
-spill path that corrupts, drops or reorders-with-semantics rows fails
-here. Value correctness of the unconstrained path itself is the
-standing gates' job (DuckDB parity at sf0.001/0.01/0.1 and twelve
-corpora; running the quadratic DuckDB oracle mirrors at sf1 costs CPU-
-hours and proves nothing new about MEMORY).
+Then an 8 GiB / 32-slot reference Verify runs on the same corpus and
+every query's output is compared as a MULTISET via DuckDB (symmetric
+EXCEPT ALL over name-aligned columns — NaN/NULL-safe, and fast enough
+for corpus-sized outputs at sf10): a spill path that corrupts, drops or
+duplicates rows fails here. Value correctness of the unconstrained path
+itself is the standing DuckDB-parity gates' job.
+
+Both runs set GRAFT_VERIFY_NO_COALESCE=1: Verify's one-file-per-query
+dump convenience otherwise funnels corpus-sized outputs through a single
+task (measured 1.6 GB peak on plain projection queries at sf10 — the
+dump, not the operators).
+
+Measured findings this script exists to keep true:
+  - sf1: the FIRST rung (2 GiB / 32 slots) survives, ~2.4 GB spilled,
+    ~1.05-1.3x the zero-spill 8 GiB wall, 138/138 bit-identical.
+  - sf10f (100x bench): every 32-slot rung dies (64-128 MB/slot — far
+    below any real executor), and 512 MB/slot (4g/8) is the measured
+    BOUNDARY: one run survived the whole inventory (~190 GB spilled,
+    0 query errors), a repeat OOM'd 17 min in — provision above it.
 
 Usage: python3 scripts/memory_soak.py [sf_dir]  (default target/sf1;
-       generate it first via scripts/full_soak.py if absent)
-Artifact: MEMSOAK.json
+       generate tiers via scripts/full_soak.py [--sf10] first)
+Artifact: MEMSOAK.json (sf1) / MEMSOAK_<tier>.json (other tiers)
 """
 import json
 import os
@@ -40,20 +53,31 @@ import sys
 import tempfile
 import time
 
+import duckdb
 import pyarrow.parquet as pq
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-import check_oracle as co  # norm / row_key — the driver-harness compare
 
 REPO = "/root/repo"
 SF = sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/target/sf1"
-LADDER = ["2g", "3g", "4g"]
-REF_HEAP = "8g"
+# (heap, task slots): tighten heap at full width first, then the
+# realistic memory-lean-executor shape (small heap, fewer slots).
+# Override with GRAFT_MEMSOAK_LADDER="6g:8,8g:8" to probe a boundary
+# without re-running rungs already known to fail.
+LADDER = [("2g", "32"), ("3g", "32"), ("4g", "32"), ("4g", "8")]
+if os.environ.get("GRAFT_MEMSOAK_LADDER"):
+    LADDER = [tuple(x.split(":"))
+              for x in os.environ["GRAFT_MEMSOAK_LADDER"].split(",")]
+REF = ("8g", "32")
 ATTEMPT_TIMEOUT_SEC = 2400
+# tier-named artifact: target/sf1 -> MEMSOAK.json (the standing gate),
+# anything else -> MEMSOAK_<tier>.json (e.g. the sf10f extension)
+_tier = os.path.basename(SF.rstrip("/"))
+ARTIFACT = (f"{REPO}/MEMSOAK.json" if _tier == "sf1"
+            else f"{REPO}/MEMSOAK_{_tier}.json")
 
 
-def verify(heap, outdir):
-    env = dict(os.environ, SPARK_DRIVER_MEM=heap, SPARK_GRAFT_CPUS="32")
+def verify(heap, cpus, outdir):
+    env = dict(os.environ, SPARK_DRIVER_MEM=heap, SPARK_GRAFT_CPUS=cpus,
+               GRAFT_VERIFY_NO_COALESCE="1")
     t0 = time.time()
     try:
         r = subprocess.run(
@@ -85,18 +109,39 @@ def verify(heap, outdir):
     except Exception:
         pass
     ok = rc == 0 and not errs and metrics is not None
-    att = {"heap": heap, "survived": ok, "wall_sec": wall,
-           "query_errors": list(errs)[:10], "metrics": metrics}
+    att = {"heap": heap, "slots": int(cpus), "survived": ok,
+           "wall_sec": wall, "query_errors": list(errs)[:10],
+           "metrics": metrics}
     if not ok:
         att["tail"] = tail[-800:]
     return att
 
 
-def sorted_rows(outdir, name):
-    tbl = pq.read_table(f"{outdir}/{name}", coerce_int96_timestamp_unit="us")
-    cols = sorted(tbl.column_names)
-    rows = [tuple(co.norm(row[c]) for c in cols) for row in tbl.to_pylist()]
-    return cols, sorted(rows, key=co.row_key)
+def multiset_equal(con, a_dir, b_dir):
+    """DuckDB multiset compare of two parquet outputs (file or dir),
+    columns aligned by name. Returns (equal, detail)."""
+    def rel(path):
+        return (f"read_parquet('{path}/*.parquet')" if os.path.isdir(path)
+                else f"read_parquet('{path}')")
+    ca = sorted(pq.read_schema(_one_file(a_dir)).names)
+    cb = sorted(pq.read_schema(_one_file(b_dir)).names)
+    if ca != cb:
+        return False, f"schema {ca} vs {cb}"
+    cols = ", ".join(f'"{c}"' for c in ca)
+    q = (f"SELECT (SELECT COUNT(*) FROM (SELECT {cols} FROM {rel(a_dir)} "
+         f"EXCEPT ALL SELECT {cols} FROM {rel(b_dir)})) + "
+         f"(SELECT COUNT(*) FROM (SELECT {cols} FROM {rel(b_dir)} "
+         f"EXCEPT ALL SELECT {cols} FROM {rel(a_dir)}))")
+    n_diff = con.sql(q).fetchone()[0]
+    return n_diff == 0, f"{n_diff} multiset-different rows"
+
+
+def _one_file(path):
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                return f"{path}/{f}"
+    return path
 
 
 def main():
@@ -105,60 +150,63 @@ def main():
         sys.exit(f"[memsoak] corpus missing at {SF} — run full_soak.py first")
     attempts = []
     green = None
-    for heap in LADDER:
-        out = tempfile.mkdtemp(prefix=f"graft-memsoak-{heap}-")
-        print(f"[memsoak] Verify at {heap} ...", flush=True)
-        att = verify(heap, out)
+    for heap, cpus in LADDER:
+        out = tempfile.mkdtemp(prefix=f"graft-memsoak-{heap}x{cpus}-")
+        print(f"[memsoak] Verify at {heap} / {cpus} slots ...", flush=True)
+        att = verify(heap, cpus, out)
         attempts.append(att)
-        print(f"[memsoak] {heap}: survived={att['survived']} "
+        print(f"[memsoak] {heap}/{cpus}: survived={att['survived']} "
               f"wall={att['wall_sec']}s metrics={att['metrics']}", flush=True)
         if att["survived"]:
-            green = (heap, out)
+            green = (f"{heap}/{cpus}slots", out)
             break
-    print(f"[memsoak] reference Verify at {REF_HEAP} ...", flush=True)
+    print(f"[memsoak] reference Verify at {REF[0]} / {REF[1]} slots ...",
+          flush=True)
     ref_out = tempfile.mkdtemp(prefix="graft-memsoak-ref-")
-    ref = verify(REF_HEAP, ref_out)
-    print(f"[memsoak] {REF_HEAP}: survived={ref['survived']} "
+    ref = verify(REF[0], REF[1], ref_out)
+    print(f"[memsoak] ref {REF[0]}/{REF[1]}: survived={ref['survived']} "
           f"wall={ref['wall_sec']}s metrics={ref['metrics']}", flush=True)
 
-    # bit-identity of the constrained run vs the unconstrained reference
+    # multiset bit-identity of the constrained run vs the reference
     n_same = 0
     divergent = []
     if green and ref["survived"]:
+        con = duckdb.connect()
         _, out = green
         names = sorted(d for d in os.listdir(ref_out)
                        if os.path.isdir(f"{ref_out}/{d}"))
         for name in names:
             try:
-                bc, br = sorted_rows(ref_out, name)
-                lc, lr = sorted_rows(out, name)
-                if bc != lc or br != lr:
-                    divergent.append(name)
-                else:
+                eq, detail = multiset_equal(con, f"{ref_out}/{name}",
+                                            f"{out}/{name}")
+                if eq:
                     n_same += 1
+                else:
+                    divergent.append({"q": name, "why": detail})
             except Exception as e:
-                divergent.append(f"{name} (EXC {type(e).__name__})")
+                divergent.append({"q": name,
+                                  "why": f"EXC {type(e).__name__}: {e}"})
         for d in divergent:
-            print(f"[MEMSOAK-DIVERGENT] {d}")
+            print(f"[MEMSOAK-DIVERGENT] {d['q']}: {d['why'][:300]}")
 
     summary = {
         "sf_dir": SF,
         "attempts": attempts,
         "reference": ref,
-        "min_green_heap": green[0] if green else None,
+        "min_green": green[0] if green else None,
         "n_identical_to_reference": n_same,
         "n_divergent": len(divergent),
-        "divergent": divergent[:10],
-        "wall_ratio_vs_8g": (round(attempts[-1]["wall_sec"] /
-                                   ref["wall_sec"], 3)
-                             if green and ref["survived"] else None),
+        "divergent": [d["q"] for d in divergent][:10],
+        "wall_ratio_vs_ref": (round(attempts[-1]["wall_sec"] /
+                                    ref["wall_sec"], 3)
+                              if green and ref["survived"] else None),
         "ok": bool(green) and ref["survived"] and not divergent and
               n_same > 0,
     }
-    with open(f"{REPO}/MEMSOAK.json", "w") as f:
+    with open(ARTIFACT, "w") as f:
         json.dump(summary, f, indent=1)
-    print(f"[memsoak] -> MEMSOAK.json (min green heap: "
-          f"{summary['min_green_heap']}, {n_same} bit-identical, "
+    print(f"[memsoak] -> {os.path.basename(ARTIFACT)} (min green: "
+          f"{summary['min_green']}, {n_same} identical, "
           f"{len(divergent)} divergent, ok={summary['ok']})")
     sys.exit(0 if summary["ok"] else 1)
 

@@ -57,8 +57,22 @@ object Verify {
     selected.foreach { case (name, fn) =>
       val (m0, d0, p0) = (memSpilled.get, diskSpilled.get, peakExec.get)
       peakExec.set(0)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // stderr breadcrumb: a JVM-level death (Spark halts with exit 52
+      // on an executor-thread OOM before the catch below can run) is
+      // attributable to a query only if we said which one was running
+      System.err.println(s"[verify] running $name")
+      // coalesce(1) is a DUMP convenience (one parquet file per query
+      // for the driver's compare) — on corpus-sized outputs it funnels
+      // the whole result through one task, which at sf10 needs GBs of
+      // sort/write memory that has nothing to do with the operators
+      // under test. The memory soak sets GRAFT_VERIFY_NO_COALESCE=1 to
+      // measure the engine, not the dump; the driver leaves it unset.
+      val noCoalesce = sys.env.contains("GRAFT_VERIFY_NO_COALESCE")
+      try {
+        val out = fn(spark, sfDir)
+        (if (noCoalesce) out else out.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
           .take(8).map(t => s"${t.getClass.getName}: ${t.getMessage}")
