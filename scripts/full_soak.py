@@ -22,6 +22,7 @@ Artifacts: SOAK_sf1.json, SOAK_sf10_full.json (committed).
 """
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -44,7 +45,16 @@ def run(cmd, env=None, log=None):
     if r.returncode != 0:
         print(r.stdout[-3000:])
         print(r.stderr[-2000:])
-        sys.exit(f"command failed: {' '.join(cmd)}")
+        # attribute a JVM-level halt (exit 52 etc.) to the query that was
+        # running — Bench/Verify print a `running <name>` breadcrumb to
+        # stderr for exactly this (VERDICT r13 item 5)
+        crumbs = re.findall(r"\[(?:bench|verify)\] running (\S+)", r.stderr)
+        died = crumbs[-1] if crumbs else None
+        msg = f"command failed (rc={r.returncode}, died_during={died}): " \
+              f"{' '.join(cmd)}"
+        if log:
+            open(log, "a").write(f"\n--- abnormal exit ---\n{msg}\n")
+        sys.exit(msg)
     return r.stdout
 
 

@@ -15,6 +15,10 @@ Usage: python3 scripts/gate_sweep.py [--skip-streams]
 import json, subprocess, sys, time
 
 REPO = "/root/repo"
+# generous vs the slowest recorded gate (UNICODECHECK ~18 min): a gate
+# that triples its own record is hung, not slow
+GATE_TIMEOUT_SEC = int(__import__("os").environ.get(
+    "GRAFT_GATE_TIMEOUT_SEC", 3600))
 
 CORPUS_GATES = [
     ("EMPTYCHECK",   [sys.executable, "scripts/empty_check.py"]),
@@ -48,15 +52,30 @@ def main():
     for name, cmd in gates:
         t0 = time.time()
         print(f"[sweep] {name} ...", flush=True)
-        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        # Per-gate timeout (ADVICE r13): a hung streaming gate
+        # (processAllAvailable can block forever on a stuck query) must
+        # not stall the sweep and leave stale GATESWEEP.json evidence —
+        # record the timeout as a failure and keep going.
+        try:
+            r = subprocess.run(cmd, cwd=REPO, capture_output=True,
+                               text=True, timeout=GATE_TIMEOUT_SEC)
+            rc, out, err, timed_out = r.returncode, r.stdout, r.stderr, False
+        except subprocess.TimeoutExpired as e:
+            rc, timed_out = -9, True
+            out = (e.stdout or b"").decode("utf-8", "replace") \
+                if isinstance(e.stdout, bytes) else (e.stdout or "")
+            err = (e.stderr or b"").decode("utf-8", "replace") \
+                if isinstance(e.stderr, bytes) else (e.stderr or "")
         dt = round(time.time() - t0, 1)
-        ok = r.returncode == 0
+        ok = rc == 0
         if not ok:
             fail += 1
-            sys.stdout.write(r.stdout[-3000:])
-            sys.stderr.write(r.stderr[-2000:])
-        results[name] = {"rc": r.returncode, "sec": dt}
-        print(f"[sweep] {name}: {'ok' if ok else 'FAIL'} ({dt}s)", flush=True)
+            sys.stdout.write(out[-3000:])
+            sys.stderr.write(err[-2000:])
+        results[name] = {"rc": rc, "sec": dt, "timed_out": timed_out}
+        print(f"[sweep] {name}: "
+              f"{'ok' if ok else ('TIMEOUT' if timed_out else 'FAIL')} "
+              f"({dt}s)", flush=True)
     summary = {"gates": results, "n_fail": fail,
                "all_ok": fail == 0}
     with open(f"{REPO}/GATESWEEP.json", "w") as f:

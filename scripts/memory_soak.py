@@ -48,6 +48,7 @@ Artifact: MEMSOAK.json (sf1) / MEMSOAK_<tier>.json (other tiers)
 """
 import json
 import os
+import re
 import subprocess
 import sys
 import tempfile
@@ -85,10 +86,20 @@ def verify(heap, cpus, outdir):
             cwd=REPO, env=env, capture_output=True, text=True,
             timeout=ATTEMPT_TIMEOUT_SEC)
         rc, tail = r.returncode, (r.stdout[-1500:] + r.stderr[-1500:])
+        stderr_full = r.stderr or ""
     except subprocess.TimeoutExpired as e:
         rc, tail = -9, f"TIMEOUT after {ATTEMPT_TIMEOUT_SEC}s: " + str(
             (e.stdout or b"")[-800:])
+        stderr_full = (e.stderr.decode("utf-8", "replace")
+                       if isinstance(e.stderr, bytes) else (e.stderr or ""))
     wall = round(time.time() - t0, 1)
+    # Attribute a JVM-level halt (Spark exits 52 on an executor-thread
+    # OOM before Verify's per-query catch can run) to the query that was
+    # running: Verify prints a `[verify] running <name>` breadcrumb to
+    # stderr for exactly this (VERDICT r13 item 2 — the sf10f ladder's
+    # dead rungs carried no attribution).
+    crumbs = re.findall(r"\[verify\] running (\S+)", stderr_full)
+    died_during = crumbs[-1] if crumbs else None
     # a query-level failure (errors.json non-empty) is a FAIL even if the
     # JVM exits 0 — Verify catches per-query Throwables incl. OOMs
     errs = {}
@@ -114,6 +125,7 @@ def verify(heap, cpus, outdir):
            "metrics": metrics}
     if not ok:
         att["tail"] = tail[-800:]
+        att["died_during"] = died_during
     return att
 
 
@@ -160,17 +172,25 @@ def main():
         if att["survived"]:
             green = (f"{heap}/{cpus}slots", out)
             break
-    print(f"[memsoak] reference Verify at {REF[0]} / {REF[1]} slots ...",
-          flush=True)
-    ref_out = tempfile.mkdtemp(prefix="graft-memsoak-ref-")
-    ref = verify(REF[0], REF[1], ref_out)
-    print(f"[memsoak] ref {REF[0]}/{REF[1]}: survived={ref['survived']} "
-          f"wall={ref['wall_sec']}s metrics={ref['metrics']}", flush=True)
+    # No green rung → the reference has nothing to compare against: skip
+    # the (up to ~40 min at sf10) run and record reference: null
+    # (ADVICE r13). ok is already False either way.
+    if green is None:
+        ref, ref_out = None, None
+        print("[memsoak] every ladder rung died — skipping the reference "
+              "run (nothing to compare)", flush=True)
+    else:
+        print(f"[memsoak] reference Verify at {REF[0]} / {REF[1]} slots ...",
+              flush=True)
+        ref_out = tempfile.mkdtemp(prefix="graft-memsoak-ref-")
+        ref = verify(REF[0], REF[1], ref_out)
+        print(f"[memsoak] ref {REF[0]}/{REF[1]}: survived={ref['survived']} "
+              f"wall={ref['wall_sec']}s metrics={ref['metrics']}", flush=True)
 
     # multiset bit-identity of the constrained run vs the reference
     n_same = 0
     divergent = []
-    if green and ref["survived"]:
+    if green and ref and ref["survived"]:
         con = duckdb.connect()
         _, out = green
         names = sorted(d for d in os.listdir(ref_out)
@@ -199,9 +219,9 @@ def main():
         "divergent": [d["q"] for d in divergent][:10],
         "wall_ratio_vs_ref": (round(attempts[-1]["wall_sec"] /
                                     ref["wall_sec"], 3)
-                              if green and ref["survived"] else None),
-        "ok": bool(green) and ref["survived"] and not divergent and
-              n_same > 0,
+                              if green and ref and ref["survived"] else None),
+        "ok": bool(green) and bool(ref) and ref["survived"] and
+              not divergent and n_same > 0,
     }
     with open(ARTIFACT, "w") as f:
         json.dump(summary, f, indent=1)

@@ -23,6 +23,7 @@ Artifacts: SOAK_sf3.json, SOAK_sf10.json (committed).
 """
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -53,7 +54,15 @@ def run(cmd, env=None, log=None):
     if r.returncode != 0:
         print(r.stdout[-3000:])
         print(r.stderr[-2000:])
-        sys.exit(f"command failed: {' '.join(cmd)}")
+        # attribute a JVM-level halt to the running query via the
+        # `running <name>` stderr breadcrumb (VERDICT r13 item 5)
+        crumbs = re.findall(r"\[(?:bench|verify)\] running (\S+)", r.stderr)
+        died = crumbs[-1] if crumbs else None
+        msg = f"command failed (rc={r.returncode}, died_during={died}): " \
+              f"{' '.join(cmd)}"
+        if log:
+            open(log, "a").write(f"\n--- abnormal exit ---\n{msg}\n")
+        sys.exit(msg)
     return r.stdout
 
 

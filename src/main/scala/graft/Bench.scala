@@ -89,6 +89,10 @@ object Bench {
     val (sysBusy0, ownCpu0, wall0) = (sysBusySec, ownCpuSec, System.nanoTime())
     val loadStart = loadavg
     val results = selected.map { case (name, fn) =>
+      // stderr breadcrumb (same contract as Verify's): a JVM-level halt
+      // mid-soak (Spark exits 52 on an executor OOM) is attributable to
+      // a query only if we said which one was running
+      System.err.println(s"[bench] running $name")
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -141,8 +145,29 @@ object Bench {
     // contended already flagged true above.
     val externalCoresJson =
       if (externalCores.isNaN) "null" else externalCores.toString
+    // The commit the numbers were measured on (ADVICE r13): lets the
+    // promotion gate re-baseline automatically when the code changed —
+    // an incumbent from different code must not silently keep
+    // representing HEAD. Best-effort: absent git → null.
+    val gitHead: String = try {
+      def run(args: String*): (Int, String) = {
+        val p = new ProcessBuilder(args: _*)
+          .directory(new java.io.File(".")).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        (p.waitFor(), out)
+      }
+      val (rc, out) = run("git", "rev-parse", "HEAD")
+      val (rcS, st) = run("git", "status", "--porcelain")
+      // a dirty tree gets a suffixed head: it measured code that is not
+      // the commit, so it can neither claim the commit's identity nor
+      // be re-baselined over by name (the 40-hex parse rejects it)
+      val dirty = rcS == 0 && st.nonEmpty
+      if (rc == 0 && out.matches("[0-9a-f]{40}"))
+        s""""$out${if (dirty) "-dirty" else ""}""""
+      else "null"
+    } catch { case _: Exception => "null" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"reps_sec":$repsSec,"loadavg":{"start":$loadStart,"end":$loadEnd},"external_cores":$externalCoresJson,"contended":$contended,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"reps_sec":$repsSec,"loadavg":{"start":$loadStart,"end":$loadEnd},"external_cores":$externalCoresJson,"contended":$contended,"failed":$failed,"git_head":$gitHead,"sf":"$sfDir"}"""
     println(line)
     // The driver scrapes the stdout line, but long runs' logs truncate
     // (round 7 lost q01–q40's official cells that way) — so also persist
@@ -185,17 +210,36 @@ object Bench {
       // legitimately moved the total, =never suppresses promotion
       // entirely (e.g. exploratory runs in a dirty tree).
       val promoteMode = sys.env.getOrElse("SPARK_GRAFT_PROMOTE", "quiet")
-      val incumbentTotal: Option[Double] = try {
+      // Anchored parse (ADVICE r13): the total is the "value" that
+      // immediately follows the total metric tag — a bare first-"value"
+      // grab breaks the moment the schema gains another numeric field.
+      val incumbent: Option[(Double, Option[String])] = try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_full.json")), "UTF-8")
-        """"value":([0-9.Ee+-]+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble)
+        val tot = """\{"metric":"total","value":([0-9.Ee+-]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val head = """"git_head":"([0-9a-f]{40})"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        tot.map((_, head))
       } catch { case _: Exception => None }
+      // An incumbent measured on a DIFFERENT commit no longer represents
+      // this code: beating it is not required (a legitimately slower
+      // change must still update the record) — quietness still is.
+      val sameCode = incumbent.exists { case (_, head) =>
+        head.isDefined && gitHead == s""""${head.get}"""" }
+      // a dirty tree measured code that is not any commit — never allow
+      // it to re-baseline (the r12 bug class); it may still best a
+      // same-code... it has no same-code incumbent by construction, so
+      // in quiet mode it simply never promotes.
+      val dirtyTree = gitHead.contains("-dirty")
       val promote = promoteMode match {
         case "never" => false
         case "force" => true
-        case _ => !contended && incumbentTotal.forall(total < _)
+        case _ =>
+          !contended && !dirtyTree &&
+            (!sameCode || incumbent.forall(total < _._1))
       }
+      val incumbentTotal = incumbent.map(_._1)
       if (promote) atomicWrite("BENCH_full.json")
       else System.err.println(s"[bench] not promoted to BENCH_full.json " +
         s"(mode=$promoteMode contended=$contended total=$total " +

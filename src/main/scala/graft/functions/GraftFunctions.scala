@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.{call_function, lit}
-import graft.functions.expressions.{FixedPointDot, FixedPointVectorSum, HammingDistance, Md5Hash60, MinHashSlots, NgramShingles, RollingFingerprint, ShingleRepetition, SimHashBits, TokenStats}
+import graft.functions.expressions.{FixedPointDot, FixedPointVectorSum, HammingDistance, HashedSet, Md5Hash60, MinHashSlots, MinHashSlotsFromHashes, NgramShingles, RollingFingerprint, ShingleRepetition, SimHashBits, TokenStats}
 
 /** Engine function registry: exposes custom Catalyst expressions to both
   * the SQL surface (`SELECT graft_hamming(a, b)`) and the Column API
@@ -57,6 +57,9 @@ object GraftFunctions {
     "graft_hash64" -> checked("graft_hash64", 2)(e => Md5Hash60(e(0), foldedInt(e(1)))),
     "graft_minhash_slots" -> checked("graft_minhash_slots", 2)(e =>
       MinHashSlots(e(0), foldedInt(e(1)))),
+    "graft_hashed_set" -> checked("graft_hashed_set", 1)(e => HashedSet(e(0))),
+    "graft_minhash_from_hashes" -> checked("graft_minhash_from_hashes", 2)(e =>
+      MinHashSlotsFromHashes(e(0), foldedInt(e(1)))),
     "graft_simhash" -> checked("graft_simhash", 2)(e =>
       SimHashBits(e(0), foldedInt(e(1)))),
     "graft_fpvec_sum" -> checked("graft_fpvec_sum", 1)(e => FixedPointVectorSum(e(0))),
@@ -117,6 +120,16 @@ object GraftFunctions {
     * explode form). */
   def minhashSlots(set: Column, k: Int): Column =
     call_function("graft_minhash_slots", set, lit(k))
+
+  /** Per-element hash60 of a string set — the shuffle-compact carry form
+    * (compiled; same element hashes MinHashSlots applies internally). */
+  def hashedSet(set: Column): Column =
+    call_function("graft_hashed_set", set)
+
+  /** MinHash signature from a [[hashedSet]] column (compiled; identical
+    * values to [[minhashSlots]] over the original strings). */
+  def minhashSlotsFromHashes(set: Column, k: Int): Column =
+    call_function("graft_minhash_from_hashes", set, lit(k))
 
   /** SimHash of a token-set column (compiled one-pass; same values as the
     * vote-sum form). */

@@ -133,3 +133,109 @@ case class SimHashBits(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): SimHashBits =
     copy(child = newChild)
 }
+
+/** Per-element 60-bit hash of a string-set column: element i →
+  * hash60(element) — [[SigHash]]'s md5-60 family (seed 0), the SAME
+  * derivation [[MinHashSlots]] applies internally, so a hashed set and a
+  * signature computed from it ([[MinHashSlotsFromHashes]]) agree exactly
+  * with the string-input pipeline. Exists for the CARRY problem: shipping
+  * shingle sets through a shuffle as strings costs 2–4× the bytes of
+  * their hashes, and every set-verification consumer (exact Jaccard /
+  * containment) only needs element IDENTITY, never content — intersect
+  * and size over the hashed set give identical cardinalities up to 60-bit
+  * collisions (P ≈ |set|²/2⁶¹ per doc — negligible at any corpus size,
+  * and strictly smaller than the MinHash banding's own false-negative
+  * probability). Distinctness is preserved (distinct strings → distinct
+  * hashes, same caveat). NULL input → NULL; NULL elements are skipped
+  * (matching [[MinHashSlots]]'s "not in the set" contract). */
+case class HashedSet(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_set"
+
+  def compute(arr: ArrayData): ArrayData = {
+    if (arr == null) return null
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        out(m) = SigHash.hash60(arr.getUTF8String(i))
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedset", this, classOf[HashedSet].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.compute($input);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedSet =
+    copy(child = newChild)
+}
+
+/** [[MinHashSlots]] over a PRE-HASHED set ([[HashedSet]] output): slot
+  * i = min over elements of h XOR mixConstant(i). Identical values to
+  * MinHashSlots(strings) when the longs are hash60 of those strings —
+  * the hashing work is simply not repeated per slot. NULL or empty
+  * input → NULL (same contract). */
+case class MinHashSlotsFromHashes(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(k >= 1, s"signature width must be >= 1, got $k")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_from_hashes"
+
+  private val mix: Array[Long] =
+    Array.tabulate(k)(graft.functions.TextFunctions.mixConstant)
+
+  def compute(arr: ArrayData): ArrayData = {
+    if (arr == null || arr.numElements() == 0) return null
+    val slots = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    var seen = false
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = h ^ mix(j)
+          if (v < slots(j)) slots(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) return null
+    new GenericArrayData(slots)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhfh", this, classOf[MinHashSlotsFromHashes].getName)
+    nullSafeCodeGen(ctx, ev, input => s"""
+      ${ev.value} = $ref.compute($input);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSlotsFromHashes =
+    copy(child = newChild)
+}

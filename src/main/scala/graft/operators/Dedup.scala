@@ -312,9 +312,10 @@ object Dedup {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      shingler: Column => Column = null): DataFrame =
+      shingler: Column => Column = null,
+      hotBucketCap: Int = DefaultHotBucketCap): DataFrame =
     minhashLshPairsWithSigs(df, idCol, textCol, numHashes, bands, shingleSize,
-      threshold, shingler)
+      threshold, shingler, hotBucketCap)
       .select("a", "b", "jaccard")
 
   /** [[minhashLshPairs]] plus both rows' signature slots
@@ -333,9 +334,11 @@ object Dedup {
     * equal and nothing is reused (measured: 4-6 scans). Deliberately NOT
     * persisted either: a cached corpus-sized shingle frame is material
     * memory pressure and nothing owns the unpersist. The pipeline exists
-    * exactly twice (the two self-join sides) — and a production
-    * deployment staging signatures to a table reduces it to once
-    * (SCALING.md).
+    * twice on the common path (the two self-join sides) plus a slim
+    * bucket-size probe (see [[candidatePairs]]'s hot-bucket bound — the
+    * diamond's extra passes run only for over-cap buckets) — and a
+    * production deployment staging signatures to a table reduces all of
+    * it to one materialization (SCALING.md).
     */
   def minhashLshPairsWithSigs(
       df: DataFrame,
@@ -345,31 +348,134 @@ object Dedup {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      shingler: Column => Column = null): DataFrame = {
-    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands,
-      shingleSize, shingler)
-    val cand = candidatePairs(banded, (side, pfx) =>
-      (0 until numHashes).map(i => col(s"$side.mh$i").as(s"${pfx}_mh$i")))
+      shingler: Column => Column = null,
+      hotBucketCap: Int = DefaultHotBucketCap): DataFrame = {
+    val (banded, textBytes) = bandedSignaturesWithBytes(df, idCol, textCol,
+      numHashes, bands, shingleSize, shingler)
+    val cand = candidatePairs(banded, textBytes, side =>
+      (0 until numHashes).map(i => (s"mh$i", col(s"$side.mh$i"))),
+      hotBucketCap)
     withJaccard(cand)
       .filter(col("jaccard") >= threshold)
       .drop("sh_a", "sh_b")
   }
 
+  /** Default [[candidatePairs]] hot-bucket cap: a band-bucket above this
+    * many rows loses its buffered-side shingle carry (see below). 1024
+    * hashed-set rows × ~8–16 KB (a few-KB doc shingled, elements as
+    * int64) ≈ 8–16 MB — the sort-merge join's buffered-group ceiling per
+    * task, independent of corpus size. On the driver corpus the hottest
+    * bucket is 25 rows at EVERY tier (tools/BucketProbe, sf0.1 and sf1),
+    * so the cap only engages on degenerate corpora — exact-dup piles,
+    * viral boilerplate (the skew gate's scenario). */
+  val DefaultHotBucketCap: Int = 1024
+
   /** The ONE banded candidate-pair join shared by every verifier
     * ([[minhashLshPairsWithSigs]], [[containmentPairs]]): same-band
     * same-key pairs with a < b, both shingle sets as sh_a/sh_b, plus any
-    * extra payload columns `payload(side, prefix)` carried through. */
-  private def candidatePairs(banded: DataFrame,
-      payload: (String, String) => Seq[Column]): DataFrame =
-    banded.as("x").join(banded.as("y"),
+    * extra payload columns (`payload(side)` = (name, column) pairs,
+    * emitted as a_name/b_name).
+    *
+    * Two regimes, mirroring the planner's own join-strategy choice. When
+    * the banded frame's size estimate fits `autoBroadcastJoinThreshold`,
+    * the self-join is a map-side broadcast hash join — no shuffle, no
+    * sort, and no per-key group buffering at all (build-side memory is
+    * whole-frame, bounded by the same estimate + conf that made the
+    * decision) — so the plain fast path runs untouched. Above the
+    * threshold the join is a sort-merge join, and there:
+    *
+    * HOT-BUCKET GROUP BOUND (the degenerate-corpus control): a
+    * band-bucket's rows all meet on ONE shuffle partition — no partition
+    * count changes that, and AQE skew splitting cannot split a single
+    * join key — and the sort-merge join buffers the RIGHT side's whole
+    * same-key group in task memory while the left streams. With shingle
+    * sets carried on both sides, a degenerate bucket (exact-dup pile,
+    * viral template) makes that buffer bucket_rows × fat_row. The control
+    * bounds it BY CONSTRUCTION, with no extra pipeline pass:
+    *  1. a window count over the join's OWN (band, bkey) exchange tags
+    *     every row with its bucket size (the window's sort is the sort
+    *     the merge join needs anyway, and both join sides read the same
+    *     reused exchange — bucket detection is plan-free);
+    *  2. the BUFFERED (right) side carries its shingle set only for
+    *     buckets ≤ `hotBucketCap`: over-cap groups buffer slim rows
+    *     (ids + signature), so the buffered group is ≤ cap fat rows or
+    *     arbitrarily-many slim ones — never both;
+    *  3. over-cap buckets join on doc_id ≠ instead of < — each hot pair
+    *     is emitted in BOTH orientations, and since the STREAMED side
+    *     always carries its set, orientation (a,·) supplies sh_a and
+    *     (b,·) supplies sh_b; the final per-(a,b) aggregate (which
+    *     replaces dropDuplicates — the identical Aggregate shape) merges
+    *     them with first(ignoreNulls).
+    * The pair set and every output value are identical with the cap on
+    * or off — HotBucketSpec proves bit-equality on a forced hot-bucket
+    * fixture — because a hot pair's sets still come from the same two
+    * docs, just via the mirrored row instead of the buffered one. */
+  private def candidatePairs(banded: DataFrame, textBytes: Long,
+      payload: String => Seq[(String, Column)],
+      hotBucketCap: Int = DefaultHotBucketCap): DataFrame = {
+    // Regime decision from the MEASURED text volume, not optimizer
+    // stats: the broadcast fast path (map-side hash join — no shuffle,
+    // no sort, no buffered same-key groups to bound; the relation is
+    // whole-frame-resident per executor) is allowed only while the true
+    // carried frame fits MaxBroadcastCarryBytes. The planner, left to
+    // its stats, would broadcast far past that (see the constant's doc)
+    // — so above the cap the join carries an explicit MERGE hint.
+    val conf = banded.sparkSession.sessionState.conf
+    val willBroadcast =
+      conf.autoBroadcastJoinThreshold > 0 &&
+        textBytes * CarriedBytesPerTextByte.toLong <= MaxBroadcastCarryBytes
+
+    if (willBroadcast) {
+      val cond =
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a") +: col("y.doc_id").as("b") +:
-        col("x.sh").as("sh_a") +: col("y.sh").as("sh_b") +:
-        (payload("x", "a") ++ payload("y", "b")): _*)
-      // a pair collides in up to `bands` bands; every duplicate carries an
-      // identical payload, so first-wins dedup is deterministic
-      .dropDuplicates("a", "b")
+          col("x.doc_id") < col("y.doc_id")
+      banded.as("x").join(banded.as("y"), cond)
+        .select(col("x.doc_id").as("a") +: col("y.doc_id").as("b") +:
+          col("x.sh").as("sh_a") +: col("y.sh").as("sh_b") +:
+          (payload("x").map { case (n, c) => c.as(s"a_$n") } ++
+           payload("y").map { case (n, c) => c.as(s"b_$n") }): _*)
+        // a pair collides in up to `bands` bands; every duplicate carries
+        // an identical payload, so first-wins dedup is deterministic
+        .dropDuplicates("a", "b")
+    } else {
+      val w = Window.partitionBy("band", "bkey")
+      val sized = banded.withColumn("__bsz", count(lit(1)).over(w))
+      // right side: shingle carry nulled for over-cap buckets. Computed
+      // ABOVE the window so both sides' subtrees (and column pruning)
+      // stay identical below it — one exchange, reused.
+      val rhs = sized.withColumn("sh",
+        when(col("__bsz") <= hotBucketCap, col("sh")))
+      // the hot flag reads x's bucket size (equal to y's within a
+      // bucket) so BOTH sides consume the window — keeping the subtrees
+      // under it identical for exchange reuse
+      val hot = col("x.__bsz") > hotBucketCap
+      val cond =
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          when(hot, col("x.doc_id") =!= col("y.doc_id"))
+            .otherwise(col("x.doc_id") < col("y.doc_id"))
+      val swap = col("x.doc_id") > col("y.doc_id") // only true for hot rows
+      val zipped = payload("x").zip(payload("y"))
+      val payPairs = // all a_* then all b_*: same column order as the
+        zipped.map { case ((n, xc), (_, yc)) => // broadcast fast path
+          when(swap, yc).otherwise(xc).as(s"a_$n") } ++
+        zipped.map { case ((n, xc), (_, yc)) =>
+          when(swap, xc).otherwise(yc).as(s"b_$n") }
+      val cand = sized.as("x").hint("merge").join(rhs.as("y").hint("merge"), cond)
+        .select(Seq(
+          least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+          when(swap, col("y.sh")).otherwise(col("x.sh")).as("sh_a"),
+          when(swap, col("x.sh")).otherwise(col("y.sh")).as("sh_b")) ++
+          payPairs: _*)
+      // a pair collides in up to `bands` bands (×2 orientations when
+      // hot); every duplicate carries identical values where non-null, so
+      // the first(ignoreNulls) merge is deterministic — and for hot pairs
+      // it is what reassembles (sh_a, sh_b) from the two orientations
+      val mergeCols = cand.columns.filter(c => c != "a" && c != "b")
+        .map(c => first(col(c), ignoreNulls = true).as(c))
+      cand.groupBy("a", "b").agg(mergeCols.head, mergeCols.tail: _*)
+    }
+  }
 
   /** Exact Jaccard from the carried shingle sets (|A∩B| / |A∪B|). */
   private def withJaccard(cand: DataFrame): DataFrame = {
@@ -419,10 +525,11 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       shingler: Column => Column = null,
-      segmentTokens: Int = 0): DataFrame = {
-    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands,
-      shingleSize, shingler)
-    val base = candidatePairs(banded, (_, _) => Seq.empty)
+      segmentTokens: Int = 0,
+      hotBucketCap: Int = DefaultHotBucketCap): DataFrame = {
+    val (banded, textBytes) = bandedSignaturesWithBytes(df, idCol, textCol,
+      numHashes, bands, shingleSize, shingler)
+    val base = candidatePairs(banded, textBytes, _ => Seq.empty, hotBucketCap)
     val cand =
       if (segmentTokens <= 0) base
       else {
@@ -432,7 +539,15 @@ object Dedup {
           shingleSize, segmentTokens, shingler)
         val fullSets = banded.select(col("doc_id"), col("sh"))
           .dropDuplicates("doc_id")
-        val asym = banded.as("x").join(segB.as("y"),
+        // the asym whole-doc × segment join shares candidatePairs'
+        // relation-blowup hazard (both sides carry sets the planner's
+        // stats under-count ~50–100×): pin it to merge above the same cap
+        val (bx, by) =
+          if (textBytes * CarriedBytesPerTextByte.toLong
+              <= MaxBroadcastCarryBytes)
+            (banded.as("x"), segB.as("y"))
+          else (banded.as("x").hint("merge"), segB.as("y").hint("merge"))
+        val asym = bx.join(by,
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") =!= col("y.doc_id"))
           .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
@@ -479,13 +594,78 @@ object Dedup {
       .dropDuplicates("doc_id", "band", "bkey")
   }
 
+  /** Target per-task working-set bytes for the shingle-expansion stage
+    * (see [[bandedSignatures]]), together with the measured expansion
+    * factor from stored text bytes to banded UnsafeRows (~45 B per text
+    * byte for char 8-grams hashed ×2 bands at sf1 — tools/PeakProbe; 48
+    * is the conservative figure used). ~64 MB / 48 ≈ 1.3 MB of text per
+    * task — the budget that pins the expansion stage's shuffle-write
+    * buffer at ANY corpus size. */
+  val ShingleTaskBytes: Long =
+    sys.env.get("GRAFT_SHINGLE_TASK_BYTES").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+  val ShingleExpansionPerByte: Int = 48
+
+  /** In-memory bytes of the CARRIED banded frame per stored text byte
+    * (hashed shingle set × bands + signature + band key as UnsafeRows —
+    * measured 17.2 for char 8-grams × 2 bands at sf1 via the broadcast
+    * relation's real size; 20 is the conservative figure used), and the
+    * largest banded-side hash relation [[candidatePairs]] will let the
+    * planner BROADCAST. Parquet size stats under-count the expanded
+    * frame by ~50–100× (they reflect compressed source bytes), so left
+    * alone the planner broadcasts the whole corpus's shingle sets as an
+    * executor-resident HashedRelation — the measured data-proportional,
+    * partition-immune, heap-immune, never-spilling task peak that
+    * r13 misattributed to bucket groups (59 MB at sf0.1 → 452 MB at sf1
+    * with the string carry). Above the cap the join is pinned to
+    * sort-merge with an explicit MERGE hint. */
+  val CarriedBytesPerTextByte: Int = 20
+  val MaxBroadcastCarryBytes: Long = 128L * 1024 * 1024
+
+  /** Exact text-volume probe cache for [[bandedSignatures]]' re-spread
+    * decision, keyed by the canonicalized source plan: parquet
+    * sizeInBytes stats reflect COMPRESSED bytes and under-count
+    * repetitive text by 10–20×, so the budget is computed from a real
+    * `sum(octet_length(text))` — one column-pruned scan per distinct
+    * source lineage per JVM (bench reps and the multi-call cluster
+    * queries hit the cache). A hash collision or a file mutated under a
+    * cached plan only mis-sizes the re-spread — never correctness. */
+  private val textBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
   /** The shared scan→shingle→signature→band pipeline: one scan → compiled
-    * shingling (NgramShingles) → compiled signature (MinHashSlots), all
-    * map-only — no explode shuffle, no aggregation. Docs with empty
-    * shingle sets get NULL slots; concat_ws skips NULLs so their band key
-    * is "" — filtered here (they can never verify, and one giant
-    * ""-bucket of short docs would be O(m²) candidates). Returns
-    * (doc_id, sh, mh0..mh{k-1}, band, bkey). */
+    * shingling (NgramShingles) → per-element hashing (HashedSet) →
+    * compiled signature (MinHashSlotsFromHashes), all map-only — no
+    * explode shuffle, no aggregation. Docs with empty shingle sets get
+    * NULL slots; concat_ws skips NULLs so their band key is "" — filtered
+    * here (they can never verify, and one giant ""-bucket of short docs
+    * would be O(m²) candidates). Returns
+    * (doc_id, sh: ARRAY<BIGINT>, mh0..mh{k-1}, band, bkey).
+    *
+    * `sh` is the HASHED shingle set (hash60 per element — the same
+    * derivation the signature uses, so mh values and band keys are
+    * bit-identical to the string pipeline): every downstream consumer
+    * verifies with intersect/size, which only need element identity, and
+    * the hashed carry is 2–4× smaller through every shuffle, sort and
+    * group buffer this family owns.
+    *
+    * SCALE CONTROL — bounded expansion-task memory: this stage's shuffle
+    * write buffers its whole task output in execution memory, and that
+    * output is ~40–50× the stored text bytes (shingle set × bands + the
+    * signature — [[ShingleExpansionPerByte]]). Its peak is therefore
+    * proportional to PER-TASK INPUT bytes — invisible to
+    * shuffle-partition or AQE-advisory tuning (map-side), and at a
+    * 128 MB-split 100 TB scan it would be multi-GB per task. The input
+    * is re-spread so each expansion task gets ≈
+    * [[ShingleTaskBytes]] / expansion of text — sized from an EXACT
+    * cached text-volume probe (see [[textBytesCache]]; parquet size
+    * stats under-count compressed text by 10–20× and cannot drive
+    * this) — so one NARROW shuffle of the text buys a task peak that is
+    * constant in corpus size, file count and split sizing. Skipped
+    * (zero cost) when the source is already fine-grained enough — the
+    * sf0.1 bench tier never pays it (tools/PeakProbe: q49's
+    * expansion-task peak 452 MB → ~65 MB at the sf1 soak tier,
+    * 59 → 33 MB at sf0.1 from the hashed carry alone). */
   private def bandedSignatures(
       df: DataFrame,
       idCol: String,
@@ -493,7 +673,20 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       shingleSize: Int,
-      shingler: Column => Column): DataFrame = {
+      shingler: Column => Column): DataFrame =
+    bandedSignaturesWithBytes(df, idCol, textCol, numHashes, bands,
+      shingleSize, shingler)._1
+
+  /** [[bandedSignatures]] plus the measured source text bytes — the
+    * number [[candidatePairs]]' broadcast-vs-merge decision needs. */
+  private def bandedSignaturesWithBytes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      shingler: Column => Column): (DataFrame, Long) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
@@ -503,9 +696,25 @@ object Dedup {
       if (shingler != null) shingler
       else (graft.functions.GraftFunctions.wordShingles(_: Column, shingleSize))
 
-    val sh = df.select(col(idCol).as("doc_id"), mkSet(col(textCol)).as("sh"))
+    val src0 = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val planKey = src0.queryExecution.analyzed.canonicalized.hashCode()
+    val textBytes: Long = textBytesCache.computeIfAbsent(planKey, _ =>
+      java.lang.Long.valueOf(
+        src0.agg(coalesce(sum(octet_length(col("__text"))), lit(0L)))
+          .head().getLong(0)))
+    val needed = math.min(1 << 18, // runaway guard
+      math.ceil(textBytes.toDouble * ShingleExpansionPerByte
+        / ShingleTaskBytes)).toInt
+    val src =
+      if (needed > 1 && needed > math.max(1, src0.rdd.getNumPartitions))
+        src0.repartition(needed)
+      else src0
+
+    val sh = src.select(col("doc_id"),
+      graft.functions.GraftFunctions.hashedSet(mkSet(col("__text"))).as("sh"))
     val sigs = sh.select(col("doc_id"), col("sh"),
-      graft.functions.GraftFunctions.minhashSlots(col("sh"), numHashes).as("__mh"))
+      graft.functions.GraftFunctions.minhashSlotsFromHashes(col("sh"), numHashes)
+        .as("__mh"))
       .select(col("doc_id") :: col("sh") ::
         (0 until numHashes).map(i =>
           element_at(col("__mh"), i + 1).as(s"mh$i")).toList: _*)
@@ -513,10 +722,11 @@ object Dedup {
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
     }: _*)
-    sigs.select(
+    val out = sigs.select(
       (col("doc_id") +: col("sh") +: (0 until numHashes).map(i => col(s"mh$i"))) :+
         posexplode(bandKeys).as(Seq("band", "bkey")): _*)
       .filter(length(col("bkey")) > 0)
+    (out, textBytes)
   }
 
   /** A built Bloom filter: the one-row bitmap frame plus the parameters
@@ -598,11 +808,14 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       shingler: Column => Column = null): DataFrame = {
-    val bo = bandedSignatures(oldDf, idCol, textCol, numHashes, bands,
-      shingleSize, shingler)
+    val (bo, oldBytes) = bandedSignaturesWithBytes(oldDf, idCol, textCol,
+      numHashes, bands, shingleSize, shingler)
     val bn = bandedSignatures(newDf, idCol, textCol, numHashes, bands,
       shingleSize, shingler)
-    crossBatchVerdicts(bn, bo, threshold)
+    // same relation-blowup control as candidatePairs: the corpus side's
+    // carried sets must never be planner-broadcast past the cap
+    crossBatchVerdicts(bn, bo, threshold, forceMerge =
+      oldBytes * CarriedBytesPerTextByte.toLong > MaxBroadcastCarryBytes)
   }
 
   /** The new-batch × old-corpus bucket join + exact-Jaccard verification
@@ -610,8 +823,11 @@ object Dedup {
     * [[incrementalNearDupsStaged]] (old side read from a staged table).
     * Both sides must carry (doc_id, sh, band, bkey). */
   private def crossBatchVerdicts(bn: DataFrame, bo: DataFrame,
-      threshold: Double): DataFrame = {
-    val cand = bn.as("x").join(bo.as("y"),
+      threshold: Double, forceMerge: Boolean = false): DataFrame = {
+    val (jx, jy) =
+      if (forceMerge) (bn.as("x").hint("merge"), bo.as("y").hint("merge"))
+      else (bn.as("x"), bo.as("y"))
+    val cand = jx.join(jy,
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("old_id"),

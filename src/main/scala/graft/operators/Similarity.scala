@@ -433,18 +433,24 @@ object Similarity {
       val cents = kmeansCentroids(emb, kCentroids, iters, trainPred)
         .withColumn("c_n2", norm2Exact(col("c_emb")))
       cents.coalesce(1).write.parquet(s"$tmp/centroids")
+      // Every later consumer reads the JUST-WRITTEN parquet, not the
+      // `cents` frame: the frame's lineage is the full iterative kmeans
+      // (corpus scans + `iters` join/agg rounds), and each additional
+      // consumer would re-execute all of it (ADVICE r13 — the dim probe
+      // alone re-ran the training). The staged table is k rows.
+      val centsStaged = emb.sparkSession.read.parquet(s"$tmp/centroids")
       // The embedding dimension is a property of the INDEX — persist it
-      // at stage time (one tiny job over the k-row centroid frame) so
+      // at stage time (one tiny job over the k-row staged table) so
       // every probe batch afterwards reads it from a sidecar instead of
       // re-running a take(1) job against the centroid table (VERDICT
       // r12 item 7). Empty/null-vector snapshots simply omit the
       // sidecar; the probe's broadcast gate then falls back to no-hint.
-      val dimRow = cents.select(size(col("c_emb"))).take(1).headOption
+      val dimRow = centsStaged.select(size(col("c_emb"))).take(1).headOption
       dimRow.filterNot(_.isNullAt(0)).foreach { d =>
         graft.sources.Layout.writeSidecar(emb.sparkSession,
           s"$tmp/centroids", "_graft_dim", d.getInt(0).toString)
       }
-      val assign = assignCells(e, cents)
+      val assign = assignCells(e, centsStaged)
       val asg = e.join(assign, "vec_id")
         .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
       asg.repartition(col("cell"), pmod(hash(col("vec_id")), lit(splits)))

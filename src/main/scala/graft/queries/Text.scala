@@ -889,13 +889,15 @@ object Text extends QueryModule {
       // steady state, and concurrent runs over the same corpus share a
       // finished table instead of racing an overwrite against a reader.
       val src = new java.io.File(s"$d/documents.parquet")
-      // v1 = stageSignatures' bkey-clustered parquet layout: salting the
-      // key with the format version means a future layout change can
-      // never silently reuse an incompatible staged table left in tmpdir.
+      // v2 = stageSignatures' bkey-clustered parquet layout with the
+      // HASHED shingle carry (sh: ARRAY<BIGINT> — see bandedSignatures):
+      // salting the key with the format version means a format change
+      // (v1 carried sh as ARRAY<STRING>) can never silently reuse an
+      // incompatible staged table left in tmpdir.
       // Content enters via the per-file tree fingerprint — a top-level
       // (length, mtime) missed part-file rewrites in directory datasets
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"v1|$d|h=8|b=4|sh=3|${graft.core.Staging.contentFingerprint(src)}"
+        .digest(s"v2|$d|h=8|b=4|sh=3|${graft.core.Staging.contentFingerprint(src)}"
           .getBytes("UTF-8")).map("%02x".format(_)).mkString
       val staged =
         s"${System.getProperty("java.io.tmpdir")}/graft_staged_sigs_$key"
