@@ -445,6 +445,113 @@ object StreamLate {
           s""""dup_emits":$dupEmits,"mismatched_sessions":${bad.size}""")
     }
 
+    // ---- 7. streamingNearDupBounded: admission + timer eviction ---------
+    // The event-time timer eviction under late arrivals is exactly where
+    // a watermark bug would hide (VERDICT r13 item 3). Pinned here:
+    //  - a TOO-late doc (behind the batch's watermark) is dropped at
+    //    admission — no hit, and it never becomes a representative;
+    //  - an ALLOWED-late doc (behind max event time, ahead of the
+    //    watermark) matches the live representative and refreshes its
+    //    eviction timer;
+    //  - a bucket idle past `horizon` of EVENT time is evicted the
+    //    moment the watermark passes lastSeen+horizon: the next doc in
+    //    that bucket becomes a fresh representative and emits NOTHING,
+    //    while a bucket whose timer the watermark has NOT passed still
+    //    matches (Z below survives by 2 s of event time);
+    //  - a pair agreeing in every band still emits exactly once
+    //    (the downstream dropDuplicatesWithinWatermark contract).
+    locally {
+      val horizonSec = 60L
+      val ndDelaySec = 10L
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      val q = StatefulOps.streamingNearDupBounded(ms.toDS(),
+          watermarkDelay = s"$ndDelaySec seconds",
+          horizonMs = horizonSec * 1000, threshold = 0.5)
+        .writeStream.format("memory").queryName("sl_neardup")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt("neardup")).start()
+      val textX = "the quick brown fox jumps over the lazy dog tonight"
+      val textY = "spark engines shuffle partitions across the executor fleet"
+      val textZ = "completely different content about gardening and soil"
+      val textW = "isolated watermark advancer document concerning charts"
+      val textV = "second advancer document that keeps the watermark put"
+      // (doc_id, tsOff, text) per batch — wm trajectory (delay 10):
+      //   after b0: 92, b1: 122, b2: 190, b3: 190, b4: 190
+      val ndSchedule: Seq[Seq[(Long, Long, String)]] = Seq(
+        Seq((1L, 100L, textX), (10L, 101L, textY), (20L, 102L, textZ)),
+        Seq((2L, 105L, textX),                  // hit 2 -> 1
+            (21L, 132L, textZ)),                // hit 21 -> 20 (Z timer -> 192)
+        Seq((3L, 125L, textX),                  // ALLOWED late (wm 122): hit 3 -> 1, X timer -> 185
+            (4L, 115L, textX),                  // TOO late (wm 122): dropped
+            (30L, 200L, textW)),                // advances wm to 190
+        Seq((40L, 195L, textV)),                // wm stays 190; X(185)/Y(161) timers fire, Z(192) survives
+        Seq((5L, 195L, textX),                  // X evicted -> fresh rep, NO hit
+            (11L, 196L, textY),                 // Y evicted -> fresh rep, NO hit
+            (22L, 196L, textZ)))                // Z alive -> hit 22 -> 20
+      ndSchedule.foreach { rows =>
+        if (rows.nonEmpty) ms.addData(rows.map { case (id, off, t) =>
+          (id, ts(off), t) })
+        q.processAllAvailable()
+      }
+      q.stop()
+      val expected = Set((2L, 1L), (21L, 20L), (3L, 1L), (22L, 20L))
+      val gotRows = spark.table("sl_neardup")
+        .select("doc_id", "dup_of", "est").as[(Long, Long, Double)].collect()
+      val gotPairs = gotRows.map(r => (r._1, r._2))
+      val dupEmits = gotPairs.groupBy(identity).count(_._2.length > 1)
+      val badEst = gotRows.count(_._3 != 1.0) // identical texts -> est exactly 1.0
+      val missed = expected.diff(gotPairs.toSet)
+      val unexpected = gotPairs.toSet.diff(expected)
+      verdicts += OpVerdict("near_dup_bounded_late",
+        dupEmits == 0 && badEst == 0 && missed.isEmpty && unexpected.isEmpty,
+        s""""expected_hits":${expected.size},"emitted":${gotRows.length},""" +
+          s""""dup_emits":$dupEmits,"missed":${missed.size},""" +
+          s""""unexpected":${unexpected.size},"bad_est":$badEst""")
+    }
+
+    // ---- 8. keepLatestPerUserTws: late arrivals never displace ----------
+    // TimeMode.None is the documented contract: keep-latest is an
+    // ORDERING operator, not an event-time one — feeding it from a
+    // watermarked source must not drop stragglers (a late row for a
+    // never-seen key still registers; a late row NEWER than the key's
+    // latest still wins), while a late row OLDER than the latest never
+    // displaces it and emits nothing. Ties on ts resolve by event_id
+    // (documented in KeepLatestProcessor's maxBy).
+    locally {
+      val ms = MemoryStream[Event]
+      def kev(id: Long, off: Long, user: Long): Event =
+        Event(id, ts(off), user, "t", 1.0)
+      val q = StatefulOps.keepLatestPerUserTws(
+          ms.toDS().withWatermark("ts", "10 seconds").as[Event])
+        .writeStream.format("memory").queryName("sl_keeplatest")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt("keeplatest")).start()
+      // (id, tsOff, user) per batch; wm after b3 = 490
+      val klSchedule: Seq[Seq[(Long, Long, Long)]] = Seq(
+        Seq((100L, 100L, 1L), (200L, 100L, 2L)),  // both emit
+        Seq((101L, 90L, 1L), (99L, 100L, 1L)),    // older ts / ts-tie smaller id: no emit
+        Seq((102L, 100L, 1L)),                    // ts-tie LARGER id: displaces, emits
+        Seq((103L, 150L, 1L), (300L, 500L, 3L)),  // both emit; wm -> 490
+        Seq((400L, 50L, 4L),                      // behind wm, never-seen key: still registers + emits
+            (104L, 160L, 1L)))                    // behind wm but newer than u1's 150: still wins + emits
+      klSchedule.foreach { rows =>
+        if (rows.nonEmpty) ms.addData(rows.map((kev _).tupled))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val expected = Set(100L, 200L, 102L, 103L, 300L, 400L, 104L)
+      val got = spark.table("sl_keeplatest").select("event_id")
+        .as[Long].collect()
+      val dupEmits = got.groupBy(identity).count(_._2.length > 1)
+      val missed = expected.diff(got.toSet)
+      val unexpected = got.toSet.diff(expected)
+      verdicts += OpVerdict("keep_latest_tws_late",
+        dupEmits == 0 && missed.isEmpty && unexpected.isEmpty,
+        s""""expected_emits":${expected.size},"emitted":${got.length},""" +
+          s""""dup_emits":$dupEmits,"missed":${missed.size},""" +
+          s""""unexpected":${unexpected.size}""")
+    }
+
     // ---- artifact --------------------------------------------------------
     val allOk = verdicts.forall(_.pass)
     val opsJson = verdicts.map { v =>
