@@ -115,8 +115,11 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
 
 
 def main():
+    import time as _time
+    t_start = _time.time()
     if "--skip-verify" not in sys.argv:
         run_verify()
+    t_verify = _time.time() - t_start
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
@@ -147,6 +150,7 @@ def main():
         verify_errors = json.load(open(f"{OUT}/errors.json"))
     except Exception:
         verify_errors = None  # pre-upgrade Verify output: fall back
+    slow = []  # (name, duck_sec) — find where gate wall time goes
     for name in declared:
         if name in expect_raise:
             n_bad += 1
@@ -156,6 +160,7 @@ def main():
             print(f"[rows-only] {name}")
             continue
         try:
+            _t0 = _time.time()
             # Spark dumps timestamps as parquet INT96 (its default, and
             # what the driver harness has compared against since round
             # 1). PyArrow maps INT96 to NANOSECOND resolution by
@@ -186,6 +191,9 @@ def main():
                    or compare(name, spark_rows, spark_cols, duck_rows, duck_cols))
         except Exception as e:
             err = f"EXC: {e}"
+        _dt = _time.time() - _t0
+        if _dt > 5:
+            slow.append((name, round(_dt, 1)))
         if err:
             n_bad += 1
             print(f"[FAIL] {name}: {err}")
@@ -219,6 +227,12 @@ def main():
         else:
             n_bad += 1
             print(f"[FAIL] {m}: spark output missing (query crashed?)")
+    if slow:
+        print("[timing] oracle-side queries >5s: " +
+              ", ".join(f"{n}={t}s" for n, t in
+                        sorted(slow, key=lambda x: -x[1])[:10]))
+    print(f"[timing] verify={round(t_verify, 1)}s "
+          f"compare={round(_time.time() - t_start - t_verify, 1)}s")
     print(f"\n== {n_ok} ok, {n_bad} fail ==")
     sys.exit(1 if n_bad else 0)
 

@@ -67,7 +67,15 @@ def pathologize(doc_id, text):
     if k == 7:
         return WS_ONLY
     if k == 9:
-        return BIG_TOKEN
+        # doc_id suffix keeps the docs DISTINCT while preserving the
+        # pathology (one unbroken 100 kB token): identical big docs
+        # formed an accidental exact-dup pile whose C(38,2)=703 pairs of
+        # 100k-element exact-Jaccard intersects cost the ORACLE side
+        # alone ~650 s (measured — 60% of the whole gate's wall; the
+        # engine side handles the pile fine). Dup piles are SKEWCHECK's
+        # axis, at realistic doc sizes; this gate's axis is per-doc text
+        # pathology.
+        return f"{BIG_TOKEN}{doc_id}"
     if k == 11:
         toks = text.split(" ", 1)
         zalgoed = "".join(ch + ZALGO for ch in toks[0])

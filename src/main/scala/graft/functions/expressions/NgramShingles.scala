@@ -66,10 +66,24 @@ case class NgramShingles(child: Expression, n: Int, word: Boolean,
     } else {
       val len = s.numChars()
       if (len < n) return empty
-      var i = 1 // substringSQL is 1-based
-      while (i + n <= len + 1) {
-        seen.add(s.substringSQL(i, n))
-        i += 1
+      // ONE forward pass over the bytes, emitting zero-copy slices at
+      // code-point boundaries. The obvious per-position substringSQL(i, n)
+      // is O(i) per call (UTF8String seeks char offsets from the byte
+      // start), i.e. O(chars²) per document — measured ~100 s of executor
+      // time on a single 100 kB single-token doc in the unicode gate.
+      // A ring of the last n+1 boundary offsets makes each gram O(1).
+      val bytes = s.getBytes
+      val starts = new Array[Int](n + 1)
+      var b = 0 // byte offset of the next code point
+      var c = 0 // code points consumed
+      while (b < bytes.length) {
+        starts(c % (n + 1)) = b
+        b = math.min(b + UTF8String.numBytesForFirstByte(bytes(b)), bytes.length)
+        c += 1
+        if (c >= n) {
+          val st = starts((c - n) % (n + 1))
+          seen.add(UTF8String.fromBytes(bytes, st, b - st))
+        }
       }
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
