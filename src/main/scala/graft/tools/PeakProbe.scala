@@ -16,7 +16,10 @@ object PeakProbe {
     val advisory = sys.env.getOrElse("GRAFT_PROBE_ADVISORY", "64m")
     val pageSize = sys.env.getOrElse("GRAFT_PROBE_PAGESIZE", "")
     val b0 = SparkSession.builder().master("local[32]")
-    val b1 = if (pageSize.nonEmpty) b0.config("spark.buffer.pageSize", pageSize) else b0
+    val b1a = if (pageSize.nonEmpty) b0.config("spark.buffer.pageSize", pageSize) else b0
+    val bcThresh = sys.env.getOrElse("GRAFT_PROBE_BC_THRESHOLD", "")
+    val b1 = if (bcThresh.nonEmpty)
+      b1a.config("spark.sql.autoBroadcastJoinThreshold", bcThresh) else b1a
     val spark = b1
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
