@@ -55,17 +55,30 @@ def main():
         # Per-gate timeout (ADVICE r13): a hung streaming gate
         # (processAllAvailable can block forever on a stuck query) must
         # not stall the sweep and leave stale GATESWEEP.json evidence —
-        # record the timeout as a failure and keep going.
+        # record the timeout as a failure and keep going. Each gate runs
+        # in its OWN session/process group (ADVICE r14): sbt/JVM
+        # grandchildren outlive a kill of the direct child and would
+        # contend CPU with every later gate (skewing timings toward
+        # false failures) and hold staged-table write locks — on timeout
+        # the whole group is killed before moving on.
+        p = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True,
+                             start_new_session=True)
         try:
-            r = subprocess.run(cmd, cwd=REPO, capture_output=True,
-                               text=True, timeout=GATE_TIMEOUT_SEC)
-            rc, out, err, timed_out = r.returncode, r.stdout, r.stderr, False
-        except subprocess.TimeoutExpired as e:
+            out, err = p.communicate(timeout=GATE_TIMEOUT_SEC)
+            rc, timed_out = p.returncode, False
+        except subprocess.TimeoutExpired:
             rc, timed_out = -9, True
-            out = (e.stdout or b"").decode("utf-8", "replace") \
-                if isinstance(e.stdout, bytes) else (e.stdout or "")
-            err = (e.stderr or b"").decode("utf-8", "replace") \
-                if isinstance(e.stderr, bytes) else (e.stderr or "")
+            try:
+                import os, signal
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            try:
+                out, err = p.communicate(timeout=30)
+            except subprocess.TimeoutExpired:
+                out, err = "", ""
+            out, err = out or "", err or ""
         dt = round(time.time() - t0, 1)
         ok = rc == 0
         if not ok:

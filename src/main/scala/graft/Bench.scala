@@ -232,12 +232,23 @@ object Bench {
       // same-code... it has no same-code incumbent by construction, so
       // in quiet mode it simply never promotes.
       val dirtyTree = gitHead.contains("-dirty")
+      // ADVICE r14: an incumbent whose git_head is missing/unparseable
+      // (legacy artifact, force-promoted dirty run) is unknown
+      // provenance — it must still be BEATEN, not clobbered by the next
+      // quiet run; and a run whose OWN head is unknown (git unavailable)
+      // never promotes in quiet mode at all.
       val promote = promoteMode match {
         case "never" => false
         case "force" => true
         case _ =>
-          !contended && !dirtyTree &&
-            (!sameCode || incumbent.forall(total < _._1))
+          !contended && !dirtyTree && gitHead != "null" &&
+            (incumbent match {
+              case None => true // nothing parseable to clobber
+              case Some((t, headOpt)) =>
+                // same code, or unknown-provenance incumbent: must beat
+                // it; a DIFFERENT commit re-baselines on quietness alone
+                if (sameCode || headOpt.isEmpty) total < t else true
+            })
       }
       val incumbentTotal = incumbent.map(_._1)
       if (promote) atomicWrite("BENCH_full.json")

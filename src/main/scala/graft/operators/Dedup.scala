@@ -429,7 +429,13 @@ object Dedup {
       val cond =
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id")
-      banded.as("x").join(banded.as("y"), cond)
+      // the hint makes the PREDICTED regime the PLANNED regime (ADVICE
+      // r14): without it, honest stats past a user-lowered
+      // autoBroadcastJoinThreshold would fall to a plain SMJ with full
+      // shingle carry on both sides and NO hot-bucket bound — the
+      // measured textBytes gate above already bounds build-side memory,
+      // so forcing the broadcast here is safe by construction
+      banded.as("x").join(broadcast(banded.as("y")), cond)
         .select(col("x.doc_id").as("a") +: col("y.doc_id").as("b") +:
           col("x.sh").as("sh_a") +: col("y.sh").as("sh_b") +:
           (payload("x").map { case (n, c) => c.as(s"a_$n") } ++
@@ -622,16 +628,24 @@ object Dedup {
   val CarriedBytesPerTextByte: Int = 20
   val MaxBroadcastCarryBytes: Long = 128L * 1024 * 1024
 
-  /** Exact text-volume probe cache for [[bandedSignatures]]' re-spread
-    * decision, keyed by the canonicalized source plan: parquet
-    * sizeInBytes stats reflect COMPRESSED bytes and under-count
-    * repetitive text by 10–20×, so the budget is computed from a real
-    * `sum(octet_length(text))` — one column-pruned scan per distinct
-    * source lineage per JVM (bench reps and the multi-call cluster
-    * queries hit the cache). A hash collision or a file mutated under a
-    * cached plan only mis-sizes the re-spread — never correctness. */
-  private val textBytesCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  /** Text-volume probe cache for [[bandedSignatures]]' re-spread and
+    * broadcast-gate decisions, keyed by the canonicalized source PLAN
+    * (full structural equality — ADVICE r14: a bare 32-bit hashCode key
+    * could collide two lineages, and the stale value doesn't just
+    * mis-size the re-spread, it can flip the broadcast gate open on a
+    * corpus-sized frame — the executor-OOM class the gate prevents).
+    * Parquet sizeInBytes stats reflect COMPRESSED bytes and under-count
+    * repetitive text by 10–20×, so the value is real bytes: priced from
+    * parquet FOOTERS when the lineage allows
+    * ([[graft.sources.ParquetStats.textBytesUpperBound]] — no data
+    * read), else one column-pruned `sum(octet_length(text))` scan per
+    * distinct source lineage per JVM (bench reps and the multi-call
+    * cluster queries hit the cache). A file mutated in place under an
+    * already-cached path can still mis-size the re-spread (both keys and
+    * footer pricing see the same path) — re-reads of a CHANGED file set
+    * re-key naturally (the file listing is part of the relation). */
+  private val textBytesCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
 
   /** The shared scan→shingle→signature→band pipeline: one scan → compiled
     * shingling (NgramShingles) → per-element hashing (HashedSet) →
@@ -697,11 +711,18 @@ object Dedup {
       else (graft.functions.GraftFunctions.wordShingles(_: Column, shingleSize))
 
     val src0 = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-    val planKey = src0.queryExecution.analyzed.canonicalized.hashCode()
+    val planKey = src0.queryExecution.analyzed.canonicalized
     val textBytes: Long = textBytesCache.computeIfAbsent(planKey, _ =>
       java.lang.Long.valueOf(
-        src0.agg(coalesce(sum(octet_length(col("__text"))), lit(0L)))
-          .head().getLong(0)))
+        // footer-priced when the text column traces to a plain parquet
+        // scan with no dictionary-encoded data pages (a conservative
+        // over-count — see ParquetStats' safety analysis); exact scan
+        // otherwise. Both feed the same two decisions, which are safe
+        // under over-counting and unsafe under under-counting.
+        graft.sources.ParquetStats.textBytesUpperBound(src0, "__text")
+          .getOrElse(
+            src0.agg(coalesce(sum(octet_length(col("__text"))), lit(0L)))
+              .head().getLong(0))))
     val needed = math.min(1 << 18, // runaway guard
       math.ceil(textBytes.toDouble * ShingleExpansionPerByte
         / ShingleTaskBytes)).toInt
@@ -863,11 +884,119 @@ object Dedup {
       path: String, numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
       numFiles: Int = 8, shingler: Column => Column = null): Unit =
     graft.sources.Layout.atomicStagedWrite(df.sparkSession, path) { tmp =>
+      val (banded, textBytes) = bandedSignaturesWithBytes(df, idCol, textCol,
+        numHashes, bands, shingleSize, shingler)
       graft.sources.Layout.clusteredWrite(
-        bandedSignatures(df, idCol, textCol, numHashes, bands, shingleSize,
-          shingler).select("doc_id", "sh", "band", "bkey"),
+        banded.select("doc_id", "sh", "band", "bkey"),
         tmp, Seq("band", "bkey"), numFiles)
+      writeSigFormat(df.sparkSession, tmp,
+        SigFormat(SigFormatVersion, numHashes, bands, shingleSize, textBytes))
     }
+
+  // ---- staged-signature store format sidecar ----------------------------
+
+  /** Staged-signature store format descriptor, persisted as the
+    * `_graft_sig_format.json` sidecar inside every [[stageSignatures]] /
+    * [[stageSignatureBuckets]] table (underscore-prefixed — invisible to
+    * Spark's file index, participates in the atomic-commit scope).
+    * Exists for two reasons (ADVICE r14 + VERDICT r14 item 1):
+    *
+    *  1. FORMAT/PARAMETER GUARD. The signature format changed once
+    *     already (v1 carried `sh` as ARRAY<STRING>; v2 carries hashed
+    *     ARRAY<BIGINT>), and [[appendSignatureBuckets]] is map-only by
+    *     design — without a guard, appending v2 rows into a v1 store
+    *     silently creates a mixed-schema parquet table whose readers
+    *     fail (or mis-merge under mergeSchema) long after the
+    *     corrupting write. Parameter drift (numHashes/bands/shingleSize)
+    *     is worse: band keys from different parameters never collide
+    *     correctly, so a mismatched probe silently returns ZERO
+    *     candidates. Append and the path-based probe verify the sidecar
+    *     and fail fast with a restage message.
+    *
+    *  2. MEASURED TEXT VOLUME. `textBytes` persists the corpus-volume
+    *     probe the signatures were built from, so staged-corpus probes
+    *     ([[incrementalNearDupsStaged]]'s path overload) price their
+    *     broadcast-vs-merge regime without ever re-scanning (or even
+    *     footer-sweeping) the corpus. -1 = unknown (a pre-sidecar store
+    *     adopted by append) — consumers treat unknown as over-cap, the
+    *     conservative regime. Appends ACCUMULATE batch bytes into it. */
+  final case class SigFormat(version: Int, numHashes: Int, bands: Int,
+      shingleSize: Int, textBytes: Long)
+
+  private[graft] val SigFormatVersion = 2
+  private[graft] val SigFormatName = "_graft_sig_format.json"
+
+  private def writeSigFormat(spark: org.apache.spark.sql.SparkSession,
+      dir: String, f: SigFormat): Unit =
+    graft.sources.Layout.writeSidecar(spark, dir, SigFormatName,
+      s"""{"version":${f.version},"sh":"array<bigint>",""" +
+        s""""num_hashes":${f.numHashes},"bands":${f.bands},""" +
+        s""""shingle_size":${f.shingleSize},"text_bytes":${f.textBytes}}""")
+
+  private[graft] def readSigFormat(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[SigFormat] =
+    graft.sources.Layout.readSidecar(spark, dir, SigFormatName).map { txt =>
+      def num(k: String): Long =
+        (s""""$k":(-?\\d+)""").r.findFirstMatchIn(txt)
+          .getOrElse(throw new IllegalStateException(
+            s"$SigFormatName in $dir is unreadable (missing '$k'): $txt — " +
+              "restage the signature table"))
+          .group(1).toLong
+      SigFormat(num("version").toInt, num("num_hashes").toInt,
+        num("bands").toInt, num("shingle_size").toInt, num("text_bytes"))
+    }
+
+  /** Verify an existing store at `path` is format-compatible before a
+    * mutating append or a probe: sidecar present → version + parameters
+    * must match exactly; sidecar absent but data present (a pre-sidecar
+    * store) → the `sh` element type must already be BIGINT (a v1
+    * ARRAY<STRING> store fails fast instead of being silently mixed).
+    * Returns the sidecar if present, None for fresh/adopted stores. */
+  private def checkSigStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, numHashes: Int, bands: Int, shingleSize: Int,
+      op: String): Option[SigFormat] = {
+    val restage = s"restage it with stageSignatureBuckets/stageSignatures " +
+      s"(numHashes=$numHashes, bands=$bands, shingleSize=$shingleSize)"
+    readSigFormat(spark, path) match {
+      case Some(f) =>
+        if (f.version != SigFormatVersion)
+          throw new IllegalStateException(s"$op: staged signature store " +
+            s"$path is format v${f.version}, this build writes " +
+            s"v$SigFormatVersion — $restage")
+        if ((f.numHashes, f.bands, f.shingleSize) !=
+            ((numHashes, bands, shingleSize)))
+          throw new IllegalStateException(s"$op: staged signature store " +
+            s"$path was built with numHashes=${f.numHashes}, " +
+            s"bands=${f.bands}, shingleSize=${f.shingleSize} — a mismatched " +
+            s"$op would silently produce zero/garbage candidates; $restage " +
+            "or pass the store's parameters")
+        Some(f)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+          !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")
+        }
+        if (hasData) {
+          val shType = try spark.read.parquet(path).schema("sh").dataType
+          catch { case e: Exception =>
+            throw new IllegalStateException(s"$op: $path exists but is not " +
+              s"a readable signature store (${e.getMessage}) — $restage", e)
+          }
+          shType match { // containsNull-agnostic: only the element type is format
+            case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, _) => ()
+            case other =>
+              throw new IllegalStateException(s"$op: staged signature store " +
+                s"$path carries sh: ${other.simpleString} (the v1 " +
+                s"string-shingle format) — appending/probing would mix " +
+                s"formats; $restage")
+          }
+        }
+        None
+    }
+  }
 
   /** [[incrementalNearDups]] with the old side read from a
     * [[stageSignatures]] table: the plan scans the NEW batch's documents
@@ -884,11 +1013,53 @@ object Dedup {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      shingler: Column => Column = null): DataFrame = {
+      shingler: Column => Column = null,
+      forceMerge: Boolean = false): DataFrame = {
+    // fail fast on a v1 (string-shingle) frame: its band keys can never
+    // match this build's hashed pipeline — the probe would silently
+    // return zero candidates (ADVICE r14's mixed-format failure class)
+    stagedSigs.schema("sh").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => ()
+      case other => throw new IllegalStateException(
+        s"incrementalNearDupsStaged: staged frame carries " +
+          s"sh: ${other.simpleString} — this build's signatures are " +
+          "ARRAY<BIGINT> (v2); restage the signature table")
+    }
     val bn = bandedSignatures(newDf, idCol, textCol, numHashes, bands,
       shingleSize, shingler)
     crossBatchVerdicts(bn, stagedSigs.select("doc_id", "sh", "band", "bkey"),
-      threshold)
+      threshold, forceMerge = forceMerge)
+  }
+
+  /** [[incrementalNearDupsStaged]] by PATH: reads the store's
+    * `_graft_sig_format.json` sidecar to (a) fail fast on a
+    * format/parameter mismatch (see [[SigFormat]]) and (b) pick the
+    * corpus side's join regime from the PERSISTED measured text volume —
+    * the staged probe never scans (or footer-sweeps) the corpus to price
+    * it (VERDICT r14 item 1). Unknown volume (pre-sidecar store) is
+    * treated as over-cap: the conservative sort-merge regime. */
+  def incrementalNearDupsStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      threshold: Double,
+      shingler: Column => Column): DataFrame = {
+    val fmt = checkSigStore(spark, path, numHashes, bands, shingleSize,
+      "incrementalNearDupsStaged")
+    val forceMerge = fmt.map(_.textBytes) match {
+      case Some(b) if b >= 0 =>
+        b * CarriedBytesPerTextByte.toLong > MaxBroadcastCarryBytes
+      case _ => true // unknown volume → never risk the broadcast regime
+    }
+    incrementalNearDupsStaged(spark.read.parquet(path), newDf, idCol,
+      textCol, numHashes, bands, shingleSize, threshold, shingler,
+      forceMerge = forceMerge)
   }
 
   /** [[stageSignatures]] in the APPEND-able layout: the same
@@ -914,8 +1085,10 @@ object Dedup {
       path: String, numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
       nGroups: Int = 64, splits: Int = 1, shingler: Column => Column = null): Unit =
     graft.sources.Layout.atomicStagedWrite(df.sparkSession, path) { tmp =>
-      writeSignatureBuckets(df, idCol, textCol, tmp, numHashes, bands,
-        shingleSize, nGroups, splits, shingler, "overwrite")
+      val textBytes = writeSignatureBuckets(df, idCol, textCol, tmp,
+        numHashes, bands, shingleSize, nGroups, splits, shingler, "overwrite")
+      writeSigFormat(df.sparkSession, tmp,
+        SigFormat(SigFormatVersion, numHashes, bands, shingleSize, textBytes))
     }
 
   /** Append an ingest batch's signatures to a [[stageSignatureBuckets]]
@@ -930,18 +1103,32 @@ object Dedup {
     // serialized vs other appends/compacts/restages of this store —
     // concurrency-safety rationale at Layout.withTableWriteLock
     graft.sources.Layout.withTableWriteLock(df.sparkSession, path) {
-      writeSignatureBuckets(df, idCol, textCol, path, numHashes, bands,
-        shingleSize, nGroups, splits, shingler, "append")
+      // fail fast BEFORE the corrupting write (ADVICE r14): a format or
+      // parameter mismatch against the existing store otherwise
+      // surfaces only when a reader hits the mixed table much later
+      val prior = checkSigStore(df.sparkSession, path, numHashes, bands,
+        shingleSize, "appendSignatureBuckets")
+      val batchBytes = writeSignatureBuckets(df, idCol, textCol, path,
+        numHashes, bands, shingleSize, nGroups, splits, shingler, "append")
+      // accumulate the measured corpus volume; a pre-sidecar store's
+      // prior volume is unknown → stays unknown (-1, conservative)
+      val total = prior match {
+        case Some(f) if f.textBytes >= 0 => f.textBytes + batchBytes
+        case _ => -1L
+      }
+      writeSigFormat(df.sparkSession, path,
+        SigFormat(SigFormatVersion, numHashes, bands, shingleSize, total))
     }
 
   private def writeSignatureBuckets(df: DataFrame, idCol: String,
       textCol: String, path: String, numHashes: Int, bands: Int,
       shingleSize: Int, nGroups: Int, splits: Int,
-      shingler: Column => Column, mode: String): Unit = {
+      shingler: Column => Column, mode: String): Long = {
     require(nGroups >= 1, s"nGroups must be >= 1, got $nGroups")
     require(splits >= 1, s"splits must be >= 1, got $splits")
-    bandedSignatures(df, idCol, textCol, numHashes, bands, shingleSize,
-      shingler)
+    val (banded, textBytes) = bandedSignaturesWithBytes(df, idCol, textCol,
+      numHashes, bands, shingleSize, shingler)
+    banded
       .select(col("doc_id"), col("sh"), col("band"), col("bkey"))
       .withColumn("bgrp", pmod(hash(col("band"), col("bkey")), lit(nGroups)))
       .repartition(col("bgrp"), pmod(hash(col("doc_id")), lit(splits)))
@@ -951,6 +1138,7 @@ object Dedup {
       // the documented (band, bkey) row-group clustering
       .sortWithinPartitions(col("bgrp"), col("band"), col("bkey"))
       .write.mode(mode).partitionBy("bgrp").parquet(path)
+    textBytes
   }
 
   /** Compact over-fragmented band-group dirs of a

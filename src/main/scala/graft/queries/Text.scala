@@ -889,15 +889,17 @@ object Text extends QueryModule {
       // steady state, and concurrent runs over the same corpus share a
       // finished table instead of racing an overwrite against a reader.
       val src = new java.io.File(s"$d/documents.parquet")
-      // v2 = stageSignatures' bkey-clustered parquet layout with the
-      // HASHED shingle carry (sh: ARRAY<BIGINT> — see bandedSignatures):
-      // salting the key with the format version means a format change
-      // (v1 carried sh as ARRAY<STRING>) can never silently reuse an
-      // incompatible staged table left in tmpdir.
+      // v2s = stageSignatures' bkey-clustered parquet layout with the
+      // HASHED shingle carry (sh: ARRAY<BIGINT> — see bandedSignatures)
+      // PLUS the _graft_sig_format.json sidecar (r15): salting the key
+      // with the format version means a format change (v1 carried sh as
+      // ARRAY<STRING>; plain v2 lacked the sidecar the path-based probe
+      // verifies) can never silently reuse an incompatible staged table
+      // left in tmpdir.
       // Content enters via the per-file tree fingerprint — a top-level
       // (length, mtime) missed part-file rewrites in directory datasets
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"v2|$d|h=8|b=4|sh=3|${graft.core.Staging.contentFingerprint(src)}"
+        .digest(s"v2s|$d|h=8|b=4|sh=3|${graft.core.Staging.contentFingerprint(src)}"
           .getBytes("UTF-8")).map("%02x".format(_)).mkString
       val staged =
         s"${System.getProperty("java.io.tmpdir")}/graft_staged_sigs_$key"
@@ -921,10 +923,13 @@ object Text extends QueryModule {
               .deleteDirectory(new java.io.File(tmp))
         }
       }
+      // the PATH overload: sidecar-verified parameters + the persisted
+      // measured text volume picks the corpus side's join regime — the
+      // staged probe never re-scans the corpus to price it (r15)
       Dedup.incrementalNearDupsStaged(
-          s.read.parquet(staged), docs.filter(col("doc_id") >= 250),
+          s, staged, docs.filter(col("doc_id") >= 250),
           "doc_id", "text", numHashes = 8, bands = 4, shingleSize = 3,
-          threshold = 0.5)
+          threshold = 0.5, shingler = null)
         .orderBy("doc_id")
     },
 

@@ -48,6 +48,11 @@ class ConcurrencySpec extends SparkTestBase {
   private def isTransientRead(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists { c =>
       c.isInstanceOf[java.io.FileNotFoundException] ||
+        // parquet's vectored-IO path reopens the file through an NIO
+        // async channel, so the same deleted-by-compaction race
+        // surfaces as NoSuchFileException whose message is the bare
+        // path (no "does not exist" text)
+        c.isInstanceOf[java.nio.file.NoSuchFileException] ||
         Option(c.getMessage).exists(m =>
           m.contains("FileNotFoundException") || m.contains("does not exist"))
     }

@@ -420,6 +420,48 @@ class ScaleSpec extends SparkTestBase {
     assert(p1.contains("SortMergeJoin") && !p1.contains("BroadcastExchange"), p1)
   }
 
+  test("q41 simhash join sides carry only fixed-width columns (no lying-stats broadcast trap)") {
+    // VERDICT r14 item 4: q49's r14 bug was a planner broadcast of a
+    // frame whose PER-ROW payload (shingle arrays) was 50–100× what the
+    // parquet-derived stats priced. q41's band self-join takes the same
+    // planner path, but its carry is structurally immune: every column
+    // on either join side is a fixed-width primitive, so relation bytes
+    // = rows × constant and the row count IS what stats/AQE shuffle
+    // metrics measure (measured at sf0.1: 15k rows broadcast, ~34 B/row
+    // marginal — the 64 MiB LongToUnsafeRowMap allocation floor
+    // dominates, constant in corpus size). This pin fails if the carry
+    // ever grows a variable-width column (array/string/map), which
+    // would reopen the trap.
+    val df = graft.SparkEntry.queries("q41_simhash_near_dup")(
+      spark, "/root/testdata/sf0.001")
+    assert(df.count() >= 0) // finalize AQE
+    def joins(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        joins(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        joins(q.plan)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j +: j.children.flatMap(joins)
+      case o => (o.children ++ o.subqueries).flatMap(joins)
+    }
+    val js = joins(df.queryExecution.executedPlan)
+    assert(js.nonEmpty, "no joins found in q41's executed plan")
+    for (j <- js; side <- j.children) {
+      val fixedWidth: org.apache.spark.sql.types.DataType => Boolean = {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.BooleanType => true
+        case org.apache.spark.sql.types.DateType => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case _ => false // string/array/map/struct: variable or nested
+      }
+      val wide = side.output.filterNot(a => fixedWidth(a.dataType))
+      assert(wide.isEmpty,
+        s"q41 join side carries variable/wide columns ${wide.map(_.name)} — " +
+          "the q49 lying-stats broadcast trap applies again")
+    }
+  }
+
   test("tokenBudgetSample shards the stratum window by hash bucket (no stratum-serial sort)") {
     // ONE giant stratum: the old single-window shape would sort it in
     // one task; the bucketed form must (a) key the row window on

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+import graft.operators.Dedup
+import graft.sources.{Layout, ParquetStats}
+
+/** r15 pins: the metadata-priced text-volume probe (ParquetStats) and
+  * the staged-signature store format sidecar (ADVICE r14 medium +
+  * VERDICT r14 item 1).
+  *
+  *  - the footer probe must NEVER under-count (under-counting flips the
+  *    LSH family's broadcast gate open on a corpus-sized frame), must
+  *    run ZERO Spark jobs (that is the whole point: metadata, not a
+  *    scan), and must refuse lineages it cannot price;
+  *  - the sidecar must fail-fast a mixed-format or mixed-parameter
+  *    append/probe BEFORE any corrupting write, and must carry the
+  *    measured text volume through stage → append accumulation so the
+  *    path-based staged probe prices its join regime without scanning.
+  */
+class SigStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-sig-$tag").toString
+
+  private def docs(n: Int, repeatEvery: Int = 0): DataFrame =
+    (0 until n).map { i =>
+      val body =
+        if (repeatEvery > 0) s"shared body text ${i % repeatEvery} common tail"
+        else s"unique document $i with its own words ${i * 37} and tail $i"
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+
+  private def exactBytes(df: DataFrame): Long =
+    df.agg(coalesce(sum(octet_length(col("text"))), lit(0L)))
+      .head().getLong(0)
+
+  // ---- ParquetStats ------------------------------------------------------
+
+  test("footer probe: never under-counts, on plain AND dictionary-heavy corpora") {
+    for ((tag, d) <- Seq(("plain", docs(400)), ("dict", docs(4000, repeatEvery = 7)))) {
+      val dir = tmpDir(s"probe-$tag")
+      d.repartition(3).write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val back = spark.read.parquet(s"$dir/t.parquet")
+      val exact = exactBytes(back)
+      ParquetStats.textBytesUpperBound(back, "text") match {
+        case Some(priced) =>
+          assert(priced >= exact,
+            s"$tag: footer price $priced UNDER-counts exact $exact")
+          assert(priced <= exact * 2 + 8192,
+            s"$tag: footer price $priced wildly over exact $exact — useless bound")
+        case None => // refusing is always safe; but a Spark-4-written
+          // plain corpus should be priceable (SizeStatistics or
+          // EncodingStats must be present)
+          fail(s"$tag: Spark-written parquet was not footer-priceable")
+      }
+    }
+  }
+
+  test("footer probe runs ZERO Spark jobs (metadata only) and traces spread/alias lineage") {
+    val dir = tmpDir("nojobs")
+    docs(300).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    // the q49-family lineage shape: load → repartition (Tables.spread)
+    // → project-alias (bandedSignatures' src0)
+    val frame = spark.read.parquet(s"$dir/t.parquet").repartition(4)
+      .select(col("doc_id").as("id"), col("text").as("__text"))
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val priced = ParquetStats.textBytesUpperBound(frame, "__text")
+      // listener delivery is async; a job started during the probe is
+      // delivered well within this bound
+      Thread.sleep(500)
+      assert(priced.isDefined, "lineage should be footer-priceable")
+      assert(jobs == 0, s"footer probe launched $jobs Spark jobs — it scanned")
+      val exact = exactBytes(
+        spark.read.parquet(s"$dir/t.parquet").select(col("text")))
+      assert(priced.get >= exact)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("footer probe refuses unpriceable lineages (filter, computed column, non-parquet)") {
+    val dir = tmpDir("refuse")
+    docs(100).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val t = spark.read.parquet(s"$dir/t.parquet")
+    // a filtered frame prices what flows, not the corpus → exact scan path
+    assert(ParquetStats.textBytesUpperBound(
+      t.filter(col("doc_id") < 10), "text").isEmpty)
+    // computed column: footer bytes don't describe it
+    assert(ParquetStats.textBytesUpperBound(
+      t.select(concat(col("text"), col("text")).as("text")), "text").isEmpty)
+    // non-parquet source (in-memory): nothing to price
+    assert(ParquetStats.textBytesUpperBound(docs(10), "text").isEmpty)
+  }
+
+  // ---- staged-signature sidecar ------------------------------------------
+
+  test("stage writes the format sidecar; append accumulates measured textBytes") {
+    val path = tmpDir("sidecar") + "/sigs"
+    val base = docs(200)
+    val batch = docs(60).withColumn("doc_id", col("doc_id") + 1000L)
+    Dedup.stageSignatureBuckets(base, "doc_id", "text", path, nGroups = 4)
+    val f0 = Dedup.readSigFormat(spark, path)
+      .getOrElse(fail("stage wrote no sidecar"))
+    assert(f0.version == Dedup.SigFormatVersion)
+    assert((f0.numHashes, f0.bands, f0.shingleSize) == ((8, 4, 3)))
+    assert(f0.textBytes == exactBytes(base),
+      "staged textBytes must equal the measured corpus volume")
+    Dedup.appendSignatureBuckets(batch, "doc_id", "text", path, nGroups = 4)
+    val f1 = Dedup.readSigFormat(spark, path).get
+    assert(f1.textBytes == exactBytes(base) + exactBytes(batch),
+      "append must accumulate the batch's measured volume")
+  }
+
+  test("append fails fast on parameter mismatch, BEFORE writing") {
+    val path = tmpDir("mismatch") + "/sigs"
+    Dedup.stageSignatureBuckets(docs(50), "doc_id", "text", path, nGroups = 4)
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[String] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(_.isFile).map(_.getPath) ++ kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(path)).toSet
+    }
+    val before = files()
+    val e = intercept[IllegalStateException] {
+      Dedup.appendSignatureBuckets(docs(10), "doc_id", "text", path,
+        numHashes = 16, bands = 8, nGroups = 4)
+    }
+    assert(e.getMessage.contains("restage"), s"not actionable: ${e.getMessage}")
+    assert(files() == before, "mismatched append mutated the store")
+  }
+
+  test("append and probe fail fast on a v1 (string-shingle) store") {
+    val path = tmpDir("v1") + "/sigs"
+    // fake a v1 store: sh as ARRAY<STRING>, no sidecar
+    Seq((1L, Seq("a b c"), 0, "k"))
+      .toDF("doc_id", "sh", "band", "bkey")
+      .write.parquet(path)
+    val eApp = intercept[IllegalStateException] {
+      Dedup.appendSignatureBuckets(docs(5), "doc_id", "text", path)
+    }
+    assert(eApp.getMessage.contains("restage"))
+    val eProbe = intercept[IllegalStateException] {
+      Dedup.incrementalNearDupsStaged(spark.read.parquet(path), docs(5),
+        "doc_id", "text")
+    }
+    assert(eProbe.getMessage.contains("restage"))
+  }
+
+  test("path-based staged probe: sidecar-verified, regime from persisted volume, verdict parity") {
+    val all = docs(120, repeatEvery = 30) // repeats → real near-dups
+    val corpus = all.filter(col("doc_id") < 90)
+    val batch = all.filter(col("doc_id") >= 90)
+    val path = tmpDir("probe-parity") + "/sigs"
+    Dedup.stageSignatures(corpus, "doc_id", "text", path, numFiles = 2)
+
+    // parameter mismatch fails fast instead of silently zero candidates
+    intercept[IllegalStateException] {
+      Dedup.incrementalNearDupsStaged(spark, path, batch, "doc_id", "text",
+        numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5,
+        shingler = null).collect()
+    }
+
+    val viaPath = Dedup.incrementalNearDupsStaged(spark, path, batch,
+      "doc_id", "text", numHashes = 8, bands = 4, shingleSize = 3,
+      threshold = 0.5, shingler = null).orderBy("doc_id").collect()
+    val inline = Dedup.incrementalNearDups(corpus, batch, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(viaPath.nonEmpty, "fixture produced no near-dups")
+    assert(viaPath.toSeq == inline.toSeq,
+      "path-based staged probe diverged from the inline probe")
+
+    // an over-cap persisted volume must pin the corpus join to
+    // sort-merge (never a planner broadcast of the carried sets)
+    Layout.writeSidecar(spark, path, Dedup.SigFormatName,
+      s"""{"version":2,"sh":"array<bigint>","num_hashes":8,"bands":4,""" +
+        s""""shingle_size":3,"text_bytes":${Long.MaxValue / 64}}""")
+    val big = Dedup.incrementalNearDupsStaged(spark, path, batch,
+      "doc_id", "text", numHashes = 8, bands = 4, shingleSize = 3,
+      threshold = 0.5, shingler = null)
+    big.collect()
+    val plan = big.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"over-cap staged corpus was broadcast:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"expected the SMJ regime for an over-cap staged corpus:\n$plan")
+  }
+}
