@@ -126,10 +126,12 @@ object ParquetStats {
       val col = colName
       val parts = math.min(files.length, 2048)
       val perFile = spark.sparkContext.parallelize(files.toSeq, parts)
-        .map { f =>
+        .mapPartitions { fs =>
+          // one Configuration per task, not per file: rebuilding parses
+          // the classpath defaults each time
           val c = new Configuration(true)
           entries.foreach { case (k, v) => c.set(k, v) }
-          fileColumnBytes(c, f, col)
+          fs.map(fileColumnBytes(c, _, col))
         }
         .collect()
       foldDisqualifying(perFile.iterator)
