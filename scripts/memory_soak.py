@@ -86,19 +86,25 @@ def verify(heap, cpus, outdir):
             cwd=REPO, env=env, capture_output=True, text=True,
             timeout=ATTEMPT_TIMEOUT_SEC)
         rc, tail = r.returncode, (r.stdout[-1500:] + r.stderr[-1500:])
-        stderr_full = r.stderr or ""
+        # BOTH streams: Verify prints its breadcrumbs to ITS stderr, but
+        # sbt re-emits the runMain process's stderr as '[error]'-tagged
+        # lines on sbt's own STDOUT — a stderr-only scrape sees nothing
+        # (the r15 2g/8 rung died exit-52 with died_during=None that way)
+        crumb_src = (r.stdout or "") + "\n" + (r.stderr or "")
     except subprocess.TimeoutExpired as e:
         rc, tail = -9, f"TIMEOUT after {ATTEMPT_TIMEOUT_SEC}s: " + str(
             (e.stdout or b"")[-800:])
-        stderr_full = (e.stderr.decode("utf-8", "replace")
-                       if isinstance(e.stderr, bytes) else (e.stderr or ""))
+        def _s(x):
+            return (x.decode("utf-8", "replace")
+                    if isinstance(x, bytes) else (x or ""))
+        crumb_src = _s(e.stdout) + "\n" + _s(e.stderr)
     wall = round(time.time() - t0, 1)
     # Attribute a JVM-level halt (Spark exits 52 on an executor-thread
     # OOM before Verify's per-query catch can run) to the query that was
     # running: Verify prints a `[verify] running <name>` breadcrumb to
     # stderr for exactly this (VERDICT r13 item 2 — the sf10f ladder's
     # dead rungs carried no attribution).
-    crumbs = re.findall(r"\[verify\] running (\S+)", stderr_full)
+    crumbs = re.findall(r"\[verify\] running (\S+)", crumb_src)
     died_during = crumbs[-1] if crumbs else None
     # a query-level failure (errors.json non-empty) is a FAIL even if the
     # JVM exits 0 — Verify catches per-query Throwables incl. OOMs
