@@ -890,7 +890,8 @@ object Dedup {
         banded.select("doc_id", "sh", "band", "bkey"),
         tmp, Seq("band", "bkey"), numFiles)
       writeSigFormat(df.sparkSession, tmp,
-        SigFormat(SigFormatVersion, numHashes, bands, shingleSize, textBytes))
+        SigFormat(SigFormatVersion, numHashes, bands, shingleSize, textBytes,
+          LayoutClustered))
     }
 
   // ---- staged-signature store format sidecar ----------------------------
@@ -921,15 +922,20 @@ object Dedup {
     *     adopted by append) — consumers treat unknown as over-cap, the
     *     conservative regime. Appends ACCUMULATE batch bytes into it. */
   final case class SigFormat(version: Int, numHashes: Int, bands: Int,
-      shingleSize: Int, textBytes: Long)
+      shingleSize: Int, textBytes: Long, layout: String)
 
   private[graft] val SigFormatVersion = 2
   private[graft] val SigFormatName = "_graft_sig_format.json"
+  /** [[stageSignatures]]' flat bkey-range-clustered layout. */
+  private[graft] val LayoutClustered = "bkey-clustered"
+  /** [[stageSignatureBuckets]]' hive `bgrp=` append-able layout. */
+  private[graft] val LayoutBuckets = "band-buckets"
 
   private def writeSigFormat(spark: org.apache.spark.sql.SparkSession,
       dir: String, f: SigFormat): Unit =
     graft.sources.Layout.writeSidecar(spark, dir, SigFormatName,
       s"""{"version":${f.version},"sh":"array<bigint>",""" +
+        s""""layout":"${f.layout}",""" +
         s""""num_hashes":${f.numHashes},"bands":${f.bands},""" +
         s""""shingle_size":${f.shingleSize},"text_bytes":${f.textBytes}}""")
 
@@ -942,8 +948,11 @@ object Dedup {
             s"$SigFormatName in $dir is unreadable (missing '$k'): $txt — " +
               "restage the signature table"))
           .group(1).toLong
+      val layout = (s""""layout":"([^"]+)"""").r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(LayoutBuckets) // pre-layout sidecars never shipped; default permissively
       SigFormat(num("version").toInt, num("num_hashes").toInt,
-        num("bands").toInt, num("shingle_size").toInt, num("text_bytes"))
+        num("bands").toInt, num("shingle_size").toInt, num("text_bytes"),
+        layout)
     }
 
   /** Verify an existing store at `path` is format-compatible before a
@@ -954,7 +963,7 @@ object Dedup {
     * Returns the sidecar if present, None for fresh/adopted stores. */
   private def checkSigStore(spark: org.apache.spark.sql.SparkSession,
       path: String, numHashes: Int, bands: Int, shingleSize: Int,
-      op: String): Option[SigFormat] = {
+      op: String, expectedLayout: Option[String] = None): Option[SigFormat] = {
     val restage = s"restage it with stageSignatureBuckets/stageSignatures " +
       s"(numHashes=$numHashes, bands=$bands, shingleSize=$shingleSize)"
     readSigFormat(spark, path) match {
@@ -970,14 +979,31 @@ object Dedup {
             s"bands=${f.bands}, shingleSize=${f.shingleSize} — a mismatched " +
             s"$op would silently produce zero/garbage candidates; $restage " +
             "or pass the store's parameters")
+        // a bgrp-partitioned append into a flat clustered table mixes
+        // directory layouts — partition discovery then fails for EVERY
+        // reader ("Conflicting directory structures"), long after the
+        // corrupting write
+        for (want <- expectedLayout if f.layout != want)
+          throw new IllegalStateException(s"$op: staged signature store " +
+            s"$path has the '${f.layout}' layout; $op requires '$want' — " +
+            s"use stageSignatureBuckets for an append-able store")
         Some(f)
       case None =>
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+        val kids = if (fs.exists(p)) fs.listStatus(p).filter { st =>
           !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith(".")
-        }
+        } else Array.empty[org.apache.hadoop.fs.FileStatus]
+        val hasData = kids.nonEmpty
+        // adopted (pre-sidecar) store: the layout is observable from the
+        // directory shape — band-buckets stores contain only bgrp= dirs
+        for (want <- expectedLayout if hasData && want == LayoutBuckets &&
+            !kids.forall(st => st.isDirectory &&
+              st.getPath.getName.startsWith("bgrp=")))
+          throw new IllegalStateException(s"$op: $path is not a " +
+            s"'$LayoutBuckets' store (found non-bgrp entries) — $op " +
+            "requires a stageSignatureBuckets store")
         if (hasData) {
           val shType = try spark.read.parquet(path).schema("sh").dataType
           catch { case e: Exception =>
@@ -1088,7 +1114,8 @@ object Dedup {
       val textBytes = writeSignatureBuckets(df, idCol, textCol, tmp,
         numHashes, bands, shingleSize, nGroups, splits, shingler, "overwrite")
       writeSigFormat(df.sparkSession, tmp,
-        SigFormat(SigFormatVersion, numHashes, bands, shingleSize, textBytes))
+        SigFormat(SigFormatVersion, numHashes, bands, shingleSize, textBytes,
+          LayoutBuckets))
     }
 
   /** Append an ingest batch's signatures to a [[stageSignatureBuckets]]
@@ -1107,7 +1134,8 @@ object Dedup {
       // parameter mismatch against the existing store otherwise
       // surfaces only when a reader hits the mixed table much later
       val prior = checkSigStore(df.sparkSession, path, numHashes, bands,
-        shingleSize, "appendSignatureBuckets")
+        shingleSize, "appendSignatureBuckets",
+        expectedLayout = Some(LayoutBuckets))
       val batchBytes = writeSignatureBuckets(df, idCol, textCol, path,
         numHashes, bands, shingleSize, nGroups, splits, shingler, "append")
       // accumulate the measured corpus volume; a pre-sidecar store's
@@ -1117,7 +1145,8 @@ object Dedup {
         case _ => -1L
       }
       writeSigFormat(df.sparkSession, path,
-        SigFormat(SigFormatVersion, numHashes, bands, shingleSize, total))
+        SigFormat(SigFormatVersion, numHashes, bands, shingleSize, total,
+          LayoutBuckets))
     }
 
   private def writeSignatureBuckets(df: DataFrame, idCol: String,

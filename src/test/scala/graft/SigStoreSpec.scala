@@ -137,12 +137,33 @@ class SigStoreSpec extends SparkTestBase {
     assert(files() == before, "mismatched append mutated the store")
   }
 
+  test("append into a flat clustered store fails fast (layout guard)") {
+    val path = tmpDir("layout") + "/sigs"
+    Dedup.stageSignatures(docs(40), "doc_id", "text", path, numFiles = 2)
+    val e = intercept[IllegalStateException] {
+      Dedup.appendSignatureBuckets(docs(10), "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("layout") ||
+      e.getMessage.contains("stageSignatureBuckets"), e.getMessage)
+    // adopted store without a sidecar: the directory shape still tells
+    val bare = tmpDir("layout-bare") + "/sigs"
+    Dedup.stageSignatures(docs(40), "doc_id", "text", bare, numFiles = 2)
+    val fs = new java.io.File(bare, Dedup.SigFormatName)
+    assert(fs.delete(), "fixture: could not remove sidecar")
+    val e2 = intercept[IllegalStateException] {
+      Dedup.appendSignatureBuckets(docs(10), "doc_id", "text", bare)
+    }
+    assert(e2.getMessage.contains("bgrp"), e2.getMessage)
+  }
+
   test("append and probe fail fast on a v1 (string-shingle) store") {
     val path = tmpDir("v1") + "/sigs"
-    // fake a v1 store: sh as ARRAY<STRING>, no sidecar
-    Seq((1L, Seq("a b c"), 0, "k"))
-      .toDF("doc_id", "sh", "band", "bkey")
-      .write.parquet(path)
+    // fake a v1 store: sh as ARRAY<STRING>, no sidecar, bucket layout
+    // (bgrp-partitioned so the layout guard passes and the format
+    // check is what fires)
+    Seq((1L, Seq("a b c"), 0, "k", 0))
+      .toDF("doc_id", "sh", "band", "bkey", "bgrp")
+      .write.partitionBy("bgrp").parquet(path)
     val eApp = intercept[IllegalStateException] {
       Dedup.appendSignatureBuckets(docs(5), "doc_id", "text", path)
     }
