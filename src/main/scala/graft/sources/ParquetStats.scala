@@ -53,9 +53,13 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 object ParquetStats {
 
   /** Files at or below this count are footer-swept on the driver; above
-    * it the sweep is a Spark job (overridable for tests). */
+    * it the sweep is a Spark job. The system property lets tests force
+    * the distributed path on a small fixture (env is fixed at JVM
+    * launch; a property can be set per-test). */
   def DriverFooterMax: Int =
-    sys.env.get("GRAFT_FOOTER_DRIVER_MAX").map(_.toInt).getOrElse(256)
+    sys.props.get("graft.footer.driver.max")
+      .orElse(sys.env.get("GRAFT_FOOTER_DRIVER_MAX")).map(_.toInt)
+      .getOrElse(256)
 
   /** An upper bound of `sum(octet_length(df(colName)))` priced purely
     * from parquet footers, or None when the lineage or the files' page

@@ -85,6 +85,20 @@ class SigStoreSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("distributed footer sweep (files > driver max) prices identically to the driver sweep") {
+    val dir = tmpDir("dist")
+    docs(500).repartition(10).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val t = spark.read.parquet(s"$dir/t.parquet")
+    val onDriver = ParquetStats.textBytesUpperBound(t, "text")
+    assert(onDriver.isDefined)
+    System.setProperty("graft.footer.driver.max", "4") // 10 files > 4 → Spark job
+    try {
+      val distributed = ParquetStats.textBytesUpperBound(t, "text")
+      assert(distributed == onDriver,
+        s"distributed sweep $distributed != driver sweep $onDriver")
+    } finally System.clearProperty("graft.footer.driver.max")
+  }
+
   test("footer probe refuses unpriceable lineages (filter, computed column, non-parquet)") {
     val dir = tmpDir("refuse")
     docs(100).write.mode("overwrite").parquet(s"$dir/t.parquet")
