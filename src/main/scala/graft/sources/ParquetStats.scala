@@ -31,17 +31,23 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   *
   *  - PLAIN data pages: uncompressed size = Σ(len + 4-byte prefix) ≥ the
   *    true byte sum — a faithful ~2–3% over-count (measured on the
-  *    driver corpus).
+  *    driver corpus). DELTA_LENGTH_BYTE_ARRAY (v2 writer, dictionary
+  *    off) concatenates every value's bytes verbatim and only
+  *    delta-packs the lengths — also ≥ the true sum. These two are the
+  *    WHITELIST.
   *  - DICTIONARY-encoded data pages: uncompressed size counts each
   *    DISTINCT value once plus RLE indices — measured 33,000× UNDER on a
-  *    dictionary-collapsed repetitive fixture. The chunk-level
-  *    `encodings` set cannot distinguish the cases (the dictionary page
-  *    itself is PLAIN, so {PLAIN, RLE_DICTIONARY} appears either way);
-  *    only `EncodingStats` separates dictionary DATA pages from
-  *    dictionary pages. Any chunk with dictionary-encoded data pages —
-  *    or with no EncodingStats at all (writers that predate the thrift
-  *    field) — disqualifies the whole probe: the caller falls back to
-  *    the exact scan.
+  *    dictionary-collapsed repetitive fixture. DELTA_BYTE_ARRAY (the v2
+  *    writer's dictionary-fallback for strings) prefix-shares
+  *    consecutive values, so it under-counts on any corpus with shared
+  *    prefixes (URLs, paths, sorted text). The chunk-level `encodings`
+  *    set cannot even distinguish the dictionary cases (the dictionary
+  *    page itself is PLAIN, so {PLAIN, RLE_DICTIONARY} appears either
+  *    way); only `EncodingStats` records the DATA pages' value
+  *    encodings. Any chunk whose data-page encodings are not all in the
+  *    whitelist — or with no EncodingStats at all (writers that predate
+  *    the thrift field) — disqualifies the whole probe: the caller
+  *    falls back to the exact scan.
   *
   * Driver cost: footers are KB-sized; up to [[DriverFooterMax]] files
   * they are read on the driver (the bounded-driver-work shape the IVF
@@ -152,6 +158,26 @@ object ParquetStats {
     Some(total)
   }
 
+  /** True iff every data page's VALUE encoding carries each value's
+    * bytes in full, making `total_uncompressed_size` an upper bound of
+    * the value-byte sum. Whitelist, not blacklist: PLAIN (len-prefixed
+    * verbatim bytes) and DELTA_LENGTH_BYTE_ARRAY (verbatim bytes,
+    * delta-packed lengths). Everything else under-counts or is
+    * unknown-by-default — RLE_DICTIONARY/PLAIN_DICTIONARY collapse
+    * repeats, DELTA_BYTE_ARRAY prefix-shares, and any future encoding
+    * must prove itself in, not be assumed safe. */
+  private def valueCompleteDataEncodings(
+      es: org.apache.parquet.column.EncodingStats): Boolean = {
+    import org.apache.parquet.column.Encoding._
+    val it = es.getDataEncodings.iterator()
+    var ok = true
+    while (ok && it.hasNext) {
+      val e = it.next()
+      ok = (e == PLAIN) || (e == DELTA_LENGTH_BYTE_ARRAY)
+    }
+    ok
+  }
+
   /** One file's footer contribution for `colName`; None = disqualified. */
   private def fileColumnBytes(conf: Configuration, file: String,
       colName: String): Option[Long] = {
@@ -179,7 +205,7 @@ object ParquetStats {
               case Some(b) => total += b
               case None =>
                 val es = chunk.getEncodingStats
-                if (es == null || es.hasDictionaryEncodedPages)
+                if (es == null || !valueCompleteDataEncodings(es))
                   disqualified = true
                 else total += chunk.getTotalUncompressedSize
             }

@@ -60,6 +60,53 @@ class SigStoreSpec extends SparkTestBase {
     }
   }
 
+  /** A corpus as an OLDER writer would produce it: no SizeStatistics
+    * (parquet < 1.15 — most existing data lakes), chosen page version /
+    * dictionary setting. Spark's own writer always emits SizeStatistics
+    * (the conf flag isn't wired through ParquetOutputFormat in this
+    * build), so the EncodingStats fallback path needs parquet-mr's
+    * writer directly. */
+  private def writeLegacyStyle(dir: String, v2: Boolean, n: Int): Unit = {
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.schema.MessageTypeParser
+    import org.apache.parquet.column.ParquetProperties.WriterVersion
+    val schema = MessageTypeParser.parseMessageType(
+      "message doc { required int64 doc_id; required binary text (UTF8); }")
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/part-0.parquet"))
+      .withType(schema)
+      .withSizeStatisticsEnabled(false)
+      .withDictionaryEncoding(false) // v2 emits DELTA_BYTE_ARRAY, v1 PLAIN
+      .withWriterVersion(
+        if (v2) WriterVersion.PARQUET_2_0 else WriterVersion.PARQUET_1_0)
+      .withConf(spark.sessionState.newHadoopConf())
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    try (0 until n).foreach { i =>
+      w.write(f.newGroup().append("doc_id", i.toLong)
+        .append("text", s"unique document $i with its own words ${i * 37}"))
+    } finally w.close()
+  }
+
+  test("footer probe refuses v2-writer DELTA_BYTE_ARRAY pages (prefix-sharing under-counts)") {
+    // The EncodingStats fallback path (writers without SizeStatistics)
+    // must be a WHITELIST: DELTA_BYTE_ARRAY prefix-shares consecutive
+    // values, so total_uncompressed_size can UNDER-count — the unsafe
+    // direction for the broadcast gate.
+    val dir = tmpDir("v2pages")
+    writeLegacyStyle(s"$dir/v2.parquet", v2 = true, n = 300)
+    assert(ParquetStats.textBytesUpperBound(
+      spark.read.parquet(s"$dir/v2.parquet"), "text").isEmpty,
+      "DELTA_BYTE_ARRAY pages must disqualify the footer bound")
+    // same writer vintage, v1 PLAIN pages: priceable and an upper bound
+    writeLegacyStyle(s"$dir/v1.parquet", v2 = false, n = 300)
+    val v1 = spark.read.parquet(s"$dir/v1.parquet")
+    val priced = ParquetStats.textBytesUpperBound(v1, "text")
+      .getOrElse(fail("plain v1 pages without size stats must be priceable"))
+    assert(priced >= exactBytes(v1), "PLAIN fallback bound under-counts")
+  }
+
   test("footer probe runs ZERO Spark jobs (metadata only) and traces spread/alias lineage") {
     val dir = tmpDir("nojobs")
     docs(300).write.mode("overwrite").parquet(s"$dir/t.parquet")
