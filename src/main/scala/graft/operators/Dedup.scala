@@ -643,7 +643,14 @@ object Dedup {
     * cluster queries hit the cache). A file mutated in place under an
     * already-cached path can still mis-size the re-spread (both keys and
     * footer pricing see the same path) — re-reads of a CHANGED file set
-    * re-key naturally (the file listing is part of the relation). */
+    * re-key naturally (the file listing is part of the relation).
+    *
+    * BOUNDED: a long-lived driver servicing many distinct corpora would
+    * otherwise accumulate plan trees without limit (and a LocalRelation
+    * key pins its in-memory rows); past [[TextBytesCacheMax]] lineages
+    * the cache is cleared — the next probe per lineage re-prices, which
+    * is metadata-cheap for parquet and one scan otherwise. */
+  private[graft] val TextBytesCacheMax = 512
   private val textBytesCache = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
 
@@ -712,6 +719,7 @@ object Dedup {
 
     val src0 = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     val planKey = src0.queryExecution.analyzed.canonicalized
+    if (textBytesCache.size() >= TextBytesCacheMax) textBytesCache.clear()
     val textBytes: Long = textBytesCache.computeIfAbsent(planKey, _ =>
       java.lang.Long.valueOf(
         // footer-priced when the text column traces to a plain parquet
@@ -1130,33 +1138,50 @@ object Dedup {
     // serialized vs other appends/compacts/restages of this store —
     // concurrency-safety rationale at Layout.withTableWriteLock
     graft.sources.Layout.withTableWriteLock(df.sparkSession, path) {
+      require(nGroups >= 1, s"nGroups must be >= 1, got $nGroups")
+      require(splits >= 1, s"splits must be >= 1, got $splits")
       // fail fast BEFORE the corrupting write (ADVICE r14): a format or
       // parameter mismatch against the existing store otherwise
       // surfaces only when a reader hits the mixed table much later
       val prior = checkSigStore(df.sparkSession, path, numHashes, bands,
         shingleSize, "appendSignatureBuckets",
         expectedLayout = Some(LayoutBuckets))
-      val batchBytes = writeSignatureBuckets(df, idCol, textCol, path,
-        numHashes, bands, shingleSize, nGroups, splits, shingler, "append")
+      val (banded, batchBytes) = bandedSignaturesWithBytes(df, idCol,
+        textCol, numHashes, bands, shingleSize, shingler)
       // accumulate the measured corpus volume; a pre-sidecar store's
       // prior volume is unknown → stays unknown (-1, conservative)
       val total = prior match {
         case Some(f) if f.textBytes >= 0 => f.textBytes + batchBytes
         case _ => -1L
       }
+      // sidecar BEFORE the data append: a crash between the two then
+      // leaves textBytes OVER-counting (batch counted, rows absent under
+      // the commit protocol) — only a conservative regime choice. The
+      // reverse order would leave it UNDER-counting, the direction that
+      // can flip the staged probe's broadcast gate open on a frame
+      // larger than priced.
       writeSigFormat(df.sparkSession, path,
         SigFormat(SigFormatVersion, numHashes, bands, shingleSize, total,
           LayoutBuckets))
+      writeBandedBuckets(banded, path, nGroups, splits, "append")
     }
 
   private def writeSignatureBuckets(df: DataFrame, idCol: String,
       textCol: String, path: String, numHashes: Int, bands: Int,
       shingleSize: Int, nGroups: Int, splits: Int,
       shingler: Column => Column, mode: String): Long = {
-    require(nGroups >= 1, s"nGroups must be >= 1, got $nGroups")
-    require(splits >= 1, s"splits must be >= 1, got $splits")
     val (banded, textBytes) = bandedSignaturesWithBytes(df, idCol, textCol,
       numHashes, bands, shingleSize, shingler)
+    writeBandedBuckets(banded, path, nGroups, splits, mode)
+    textBytes
+  }
+
+  /** The bucket-store physical write: band-group dirs, (band,bkey)
+    * row-group clustering. */
+  private def writeBandedBuckets(banded: DataFrame, path: String,
+      nGroups: Int, splits: Int, mode: String): Unit = {
+    require(nGroups >= 1, s"nGroups must be >= 1, got $nGroups")
+    require(splits >= 1, s"splits must be >= 1, got $splits")
     banded
       .select(col("doc_id"), col("sh"), col("band"), col("bkey"))
       .withColumn("bgrp", pmod(hash(col("band"), col("bkey")), lit(nGroups)))
@@ -1167,7 +1192,6 @@ object Dedup {
       // the documented (band, bkey) row-group clustering
       .sortWithinPartitions(col("bgrp"), col("band"), col("bkey"))
       .write.mode(mode).partitionBy("bgrp").parquet(path)
-    textBytes
   }
 
   /** Compact over-fragmented band-group dirs of a
