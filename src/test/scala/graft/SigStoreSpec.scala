@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 
@@ -234,6 +234,59 @@ class SigStoreSpec extends SparkTestBase {
         "doc_id", "text")
     }
     assert(eProbe.getMessage.contains("restage"))
+  }
+
+  test("append crash between sidecar and data write over-counts (never under-counts); retry converges") {
+    // appendSignatureBuckets writes the accumulated-volume sidecar BEFORE
+    // the bucket append by design: a crash between the two must leave
+    // textBytes OVER-counting (batch priced, rows absent — a conservative
+    // regime choice), never under-counting (which could flip the staged
+    // probe's broadcast gate open on a frame larger than priced).
+    val path = tmpDir("crash") + "/sigs"
+    val base = docs(80)
+    val batch = docs(30).withColumn("doc_id", col("doc_id") + 1000L)
+    Dedup.stageSignatureBuckets(base, "doc_id", "text", path, nGroups = 4)
+    val stagedRows = spark.read.parquet(path).count()
+
+    // a shingler that passes analysis but throws on every row at
+    // execution time — textBytes is measured on the raw text (no
+    // shingler), so the failure lands exactly between the sidecar
+    // write and the data append
+    val bomb: Column => Column =
+      c => split(assert_true(length(c) < 0).cast("string"), " ")
+    intercept[Exception] {
+      Dedup.appendSignatureBuckets(batch, "doc_id", "text", path,
+        nGroups = 4, shingler = bomb)
+    }
+
+    val f = Dedup.readSigFormat(spark, path).get
+    assert(f.textBytes == exactBytes(base) + exactBytes(batch),
+      "crashed append must leave the sidecar counting the batch (over-count)")
+    assert(spark.read.parquet(path).count() == stagedRows,
+      "crashed append committed data rows")
+
+    // an invalid-parameter append must fail BEFORE touching the sidecar
+    intercept[IllegalArgumentException] {
+      Dedup.appendSignatureBuckets(batch, "doc_id", "text", path, nGroups = 0)
+    }
+    assert(Dedup.readSigFormat(spark, path).get == f,
+      "invalid-parameter append mutated the sidecar")
+
+    // retry with a working shingler: data lands, volume accumulates again
+    // (the documented over-count drift — still the conservative direction)
+    Dedup.appendSignatureBuckets(batch, "doc_id", "text", path, nGroups = 4)
+    val f2 = Dedup.readSigFormat(spark, path).get
+    assert(f2.textBytes == exactBytes(base) + 2 * exactBytes(batch))
+    assert(spark.read.parquet(path).count() > stagedRows,
+      "retried append wrote no rows")
+
+    // the over-counted store still probes correctly (volume is regime
+    // input, never a correctness input)
+    val hits = Dedup.incrementalNearDupsStaged(spark, path,
+      docs(5).withColumn("doc_id", col("doc_id") + 5000L), // base text, new ids
+      "doc_id", "text", numHashes = 8, bands = 4,
+      shingleSize = 3, threshold = 0.5, shingler = null).collect()
+    assert(hits.nonEmpty, "staged store no longer probes after crash+retry")
   }
 
   test("path-based staged probe: sidecar-verified, regime from persisted volume, verdict parity") {
