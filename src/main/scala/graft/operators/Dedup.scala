@@ -422,8 +422,7 @@ object Dedup {
     // — so above the cap the join carries an explicit MERGE hint.
     val conf = banded.sparkSession.sessionState.conf
     val willBroadcast =
-      conf.autoBroadcastJoinThreshold > 0 &&
-        textBytes * CarriedBytesPerTextByte.toLong <= MaxBroadcastCarryBytes
+      conf.autoBroadcastJoinThreshold > 0 && !overCarryCap(textBytes)
 
     if (willBroadcast) {
       val cond =
@@ -549,8 +548,7 @@ object Dedup {
         // relation-blowup hazard (both sides carry sets the planner's
         // stats under-count ~50–100×): pin it to merge above the same cap
         val (bx, by) =
-          if (textBytes * CarriedBytesPerTextByte.toLong
-              <= MaxBroadcastCarryBytes)
+          if (!overCarryCap(textBytes))
             (banded.as("x"), segB.as("y"))
           else (banded.as("x").hint("merge"), segB.as("y").hint("merge"))
         val asym = bx.join(by,
@@ -627,6 +625,17 @@ object Dedup {
     * sort-merge with an explicit MERGE hint. */
   val CarriedBytesPerTextByte: Int = 20
   val MaxBroadcastCarryBytes: Long = 128L * 1024 * 1024
+
+  /** The carried-frame broadcast gate, overflow-safe: true when
+    * `textBytes` priced at [[CarriedBytesPerTextByte]] exceeds
+    * [[MaxBroadcastCarryBytes]]. Division, not multiplication — a huge
+    * volume (corrupted sidecar, accumulated append drift) times 20
+    * wraps Long negative, which would OPEN the gate on exactly the
+    * corpus the cap exists to deny. Negative volume = unknown =
+    * over-cap (never risk the broadcast regime on an unpriced frame). */
+  private[graft] def overCarryCap(textBytes: Long): Boolean =
+    textBytes < 0L ||
+      textBytes > MaxBroadcastCarryBytes / CarriedBytesPerTextByte
 
   /** Text-volume probe cache for [[bandedSignatures]]' re-spread and
     * broadcast-gate decisions, keyed by the canonicalized source PLAN
@@ -839,23 +848,41 @@ object Dedup {
       shingler: Column => Column = null): DataFrame = {
     val (bo, oldBytes) = bandedSignaturesWithBytes(oldDf, idCol, textCol,
       numHashes, bands, shingleSize, shingler)
-    val bn = bandedSignatures(newDf, idCol, textCol, numHashes, bands,
-      shingleSize, shingler)
-    // same relation-blowup control as candidatePairs: the corpus side's
-    // carried sets must never be planner-broadcast past the cap
-    crossBatchVerdicts(bn, bo, threshold, forceMerge =
-      oldBytes * CarriedBytesPerTextByte.toLong > MaxBroadcastCarryBytes)
+    val (bn, newBytes) = bandedSignaturesWithBytes(newDf, idCol, textCol,
+      numHashes, bands, shingleSize, shingler)
+    // same relation-blowup control as candidatePairs, on BOTH sides:
+    // neither side's carried sets may be planner-broadcast past the cap
+    crossBatchVerdicts(bn, bo, threshold,
+      newOverCap = overCarryCap(newBytes),
+      oldOverCap = Some(overCarryCap(oldBytes)))
   }
 
   /** The new-batch × old-corpus bucket join + exact-Jaccard verification
     * shared by [[incrementalNearDups]] (old side computed inline) and
     * [[incrementalNearDupsStaged]] (old side read from a staged table).
-    * Both sides must carry (doc_id, sh, band, bkey). */
+    * Both sides must carry (doc_id, sh, band, bkey).
+    *
+    * Regime. A side COMPUTED from text (bn always; bo when inline) has
+    * lying planner stats — parquet sizes under-count the banded carry
+    * ~50–100× — so its broadcast eligibility comes from the MEASURED
+    * volume only (the candidatePairs discipline). A STAGED bo read from
+    * a signature table has roughly honest stats (the table physically
+    * stores the carried rows), so with no measurement
+    * (`oldOverCap = None`) it may be left to the planner — but only
+    * while bn is measured under-cap; an over-cap bn beside an unpriced
+    * corpus pins sort-merge (never trade an OOM for a maybe-faster
+    * plan). Measured-safe sides are broadcast EXPLICITLY: the predicted
+    * regime is the planned regime. */
   private def crossBatchVerdicts(bn: DataFrame, bo: DataFrame,
-      threshold: Double, forceMerge: Boolean = false): DataFrame = {
-    val (jx, jy) =
-      if (forceMerge) (bn.as("x").hint("merge"), bo.as("y").hint("merge"))
-      else (bn.as("x"), bo.as("y"))
+      threshold: Double, newOverCap: Boolean,
+      oldOverCap: Option[Boolean]): DataFrame = {
+    val merged = (bn.as("x").hint("merge"), bo.as("y").hint("merge"))
+    val (jx, jy) = (newOverCap, oldOverCap) match {
+      case (_, Some(false)) => (bn.as("x"), broadcast(bo.as("y")))
+      case (false, Some(true)) => (broadcast(bn.as("x")), bo.as("y"))
+      case (true, _) => merged
+      case (false, None) => (bn.as("x"), bo.as("y"))
+    }
     val cand = jx.join(jy,
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
@@ -950,18 +977,49 @@ object Dedup {
   private[graft] def readSigFormat(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[SigFormat] =
     graft.sources.Layout.readSidecar(spark, dir, SigFormatName).map { txt =>
+      // writes are atomic (temp + rename-overwrite) so truncation should
+      // be impossible — but a truncated sidecar is uniquely dangerous
+      // (the regex would match a number's PREFIX digits, silently
+      // under-counting text_bytes), so refuse anything not ending in '}'
+      if (!txt.trim.endsWith("}"))
+        throw new IllegalStateException(
+          s"$SigFormatName in $dir is truncated: $txt — " +
+            "restage the signature table")
       def num(k: String): Long =
         (s""""$k":(-?\\d+)""").r.findFirstMatchIn(txt)
           .getOrElse(throw new IllegalStateException(
             s"$SigFormatName in $dir is unreadable (missing '$k'): $txt — " +
               "restage the signature table"))
           .group(1).toLong
+      // a sidecar without the layout key must not default to the
+      // APPEND-able layout: that would wave a bgrp-partitioned append
+      // into a flat clustered store (mixed directory layouts — every
+      // later reader fails partition discovery). Infer from the
+      // directory shape instead, the same observable the adopted-store
+      // branch of checkSigStore uses.
       val layout = (s""""layout":"([^"]+)"""").r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse(LayoutBuckets) // pre-layout sidecars never shipped; default permissively
+        .map(_.group(1)).getOrElse(observedLayout(spark, dir))
       SigFormat(num("version").toInt, num("num_hashes").toInt,
         num("bands").toInt, num("shingle_size").toInt, num("text_bytes"),
         layout)
     }
+
+  /** The store layout as the directory shape shows it: all-bgrp= dirs →
+    * the append-able bucket layout, anything else → flat clustered. An
+    * empty store reads as clustered (non-append-able) — the safe
+    * default for an unknown. */
+  private def observedLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kids = if (fs.exists(p)) fs.listStatus(p).filter { st =>
+      !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")
+    } else Array.empty[org.apache.hadoop.fs.FileStatus]
+    if (kids.nonEmpty && kids.forall(st => st.isDirectory &&
+        st.getPath.getName.startsWith("bgrp="))) LayoutBuckets
+    else LayoutClustered
+  }
 
   /** Verify an existing store at `path` is format-compatible before a
     * mutating append or a probe: sidecar present → version + parameters
@@ -1048,7 +1106,25 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       shingler: Column => Column = null,
-      forceMerge: Boolean = false): DataFrame = {
+      forceMerge: Boolean = false): DataFrame =
+    // forceMerge=true: corpus known over-cap. false: unmeasured — the
+    // staged frame's own (roughly honest) stats decide, never an
+    // explicit broadcast.
+    stagedProbeImpl(stagedSigs, newDf, idCol, textCol, numHashes, bands,
+      shingleSize, threshold, shingler,
+      oldOverCap = if (forceMerge) Some(true) else None)
+
+  private def stagedProbeImpl(
+      stagedSigs: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      threshold: Double,
+      shingler: Column => Column,
+      oldOverCap: Option[Boolean]): DataFrame = {
     // fail fast on a v1 (string-shingle) frame: its band keys can never
     // match this build's hashed pipeline — the probe would silently
     // return zero candidates (ADVICE r14's mixed-format failure class)
@@ -1060,10 +1136,13 @@ object Dedup {
           s"sh: ${other.simpleString} — this build's signatures are " +
           "ARRAY<BIGINT> (v2); restage the signature table")
     }
-    val bn = bandedSignatures(newDf, idCol, textCol, numHashes, bands,
-      shingleSize, shingler)
+    // the batch side is measured too: a repetitive ~10 MB-compressed
+    // batch expands 50–100× past its parquet stats, so an un-gated bn
+    // could be planner-broadcast at corpus-carry size
+    val (bn, newBytes) = bandedSignaturesWithBytes(newDf, idCol, textCol,
+      numHashes, bands, shingleSize, shingler)
     crossBatchVerdicts(bn, stagedSigs.select("doc_id", "sh", "band", "bkey"),
-      threshold, forceMerge = forceMerge)
+      threshold, newOverCap = overCarryCap(newBytes), oldOverCap = oldOverCap)
   }
 
   /** [[incrementalNearDupsStaged]] by PATH: reads the store's
@@ -1086,14 +1165,13 @@ object Dedup {
       shingler: Column => Column): DataFrame = {
     val fmt = checkSigStore(spark, path, numHashes, bands, shingleSize,
       "incrementalNearDupsStaged")
-    val forceMerge = fmt.map(_.textBytes) match {
-      case Some(b) if b >= 0 =>
-        b * CarriedBytesPerTextByte.toLong > MaxBroadcastCarryBytes
-      case _ => true // unknown volume → never risk the broadcast regime
+    val oldOverCap = fmt.map(_.textBytes) match {
+      case Some(b) if b >= 0 => Some(overCarryCap(b)) // measured verdict
+      case _ => Some(true) // unknown volume → never risk the broadcast regime
     }
-    incrementalNearDupsStaged(spark.read.parquet(path), newDf, idCol,
+    stagedProbeImpl(spark.read.parquet(path), newDf, idCol,
       textCol, numHashes, bands, shingleSize, threshold, shingler,
-      forceMerge = forceMerge)
+      oldOverCap = oldOverCap)
   }
 
   /** [[stageSignatures]] in the APPEND-able layout: the same
@@ -1119,8 +1197,9 @@ object Dedup {
       path: String, numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3,
       nGroups: Int = 64, splits: Int = 1, shingler: Column => Column = null): Unit =
     graft.sources.Layout.atomicStagedWrite(df.sparkSession, path) { tmp =>
-      val textBytes = writeSignatureBuckets(df, idCol, textCol, tmp,
-        numHashes, bands, shingleSize, nGroups, splits, shingler, "overwrite")
+      val (banded, textBytes) = bandedSignaturesWithBytes(df, idCol, textCol,
+        numHashes, bands, shingleSize, shingler)
+      writeBandedBuckets(banded, tmp, nGroups, splits, "overwrite")
       writeSigFormat(df.sparkSession, tmp,
         SigFormat(SigFormatVersion, numHashes, bands, shingleSize, textBytes,
           LayoutBuckets))
@@ -1138,6 +1217,9 @@ object Dedup {
     // serialized vs other appends/compacts/restages of this store —
     // concurrency-safety rationale at Layout.withTableWriteLock
     graft.sources.Layout.withTableWriteLock(df.sparkSession, path) {
+      // deliberately duplicated from writeBandedBuckets: parameter
+      // validation must fire BEFORE the sidecar update below, or an
+      // invalid call would bump the accumulated volume with no data
       require(nGroups >= 1, s"nGroups must be >= 1, got $nGroups")
       require(splits >= 1, s"splits must be >= 1, got $splits")
       // fail fast BEFORE the corrupting write (ADVICE r14): a format or
@@ -1165,16 +1247,6 @@ object Dedup {
           LayoutBuckets))
       writeBandedBuckets(banded, path, nGroups, splits, "append")
     }
-
-  private def writeSignatureBuckets(df: DataFrame, idCol: String,
-      textCol: String, path: String, numHashes: Int, bands: Int,
-      shingleSize: Int, nGroups: Int, splits: Int,
-      shingler: Column => Column, mode: String): Long = {
-    val (banded, textBytes) = bandedSignaturesWithBytes(df, idCol, textCol,
-      numHashes, bands, shingleSize, shingler)
-    writeBandedBuckets(banded, path, nGroups, splits, mode)
-    textBytes
-  }
 
   /** The bucket-store physical write: band-group dirs, (band,bkey)
     * row-group clustering. */

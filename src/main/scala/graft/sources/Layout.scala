@@ -120,15 +120,35 @@ object Layout {
     * schema sidecar: a partitionBy write of an empty frame emits zero
     * data files, so without a recorded schema a later read of the empty
     * snapshot throws UNABLE_TO_INFER_SCHEMA. Participates in whatever
-    * atomic-commit scope the caller writes under. */
+    * atomic-commit scope the caller writes under.
+    *
+    * ATOMIC REPLACE: sidecars are also REWRITTEN in place on live
+    * tables (the signature append accumulates text_bytes), and readers
+    * are lock-free by contract — so the update is write-temp +
+    * rename-overwrite, never create-truncate (a truncate window would
+    * show concurrent readers an empty/partial file, and a crash
+    * mid-write could persist JSON truncated mid-number, whose numeric
+    * PREFIX still regex-parses: a silent massive under-count of the
+    * volume the broadcast gate prices). The temp is dot-prefixed —
+    * invisible to both the file index and [[readSidecar]] — so a crash
+    * before the rename leaves the old sidecar fully intact. */
   def writeSidecar(spark: org.apache.spark.sql.SparkSession, dir: String,
       name: String, content: String): Unit = {
     require(name.startsWith("_"),
       s"sidecar name must be _-prefixed (Spark file-index invisible): $name")
     val p = new org.apache.hadoop.fs.Path(dir, name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".$name.tmp-${java.util.UUID.randomUUID()}")
+    var renamed = false
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      renamed = true
+    } finally if (!renamed) fs.delete(tmp, false)
   }
 
   /** Read a [[writeSidecar]] file; None when absent (tables staged

@@ -64,7 +64,10 @@ object ParquetStats {
     * launch; a property can be set per-test). */
   def DriverFooterMax: Int =
     sys.props.get("graft.footer.driver.max")
-      .orElse(sys.env.get("GRAFT_FOOTER_DRIVER_MAX")).map(_.toInt)
+      .orElse(sys.env.get("GRAFT_FOOTER_DRIVER_MAX"))
+      // a malformed knob must not turn every dedup probe into a hard
+      // NumberFormatException — fall back to the default
+      .flatMap(_.trim.toIntOption).filter(_ > 0)
       .getOrElse(256)
 
   /** An upper bound of `sum(octet_length(df(colName)))` priced purely
@@ -119,7 +122,13 @@ object ParquetStats {
     * evolution) contributes 0: absent values have zero bytes. */
   private def footerColumnBytes(spark: org.apache.spark.sql.SparkSession,
       rel: HadoopFsRelation, colName: String): Option[Long] = {
-    val files = rel.location.inputFiles.filter(_.endsWith(".parquet"))
+    // every listed file participates — the file index already excludes
+    // hidden (_, .) entries, and a name filter here (e.g. on a .parquet
+    // suffix) would silently DROP Hive-style part files like 000000_0,
+    // under-counting the bound: the one direction the contract forbids.
+    // A listed file that is not readable parquet disqualifies the probe
+    // in fileColumnBytes instead.
+    val files = rel.location.inputFiles
     if (files.isEmpty) return Some(0L)
     val hconf = spark.sessionState.newHadoopConf()
     if (files.length <= DriverFooterMax) {
@@ -178,9 +187,14 @@ object ParquetStats {
     ok
   }
 
-  /** One file's footer contribution for `colName`; None = disqualified. */
+  /** One file's footer contribution for `colName`; None = disqualified.
+    * An unreadable footer (truncated write, 0-byte crash leftover)
+    * disqualifies rather than throws: the exact-scan fallback honors
+    * `spark.sql.files.ignoreCorruptFiles`, so a corrupt file the scan
+    * would tolerate must not make the metadata fast-path abort the
+    * whole dedup call. */
   private def fileColumnBytes(conf: Configuration, file: String,
-      colName: String): Option[Long] = {
+      colName: String): Option[Long] = try {
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf)
     val reader = ParquetFileReader.open(in)
     try {
@@ -214,5 +228,5 @@ object ParquetStats {
       }
       if (disqualified) None else Some(total)
     } finally reader.close()
-  }
+  } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -312,19 +312,117 @@ class SigStoreSpec extends SparkTestBase {
     assert(viaPath.toSeq == inline.toSeq,
       "path-based staged probe diverged from the inline probe")
 
-    // an over-cap persisted volume must pin the corpus join to
-    // sort-merge (never a planner broadcast of the carried sets)
+    // an over-cap persisted volume must deny the corpus side the
+    // broadcast — but a MEASURED under-cap batch beside it is broadcast
+    // explicitly (the big-corpus/small-batch ingest shape): the
+    // BroadcastExchange must sit on the batch (left/x) side
     Layout.writeSidecar(spark, path, Dedup.SigFormatName,
-      s"""{"version":2,"sh":"array<bigint>","num_hashes":8,"bands":4,""" +
+      s"""{"version":2,"sh":"array<bigint>","layout":"bkey-clustered",""" +
+        s""""num_hashes":8,"bands":4,""" +
         s""""shingle_size":3,"text_bytes":${Long.MaxValue / 64}}""")
     val big = Dedup.incrementalNearDupsStaged(spark, path, batch,
       "doc_id", "text", numHashes = 8, bands = 4, shingleSize = 3,
       threshold = 0.5, shingler = null)
     big.collect()
     val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildLeft"),
+      s"under-cap batch beside an over-cap corpus should broadcast the " +
+        s"batch side:\n$plan")
+
+    // note the faked huge volume above also proves the gate arithmetic
+    // is overflow-safe: Long.MaxValue/64 × 20 wraps negative, and a
+    // product-form gate would have OPENED the corpus broadcast
+    assert(Dedup.overCarryCap(Long.MaxValue / 64), "overflow opened the gate")
+    assert(Dedup.overCarryCap(-1L), "unknown volume must be over-cap")
+    assert(!Dedup.overCarryCap(1024L))
+  }
+
+  test("both sides over-cap pins sort-merge (batch measured, corpus from sidecar)") {
+    // ~9 MB of batch text > MaxBroadcastCarryBytes/CarriedBytesPerTextByte
+    // (6.7 MB): the batch's MEASURED volume must deny the planner the
+    // batch-side broadcast its lying stats would otherwise allow
+    val corpus = docs(60)
+    val path = tmpDir("bothover") + "/sigs"
+    Dedup.stageSignatureBuckets(corpus, "doc_id", "text", path, nGroups = 2)
+    Layout.writeSidecar(spark, path, Dedup.SigFormatName,
+      s"""{"version":2,"sh":"array<bigint>","layout":"band-buckets",""" +
+        s""""num_hashes":8,"bands":4,""" +
+        s""""shingle_size":3,"text_bytes":${Long.MaxValue / 64}}""")
+    val filler = (0 until 600).map(j => s"word$j token${j * 13}").mkString(" ")
+    val bigBatch = (0 until 1200).map(i => (i + 9000L, s"doc $i $filler"))
+      .toDF("doc_id", "text")
+      // corpus-duplicate rows keep the result non-empty so AQE cannot
+      // collapse the join out of the final plan
+      .unionByName(docs(5).withColumn("doc_id", col("doc_id") + 90000L))
+    val res = Dedup.incrementalNearDupsStaged(spark, path, bigBatch,
+      "doc_id", "text", numHashes = 8, bands = 4, shingleSize = 3,
+      threshold = 0.5, shingler = null)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastHashJoin"),
-      s"over-cap staged corpus was broadcast:\n$plan")
-    assert(plan.contains("SortMergeJoin"),
-      s"expected the SMJ regime for an over-cap staged corpus:\n$plan")
+      s"a side was broadcast with BOTH sides over-cap:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected pinned SMJ:\n$plan")
+  }
+
+  test("a pre-layout sidecar infers layout from directory shape (no permissive default)") {
+    // a store staged by the intermediate r15 build wrote sidecars
+    // WITHOUT the layout key; defaulting those to the append-able
+    // layout would wave a bgrp append into a flat clustered store —
+    // mixed directory layouts, every later reader fails discovery
+    val flat = tmpDir("prelayout-flat") + "/sigs"
+    Dedup.stageSignatures(docs(30), "doc_id", "text", flat, numFiles = 2)
+    Layout.writeSidecar(spark, flat, Dedup.SigFormatName,
+      """{"version":2,"sh":"array<bigint>","num_hashes":8,"bands":4,""" +
+        """"shingle_size":3,"text_bytes":100}""")
+    assert(Dedup.readSigFormat(spark, flat).get.layout == "bkey-clustered")
+    intercept[IllegalStateException] {
+      Dedup.appendSignatureBuckets(docs(5), "doc_id", "text", flat)
+    }
+    val buckets = tmpDir("prelayout-bkt") + "/sigs"
+    Dedup.stageSignatureBuckets(docs(30), "doc_id", "text", buckets, nGroups = 2)
+    Layout.writeSidecar(spark, buckets, Dedup.SigFormatName,
+      """{"version":2,"sh":"array<bigint>","num_hashes":8,"bands":4,""" +
+        """"shingle_size":3,"text_bytes":100}""")
+    assert(Dedup.readSigFormat(spark, buckets).get.layout == "band-buckets")
+    // and a truncated sidecar (regex would match a number's PREFIX) is
+    // refused outright, never silently under-counted
+    Layout.writeSidecar(spark, buckets, Dedup.SigFormatName,
+      """{"version":2,"sh":"array<bigint>","num_hashes":8,"bands":4,""" +
+        """"shingle_size":3,"text_bytes":52""")
+    val e = intercept[IllegalStateException] {
+      Dedup.readSigFormat(spark, buckets)
+    }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
+  test("footer probe: suffix-free part files are priced; a corrupt file disqualifies, not throws") {
+    // Hive/Impala-style part files carry no .parquet suffix — a name
+    // filter would silently DROP them from the sweep (an under-counted
+    // bound, the forbidden direction)
+    val dir = tmpDir("suffixfree")
+    docs(200).repartition(2).write.mode("overwrite").parquet(s"$dir/t")
+    val d = new java.io.File(s"$dir/t")
+    var i = 0
+    for (f <- d.listFiles() if f.getName.endsWith(".parquet")) {
+      assert(f.renameTo(new java.io.File(d, f"$i%06d_0"))); i += 1
+    }
+    val t = spark.read.parquet(s"$dir/t")
+    val priced = ParquetStats.textBytesUpperBound(t, "text")
+      .getOrElse(fail("suffix-free part files were not footer-priced"))
+    assert(priced >= exactBytes(t))
+
+    // a 0-byte crash leftover: the exact-scan fallback honors
+    // ignoreCorruptFiles, so the metadata path must disqualify (None),
+    // never abort the dedup call
+    val dir2 = tmpDir("corrupt")
+    docs(50).repartition(1).write.mode("overwrite").parquet(s"$dir2/t")
+    new java.io.FileOutputStream(s"$dir2/t/part-zero.parquet").close()
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val back = spark.read.parquet(s"$dir2/t")
+      assert(ParquetStats.textBytesUpperBound(back, "text").isEmpty,
+        "an unreadable footer must disqualify the bound")
+      assert(exactBytes(back) > 0) // the fallback the caller takes
+    } finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
   }
 }
