@@ -853,8 +853,7 @@ object Dedup {
     // same relation-blowup control as candidatePairs, on BOTH sides:
     // neither side's carried sets may be planner-broadcast past the cap
     crossBatchVerdicts(bn, bo, threshold,
-      newOverCap = overCarryCap(newBytes),
-      oldOverCap = Some(overCarryCap(oldBytes)))
+      newBytes = newBytes, oldBytes = Some(oldBytes), pinMerge = false)
   }
 
   /** The new-batch × old-corpus bucket join + exact-Jaccard verification
@@ -865,23 +864,36 @@ object Dedup {
     * Regime. A side COMPUTED from text (bn always; bo when inline) has
     * lying planner stats — parquet sizes under-count the banded carry
     * ~50–100× — so its broadcast eligibility comes from the MEASURED
-    * volume only (the candidatePairs discipline). A STAGED bo read from
-    * a signature table has roughly honest stats (the table physically
-    * stores the carried rows), so with no measurement
-    * (`oldOverCap = None`) it may be left to the planner — but only
-    * while bn is measured under-cap; an over-cap bn beside an unpriced
-    * corpus pins sort-merge (never trade an OOM for a maybe-faster
-    * plan). Measured-safe sides are broadcast EXPLICITLY: the predicted
-    * regime is the planned regime. */
+    * volume only (the candidatePairs discipline): the SMALLER
+    * measured-safe side is broadcast EXPLICITLY (the predicted regime
+    * is the planned regime), and a measured over-cap side is denied
+    * the broadcast outright. A STAGED bo read from a signature table
+    * has roughly honest stats (the table physically stores the carried
+    * rows), so with no measurement (`oldBytes = None`) it may be left
+    * to the planner — but only while bn is measured under-cap; an
+    * over-cap bn beside an unpriced corpus pins sort-merge (never
+    * trade an OOM for a maybe-faster plan). `pinMerge` (the public
+    * forceMerge contract) and a disabled `autoBroadcastJoinThreshold`
+    * each veto every explicit broadcast — a session that opted out of
+    * broadcasts must not get one from a hint (the same
+    * `conf.autoBroadcastJoinThreshold > 0` gate candidatePairs
+    * applies). `oldBytes = Some(-1)` (unknown persisted volume) is
+    * over-cap via [[overCarryCap]]'s negative rule. */
   private def crossBatchVerdicts(bn: DataFrame, bo: DataFrame,
-      threshold: Double, newOverCap: Boolean,
-      oldOverCap: Option[Boolean]): DataFrame = {
+      threshold: Double, newBytes: Long, oldBytes: Option[Long],
+      pinMerge: Boolean): DataFrame = {
+    val bcastOk = bn.sparkSession.sessionState.conf
+      .autoBroadcastJoinThreshold > 0 && !pinMerge
+    val newOver = overCarryCap(newBytes)
     val merged = (bn.as("x").hint("merge"), bo.as("y").hint("merge"))
-    val (jx, jy) = (newOverCap, oldOverCap) match {
-      case (_, Some(false)) => (bn.as("x"), broadcast(bo.as("y")))
-      case (false, Some(true)) => (broadcast(bn.as("x")), bo.as("y"))
-      case (true, _) => merged
-      case (false, None) => (bn.as("x"), bo.as("y"))
+    val (jx, jy) = oldBytes match {
+      case _ if !bcastOk => merged
+      case Some(ob) if !overCarryCap(ob) && (newOver || ob <= newBytes) =>
+        (bn.as("x"), broadcast(bo.as("y")))
+      case Some(_) if !newOver => (broadcast(bn.as("x")), bo.as("y"))
+      case Some(_) => merged // both sides measured over-cap
+      case None if newOver => merged // unpriced corpus beside an over-cap batch
+      case None => (bn.as("x"), bo.as("y")) // planner decides from honest stats
     }
     val cand = jx.join(jy,
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -998,27 +1010,31 @@ object Dedup {
       // directory shape instead, the same observable the adopted-store
       // branch of checkSigStore uses.
       val layout = (s""""layout":"([^"]+)"""").r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse(observedLayout(spark, dir))
+        .map(_.group(1))
+        // empty store → clustered: the safe (non-append-able) default
+        .getOrElse(observedLayout(spark, dir).getOrElse(LayoutClustered))
       SigFormat(num("version").toInt, num("num_hashes").toInt,
         num("bands").toInt, num("shingle_size").toInt, num("text_bytes"),
         layout)
     }
 
   /** The store layout as the directory shape shows it: all-bgrp= dirs →
-    * the append-able bucket layout, anything else → flat clustered. An
-    * empty store reads as clustered (non-append-able) — the safe
-    * default for an unknown. */
+    * the append-able bucket layout, anything else → flat clustered;
+    * None for an empty/absent store. The ONE place the shape test
+    * lives — both the pre-layout-sidecar default and checkSigStore's
+    * adopted-store guard read it, so they can never disagree. */
   private def observedLayout(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
+      dir: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val kids = if (fs.exists(p)) fs.listStatus(p).filter { st =>
       !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith(".")
     } else Array.empty[org.apache.hadoop.fs.FileStatus]
-    if (kids.nonEmpty && kids.forall(st => st.isDirectory &&
-        st.getPath.getName.startsWith("bgrp="))) LayoutBuckets
-    else LayoutClustered
+    if (kids.isEmpty) None
+    else if (kids.forall(st => st.isDirectory &&
+        st.getPath.getName.startsWith("bgrp="))) Some(LayoutBuckets)
+    else Some(LayoutClustered)
   }
 
   /** Verify an existing store at `path` is format-compatible before a
@@ -1055,21 +1071,14 @@ object Dedup {
             s"use stageSignatureBuckets for an append-able store")
         Some(f)
       case None =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val kids = if (fs.exists(p)) fs.listStatus(p).filter { st =>
-          !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith(".")
-        } else Array.empty[org.apache.hadoop.fs.FileStatus]
-        val hasData = kids.nonEmpty
         // adopted (pre-sidecar) store: the layout is observable from the
         // directory shape — band-buckets stores contain only bgrp= dirs
-        for (want <- expectedLayout if hasData && want == LayoutBuckets &&
-            !kids.forall(st => st.isDirectory &&
-              st.getPath.getName.startsWith("bgrp=")))
-          throw new IllegalStateException(s"$op: $path is not a " +
-            s"'$LayoutBuckets' store (found non-bgrp entries) — $op " +
-            "requires a stageSignatureBuckets store")
+        val obs = observedLayout(spark, path)
+        val hasData = obs.isDefined
+        for (want <- expectedLayout; have <- obs if have != want)
+          throw new IllegalStateException(s"$op: $path is a '$have' " +
+            s"store; $op requires '$want' — use stageSignatureBuckets " +
+            "for an append-able store")
         if (hasData) {
           val shType = try spark.read.parquet(path).schema("sh").dataType
           catch { case e: Exception =>
@@ -1107,12 +1116,13 @@ object Dedup {
       threshold: Double = 0.5,
       shingler: Column => Column = null,
       forceMerge: Boolean = false): DataFrame =
-    // forceMerge=true: corpus known over-cap. false: unmeasured — the
-    // staged frame's own (roughly honest) stats decide, never an
-    // explicit broadcast.
+    // forceMerge keeps its historical contract — SMJ guaranteed, no
+    // broadcast of EITHER side (callers pass it to forbid broadcasts
+    // outright). false: corpus unmeasured — the staged frame's own
+    // (roughly honest) stats decide, never an explicit broadcast.
     stagedProbeImpl(stagedSigs, newDf, idCol, textCol, numHashes, bands,
       shingleSize, threshold, shingler,
-      oldOverCap = if (forceMerge) Some(true) else None)
+      oldBytes = None, pinMerge = forceMerge)
 
   private def stagedProbeImpl(
       stagedSigs: DataFrame,
@@ -1124,7 +1134,8 @@ object Dedup {
       shingleSize: Int,
       threshold: Double,
       shingler: Column => Column,
-      oldOverCap: Option[Boolean]): DataFrame = {
+      oldBytes: Option[Long],
+      pinMerge: Boolean): DataFrame = {
     // fail fast on a v1 (string-shingle) frame: its band keys can never
     // match this build's hashed pipeline — the probe would silently
     // return zero candidates (ADVICE r14's mixed-format failure class)
@@ -1142,7 +1153,8 @@ object Dedup {
     val (bn, newBytes) = bandedSignaturesWithBytes(newDf, idCol, textCol,
       numHashes, bands, shingleSize, shingler)
     crossBatchVerdicts(bn, stagedSigs.select("doc_id", "sh", "band", "bkey"),
-      threshold, newOverCap = overCarryCap(newBytes), oldOverCap = oldOverCap)
+      threshold, newBytes = newBytes, oldBytes = oldBytes,
+      pinMerge = pinMerge)
   }
 
   /** [[incrementalNearDupsStaged]] by PATH: reads the store's
@@ -1165,13 +1177,13 @@ object Dedup {
       shingler: Column => Column): DataFrame = {
     val fmt = checkSigStore(spark, path, numHashes, bands, shingleSize,
       "incrementalNearDupsStaged")
-    val oldOverCap = fmt.map(_.textBytes) match {
-      case Some(b) if b >= 0 => Some(overCarryCap(b)) // measured verdict
-      case _ => Some(true) // unknown volume → never risk the broadcast regime
-    }
+    // persisted measured volume, or -1 (unknown) for a pre-sidecar
+    // store — overCarryCap treats negative as over-cap, so an unknown
+    // corpus never risks the broadcast regime
+    val oldBytes = fmt.map(_.textBytes).getOrElse(-1L)
     stagedProbeImpl(spark.read.parquet(path), newDf, idCol,
       textCol, numHashes, bands, shingleSize, threshold, shingler,
-      oldOverCap = oldOverCap)
+      oldBytes = Some(oldBytes), pinMerge = false)
   }
 
   /** [[stageSignatures]] in the APPEND-able layout: the same

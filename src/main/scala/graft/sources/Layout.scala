@@ -136,17 +136,30 @@ object Layout {
       name: String, content: String): Unit = {
     require(name.startsWith("_"),
       s"sidecar name must be _-prefixed (Spark file-index invisible): $name")
-    val p = new org.apache.hadoop.fs.Path(dir, name)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = p.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      s".$name.tmp-${java.util.UUID.randomUUID()}")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // qualify BOTH paths through the FileSystem so the FileContext
+    // rename below cannot resolve a relative dir against a different
+    // working directory than the create did
+    val p = fs.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(dir,
+      s".$name.tmp-${java.util.UUID.randomUUID()}"))
     var renamed = false
     try {
       val out = fs.create(tmp, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
-      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      try
+        org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // scheme has a FileSystem but no AbstractFileSystem binding
+        // (e.g. a bare gs:// connector): fall back to delete+rename —
+        // not one atomic op, but the full-content temp still closes the
+        // truncation window the old create-truncate path had
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"sidecar rename failed: $tmp -> $p")
+      }
       renamed = true
     } finally if (!renamed) fs.delete(tmp, false)
   }

@@ -62,13 +62,15 @@ object ParquetStats {
     * it the sweep is a Spark job. The system property lets tests force
     * the distributed path on a small fixture (env is fixed at JVM
     * launch; a property can be set per-test). */
-  def DriverFooterMax: Int =
-    sys.props.get("graft.footer.driver.max")
-      .orElse(sys.env.get("GRAFT_FOOTER_DRIVER_MAX"))
-      // a malformed knob must not turn every dedup probe into a hard
-      // NumberFormatException — fall back to the default
-      .flatMap(_.trim.toIntOption).filter(_ > 0)
+  def DriverFooterMax: Int = {
+    // each source parsed independently: a malformed knob must neither
+    // throw from inside every dedup probe nor shadow the other,
+    // still-valid source
+    def parsed(v: Option[String]) = v.flatMap(_.trim.toIntOption).filter(_ > 0)
+    parsed(sys.props.get("graft.footer.driver.max"))
+      .orElse(parsed(sys.env.get("GRAFT_FOOTER_DRIVER_MAX")))
       .getOrElse(256)
+  }
 
   /** An upper bound of `sum(octet_length(df(colName)))` priced purely
     * from parquet footers, or None when the lineage or the files' page
@@ -192,9 +194,28 @@ object ParquetStats {
     * disqualifies rather than throws: the exact-scan fallback honors
     * `spark.sql.files.ignoreCorruptFiles`, so a corrupt file the scan
     * would tolerate must not make the metadata fast-path abort the
-    * whole dedup call. */
+    * whole dedup call. One retry first — on an object store a ~10⁵-file
+    * sweep will see transient throttles, and a single blip should not
+    * silently demote the whole probe to a corpus-wide scan — and the
+    * terminal failure is logged with the file so a real corrupt file is
+    * attributable. */
   private def fileColumnBytes(conf: Configuration, file: String,
-      colName: String): Option[Long] = try {
+      colName: String): Option[Long] = {
+    def once(): Option[Long] = readFooterColumnBytes(conf, file, colName)
+    try once() catch {
+      case scala.util.control.NonFatal(_) =>
+        try once() catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] footer probe disqualified by " +
+              s"$file after retry (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}) — falling back to the exact scan")
+            None
+        }
+    }
+  }
+
+  private def readFooterColumnBytes(conf: Configuration, file: String,
+      colName: String): Option[Long] = {
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf)
     val reader = ParquetFileReader.open(in)
     try {
@@ -228,5 +249,5 @@ object ParquetStats {
       }
       if (disqualified) None else Some(total)
     } finally reader.close()
-  } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

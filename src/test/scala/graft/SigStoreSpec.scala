@@ -214,7 +214,7 @@ class SigStoreSpec extends SparkTestBase {
     val e2 = intercept[IllegalStateException] {
       Dedup.appendSignatureBuckets(docs(10), "doc_id", "text", bare)
     }
-    assert(e2.getMessage.contains("bgrp"), e2.getMessage)
+    assert(e2.getMessage.contains("band-buckets"), e2.getMessage)
   }
 
   test("append and probe fail fast on a v1 (string-shingle) store") {
@@ -329,10 +329,12 @@ class SigStoreSpec extends SparkTestBase {
       s"under-cap batch beside an over-cap corpus should broadcast the " +
         s"batch side:\n$plan")
 
-    // note the faked huge volume above also proves the gate arithmetic
-    // is overflow-safe: Long.MaxValue/64 × 20 wraps negative, and a
-    // product-form gate would have OPENED the corpus broadcast
-    assert(Dedup.overCarryCap(Long.MaxValue / 64), "overflow opened the gate")
+    // the gate arithmetic must be overflow-safe: Long.MaxValue/10 × 20
+    // wraps to -16, so a product-form gate would return UNDER-cap and
+    // open the corpus broadcast on a corrupted-volume sidecar
+    assert(Dedup.overCarryCap(Long.MaxValue / 10), "overflow opened the gate")
+    assert((Long.MaxValue / 10) * Dedup.CarriedBytesPerTextByte < 0,
+      "fixture no longer overflows — pick a volume whose ×20 wraps negative")
     assert(Dedup.overCarryCap(-1L), "unknown volume must be over-cap")
     assert(!Dedup.overCarryCap(1024L))
   }
