@@ -776,21 +776,42 @@ object Similarity {
       // bucket bits must fit a long with headroom, hence the 30 cap
       math.min(math.max(planes, occupancyBits(corpusCount(emb), t)), 30)
     }
-    val eb = withNorm2(emb).select(col("vec_id"), col("embedding"), col("n2"),
-      posexplode(array((0 until sets).map(s =>
-        lshBucket(col("embedding"), planesUsed, dim, s * planesUsed)): _*))
-        .as(Seq("bset", "bucket")))
+    val eb = withNorm2(emb)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        array((0 until sets).map(s =>
+          lshBucket(col("embedding"), planesUsed, dim, s * planesUsed)): _*)
+          .as("bks"))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("bks"),
+        posexplode(col("bks")).as(Seq("bset", "bucket")))
     val q = eb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-        col("n2").as("q_n2"), col("bset").as("q_set"),
-        col("bucket").as("q_bucket"))
+        col("n2").as("q_n2"), col("bks").as("q_bks"),
+        col("bset").as("q_set"), col("bucket").as("q_bucket"))
+    // A pair colliding in several tables must be scored exactly once. The
+    // pre-r15 form deduped AFTER the join with dropDuplicates(qid, vid) —
+    // a full exchange plus sort-based aggregate (array payloads defeat
+    // hash aggregation) carrying BOTH embedding vectors per candidate.
+    // Each side already knows its complete bucket array (`bks`, sets
+    // longs), so "is this the first table the pair collides in" is
+    // decidable per joined row: keep the row only when no EARLIER set
+    // also matched. Same candidate set, emitted exactly once, as a
+    // codegen residual filter instead of a payload shuffle. The check is
+    // UNROLLED over the static set count (element_at comparisons) — the
+    // higher-order exists/zip_with form is interpreted per joined row
+    // (lambda variables block whole-stage codegen) and measured +0.4 s
+    // on q120's broadcast path at sf0.1.
+    val noEarlierCollision =
+      if (sets == 1) lit(true)
+      else not((0 until sets - 1).map { e =>
+        col("bset") > e &&
+          element_at(col("bks"), e + 1) === element_at(col("q_bks"), e + 1)
+      }.reduce(_ || _))
     val cand = joinQueries(eb, q,
         col("bset") === col("q_set") && col("bucket") === col("q_bucket") &&
-          col("vec_id") =!= col("qid"),
+          col("vec_id") =!= col("qid") && noEarlierCollision,
         broadcastQueries, maxBroadcastQueries)
       .select(col("qid"), col("q_emb"), col("q_n2"),
         col("vec_id"), col("embedding"), col("n2"))
-      .dropDuplicates("qid", "vec_id")
     val scored = cand.withColumn("cosine",
       cosineFrom(dotExact(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
