@@ -72,9 +72,22 @@ object Quantiles {
         .otherwise(vr).as("__v"))
     // ONE stats pass over all rows (NULLs included): count/min/max skip
     // NULLs, so an all-NULL group surfaces here with __n = 0 — that is
-    // where the built-in's NULL-array row comes from, for free
+    // where the built-in's NULL-array row comes from, for free.
+    // PINNED (localCheckpoint): this groups-sized frame feeds THREE
+    // consumers (the bin join, the target order statistics, the
+    // all-NULL rows) and two of them fan out further — without the
+    // barrier each consumer re-executes the stats pass from the scan
+    // (column pruning de-canonicalizes the branches; the committed q52
+    // plan showed SEVEN parquet scans where the scaladoc's cost model
+    // says three). The frame is one row per group — the operator's own
+    // bounded-state argument — so pinning is free at any scale.
+    // Plan: 7 scans -> 3 (q52) / 8 -> 4 (q68). Measured min-of-5 at
+    // sf0.1 (where the pruned 2-column scans are cheap — the win is the
+    // dropped corpus passes at scale): q52 1.15 -> 1.06 s,
+    // q68 1.13 -> 1.06 s.
     val allStats = guarded.groupBy(g).agg(count(col("__v")).as("__n"),
-      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+        min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+      .localCheckpoint()
     val stats = allStats.filter(col("__n") > 0)
     val rows = guarded.filter(col("__v").isNotNull)
     // equal-width bin, monotone in __v (floor of a positive-constant
