@@ -1167,10 +1167,16 @@ object Text extends QueryModule {
         .groupBy("t").agg(count(lit(1)).as("cnt_old"))
       val nc = tk.filter(col("doc_id") >= 250)
         .groupBy("t").agg(count(lit(1)).as("cnt_new"))
+      // pinned: allt feeds tot AND the final scoring select — unpinned,
+      // each re-runs both token-count branches from the scan (4 parquet
+      // scans in the committed plan; 2 after). Vocabulary-sized narrow
+      // frame — the q123/importanceWeights count-table precedent.
+      // Median of 5 interleaved min-of-5 probes at sf0.1: 0.81 -> 0.71 s.
       val allt = oc.join(nc, Seq("t"), "full")
         .select(col("t").as("token"),
           coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
           coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+        .localCheckpoint()
       val tot = allt.agg(sum(col("cnt_old")).as("tot_old"),
         sum(col("cnt_new")).as("tot_new"), count(lit(1)).as("v"))
       // int64 exactness bound: v counts the UNION vocabulary, so with
@@ -1672,9 +1678,15 @@ object Text extends QueryModule {
           AS overlap_coef
       FROM pr JOIN sz x ON x.source = pr.s1 JOIN sz y ON y.source = pr.s2
       ORDER BY s1, s2""")) { (s, d) =>
+      // pinned: st feeds sz and BOTH self-join sides — unpinned, the
+      // corpus tokenize + distinct re-ran per consumer (4 parquet scans
+      // in the committed plan; 1 after). vocab × sources rows, the
+      // documented "no corpus self-join" size class above. Median of 5
+      // interleaved min-of-5 probes at sf0.1: 0.81 -> 0.68 s.
       val st = Tables.documents(s, d)
         .select(col("source"), explode(tokens(col("text"))).as("t"))
         .distinct()
+        .localCheckpoint()
       val sz = st.groupBy("source").agg(count(lit(1)).as("n"))
       val pr = st.select(col("source").as("s1"), col("t"))
         .join(st.select(col("source").as("s2"), col("t")), Seq("t"))
